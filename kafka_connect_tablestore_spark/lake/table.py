@@ -1,0 +1,268 @@
+"""LakeTable: bucketed, snapshot-versioned parquet table with atomic commits.
+
+An Iceberg-shaped storage layer with no external jars (SURVEY §7 "Iceberg
+caveat"): the same engine code would target real Iceberg ``MERGE INTO`` /
+``ALTER TABLE`` by swapping this class — the interface is deliberately the
+Iceberg verb set (create-if-absent, merge, alter-via-schema-registry,
+snapshot commit with embedded manifest).
+
+Layout (all under ``root/<table>/``)::
+
+    VERSION                 atomic pointer (text "n"), swapped by rename
+    meta/v{n}.json          snapshot: schema, bucket->files map, batch manifests
+    data/snap{n}/_bucket=K/ per-bucket parquet (copy-on-write per bucket)
+    dlq/batch={id}/         dead-letter rows (idempotent per batch)
+
+Scale design (10^10 events / 1000 executors):
+
+- **hash-PK bucketing** mirrors the reference's ``DispatchMode.HASH_PRIMARY_KEY``
+  (``TableStoreSinkWriter.java:120-125``): one key ↔ one bucket, so a MERGE
+  touches only the buckets its batch writes — untouched buckets are carried
+  forward *by reference* in the snapshot metadata (metadata-only, like
+  Iceberg's manifest reuse), never rewritten.
+- **partition pruning by construction**: the target-side read enumerates
+  exactly the touched buckets' files.
+- **exactly-once** (upgrade of the reference's at-least-once offset commit,
+  ``TableStoreSinkWriter.java:244-270``): each snapshot embeds the batch
+  manifest ``(batch_id, per-partition offset ranges, row counts)``; data and
+  manifest become visible in the same atomic pointer swap, and re-applying a
+  committed batch_id is a no-op.  A crash before the swap leaves only orphan
+  files; replaying the batch recomputes them deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.config import SinkConfig
+from kafka_connect_tablestore_spark.functions.hashing import bucket_of, content_sha256
+from kafka_connect_tablestore_spark.plans.merge import merge_into_state
+from kafka_connect_tablestore_spark.plans.schema_evolution import (
+    align_to_schema,
+    batch_attr_schema,
+    evolve,
+)
+
+SHA_COL = "content_sha256"
+
+
+class LakeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        config: SinkConfig,
+        attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+    ) -> None:
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.name = name
+        self.config = config
+        if config.column_whitelist is not None:
+            attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
+        self.attr_fields = attr_fields
+
+    # ---------------------------------------------------------------- meta
+    @property
+    def _version_path(self) -> str:
+        return os.path.join(self.dir, "VERSION")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._version_path)
+
+    def current_version(self) -> int:
+        with open(self._version_path) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.dir, "meta", f"v{version:06d}.json")
+
+    def snapshot(self) -> dict:
+        return json.load(open(self._meta_path(self.current_version())))
+
+    def committed_batches(self) -> dict[str, dict]:
+        return self.snapshot()["batches"] if self.exists() else {}
+
+    def schema(self) -> dict[str, str]:
+        return dict(self.snapshot()["schema"])
+
+    def create_if_absent(self, schema: dict[str, str] | None = None) -> None:
+        """S17 validate-or-create (``TableStoreSinkWriter.java:280-354``)."""
+        if self.exists():
+            return
+        if not self.config.auto_create:
+            raise FileNotFoundError(
+                f"table {self.name} absent and auto.create=false "
+                "(reference: OTSObjectNotExist without auto.create)"
+            )
+        os.makedirs(os.path.join(self.dir, "meta"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
+        meta = {
+            "version": 0,
+            "schema": schema or {},
+            "buckets": {},
+            "batches": {},
+            "parent": None,
+        }
+        self._commit(meta)
+
+    def _commit(self, meta: dict) -> None:
+        """Atomic commit: meta json then pointer, both via rename."""
+        v = meta["version"]
+        mp = self._meta_path(v)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, mp)
+        vtmp = self._version_path + ".tmp"
+        with open(vtmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(vtmp, self._version_path)
+
+    # ---------------------------------------------------------------- read
+    def _read_buckets(self, bucket_dirs: list[str], schema: dict[str, str]) -> DataFrame | None:
+        if not bucket_dirs:
+            return None
+        df = self.spark.read.parquet(*bucket_dirs)
+        return align_to_schema(df, schema, list(self.config.pk_fields))
+
+    def read(self) -> DataFrame:
+        """Current table state (pk + attrs + content_sha256)."""
+        snap = self.snapshot()
+        dirs = [d for ds in snap["buckets"].values() for d in ds]
+        if not dirs:
+            empty_schema = {**snap["schema"], SHA_COL: "string"}
+            return align_to_schema(
+                self.spark.range(0).select(
+                    *[F.lit(None).cast("string").alias(c) for c in self.config.pk_fields]
+                ),
+                empty_schema,
+                list(self.config.pk_fields),
+            ).limit(0)
+        df = self.spark.read.parquet(*dirs)
+        return align_to_schema(
+            df, {**snap["schema"], SHA_COL: "string"}, list(self.config.pk_fields)
+        )
+
+    # --------------------------------------------------------------- merge
+    def merge_batch(
+        self,
+        clean_events: DataFrame,
+        batch_id: str,
+    ) -> dict:
+        """MERGE one micro-batch of clean events. Idempotent by batch_id.
+
+        Returns the batch manifest entry (also persisted in the snapshot):
+        per-source-partition offset ranges + row counts (lineage/metrics).
+        """
+        self.create_if_absent()
+        snap = self.snapshot()
+        if batch_id in snap["batches"]:
+            return {**snap["batches"][batch_id], "skipped": True}
+
+        t0 = time.time()
+        # --- schema evolution (diff → "ALTER" via registry) ----------------
+        bschema = batch_attr_schema(clean_events, self.attr_fields)
+        new_schema, changes = evolve(snap["schema"], bschema)
+        pk = list(self.config.pk_fields)
+        attr_fields = tuple(new_schema.keys())
+
+        # --- lineage: per-partition offset ranges + counts (small collect) -
+        lineage_rows = (
+            clean_events.groupBy("partition")
+            .agg(
+                F.min("offset").alias("start_offset"),
+                F.max("offset").alias("end_offset"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()
+        )
+        lineage = {
+            str(r["partition"]): {
+                "start_offset": r["start_offset"],
+                "end_offset": r["end_offset"],
+                "rows": r["rows"],
+            }
+            for r in lineage_rows
+        }
+
+        # --- touched buckets (config-bounded collect) -----------------------
+        src = clean_events.withColumn(
+            "_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets)
+        )
+        touched = sorted(
+            r["_bucket"] for r in src.select("_bucket").distinct().collect()
+        )
+        old_buckets: dict[str, list[str]] = snap["buckets"]
+        target_dirs = [d for b in touched for d in old_buckets.get(str(b), [])]
+        target = self._read_buckets(target_dirs, new_schema)
+        if target is not None:
+            target = target.drop(SHA_COL) if SHA_COL in target.columns else target
+
+        ev = align_to_schema(
+            src, new_schema, pk + ["commit_ts", "offset", "op", "_bucket"]
+        )
+        merged = merge_into_state(target, ev.drop("_bucket"), self.config, attr_fields)
+        out = merged.withColumn(SHA_COL, content_sha256("content") if "content" in attr_fields else F.lit(None).cast("string"))
+        out = out.withColumn("_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets))
+
+        # --- copy-on-write: write only touched buckets ----------------------
+        version = snap["version"] + 1
+        snap_dir = os.path.join(self.dir, "data", f"snap{version:06d}")
+        (
+            out.repartition(min(self.config.n_buckets, max(len(touched), 1)), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        new_dirs = {
+            int(d.split("=")[1]): [os.path.join(snap_dir, d)]
+            for d in os.listdir(snap_dir)
+            if d.startswith("_bucket=")
+        }
+        buckets = {
+            b: ds for b, ds in old_buckets.items() if int(b) not in set(touched)
+        }
+        for b in touched:
+            buckets[str(b)] = new_dirs.get(b, [])
+
+        manifest = {
+            "batch_id": batch_id,
+            "partitions": lineage,
+            "touched_buckets": touched,
+            "schema_changes": changes,
+            "committed_at_version": version,
+            "wall_secs": round(time.time() - t0, 3),
+        }
+        meta = {
+            "version": version,
+            "schema": new_schema,
+            "buckets": buckets,
+            "batches": {**snap["batches"], batch_id: manifest},
+            "parent": snap["version"],
+        }
+        self._commit(meta)
+        return {**manifest, "skipped": False}
+
+    # ----------------------------------------------------------------- dlq
+    def append_dlq(self, dlq_df: DataFrame, batch_id: str) -> None:
+        """Idempotent dead-letter append: one directory per batch
+        (layout mirrors ``errors/TableStoreReporter.java:243-270``)."""
+        path = os.path.join(self.dir, "dlq", f"batch={batch_id}")
+        dlq_df.write.mode("overwrite").parquet(path)
+
+    def read_dlq(self) -> DataFrame | None:
+        path = os.path.join(self.dir, "dlq")
+        if not os.path.isdir(path) or not os.listdir(path):
+            return None
+        return self.spark.read.parquet(os.path.join(path, "batch=*"))

@@ -1,0 +1,141 @@
+"""Row-change classification + error-tolerance gate (SURVEY §2 S10/S11/S14).
+
+Vectorized re-expression of ``utils/RowChangeTransformer.java``:
+
+- tombstone detection (``:174-191``): op=DELETE, or — when the log carries no
+  explicit op column — an all-null payload (the fixed-schema stand-in for
+  Connect's ``value == null``);
+- the decision matrix (``:201-256``): PUT/UPDATE/DELETE vs errant, by
+  insert.mode × delete.mode × null shape (full expected matrix ported from
+  ``RowChangeTransformerTest.java:106-762`` into
+  ``tests/test_rowchange_matrix.py``);
+- the tolerance gate (``TableStoreSinkWriter.java:226-241``,
+  ``enums/RuntimeErrorTolerance.java``): NONE → first error raises;
+  ALL → errant rows split to the DLQ.
+
+Everything is Catalyst column expressions (no Python in the row loop); the
+errant/clean split is two filters over one cached classification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.config import (
+    COL_DELETE_MODES_,
+    ROW_DELETE_MODES_,
+    InsertMode,
+    RuntimeErrorTolerance,
+    SinkConfig,
+)
+
+ERROR_COL = "error_info"
+
+
+class ToleranceError(RuntimeError):
+    """Raised on the first errant record when tolerance=NONE
+    (mirrors ConnectException at ``TableStoreSinkWriter.java:232-236``)."""
+
+
+def classify_op(
+    config: SinkConfig, attr_fields: tuple[str, ...], has_op_col: bool
+) -> Column:
+    """Effective op per record: explicit op column, else derived from the
+    null shape + configured insert mode (the reference has no op column —
+    ``value == null`` means delete, otherwise insert.mode decides)."""
+    all_null = F.lit(True)
+    for c in attr_fields:
+        all_null = all_null & F.col(c).isNull()
+    if has_op_col:
+        base = F.col("op")
+    else:
+        base = F.when(all_null, F.lit("DELETE")).otherwise(
+            F.lit("UPDATE" if config.insert_mode is InsertMode.UPDATE else "PUT")
+        )
+    # Config-forced update mode downgrades explicit PUTs to UPDATEs
+    # (insert.mode is a sink-level switch in the reference).
+    if has_op_col and config.insert_mode is InsertMode.UPDATE:
+        base = F.when(base == F.lit("PUT"), F.lit("UPDATE")).otherwise(base)
+    return base
+
+
+def validate_and_classify(
+    events: DataFrame,
+    config: SinkConfig,
+    attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+) -> DataFrame:
+    """Add ``_op`` (normalized op) and ``error_info`` (null = clean) columns."""
+    if config.column_whitelist is not None:
+        attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
+    has_op = "op" in events.columns
+    op = classify_op(config, attr_fields, has_op)
+
+    null_pk = F.lit(False)
+    for c in config.pk_fields:
+        null_pk = null_pk | F.col(c).isNull()
+
+    all_null = F.lit(True)
+    for c in attr_fields:
+        all_null = all_null & F.col(c).isNull()
+
+    error = (
+        F.when(null_pk, F.lit("NULL_PRIMARY_KEY"))
+        .when(
+            (op == F.lit("DELETE")) & F.lit(config.delete_mode not in ROW_DELETE_MODES_),
+            F.lit("DELETE_NOT_ALLOWED"),
+        )
+        .when(
+            (op == F.lit("UPDATE"))
+            & all_null
+            & F.lit(config.delete_mode not in COL_DELETE_MODES_),
+            F.lit("ALL_COLUMNS_NULL"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return events.withColumn("_op", op).withColumn(ERROR_COL, error)
+
+
+def split_errant(
+    classified: DataFrame, config: SinkConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Tolerance gate: return ``(clean, errant)``.
+
+    ``clean`` has the normalized ``op`` column; ``errant`` keeps the original
+    record plus ``error_info`` (DLQ layout applied downstream, S15/S16).
+    With tolerance=NONE the caller must assert ``errant.isEmpty()`` —
+    see :func:`enforce_tolerance`.
+    """
+    err = F.col(ERROR_COL)
+    clean = (
+        classified.where(err.isNull())
+        .drop(ERROR_COL)
+        .drop("op")
+        .withColumnRenamed("_op", "op")
+    )
+    errant = classified.where(err.isNotNull()).drop("_op")
+    return clean, errant
+
+
+def enforce_tolerance(errant: DataFrame, config: SinkConfig) -> None:
+    if config.tolerance is RuntimeErrorTolerance.NONE:
+        first = errant.select(ERROR_COL).limit(1).collect()
+        if first:
+            raise ToleranceError(
+                f"errant record with tolerance=none: {first[0][ERROR_COL]}"
+            )
+
+
+def dlq_rows(errant: DataFrame) -> DataFrame:
+    """Project errant records to the DLQ layout mirroring
+    ``errors/TableStoreReporter.java:243-270``:
+    ``(topic_partition, offset, key, value, error_info)``."""
+    key_json = F.to_json(F.struct("repo", "path"))
+    payload_cols = [c for c in errant.columns if c not in ("topic", "partition", "offset", ERROR_COL)]
+    return errant.select(
+        F.concat_ws("_", F.col("topic"), F.col("partition")).alias("topic_partition"),
+        F.col("offset"),
+        key_json.cast("binary").alias("key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("value"),
+        F.col(ERROR_COL),
+    )
