@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_tablestore_spark.config import SinkConfig
 from kafka_connect_tablestore_spark.functions.hashing import bucket_of, content_sha256
-from kafka_connect_tablestore_spark.plans.merge import merge_into_state
+from kafka_connect_tablestore_spark.plans.merge import META_COLS, merge_into_state
 from kafka_connect_tablestore_spark.plans.schema_evolution import (
     align_to_schema,
     batch_attr_schema,
@@ -134,10 +134,15 @@ class LakeTable:
         if not bucket_dirs:
             return None
         df = self.spark.read.parquet(*bucket_dirs)
-        return align_to_schema(df, schema, list(self.config.pk_fields))
+        keep = list(self.config.pk_fields) + [c for c in META_COLS if c in df.columns]
+        return align_to_schema(df, schema, keep)
 
-    def read(self) -> DataFrame:
-        """Current table state (pk + attrs + content_sha256)."""
+    def read(self, include_meta: bool = False) -> DataFrame:
+        """Current table state (pk + attrs + content_sha256).
+
+        Retained tombstones (``_deleted``) are filtered out unless
+        ``include_meta`` — they exist so late/reordered full-row events
+        converge, and are compactable after a retention window."""
         snap = self.snapshot()
         dirs = [d for ds in snap["buckets"].values() for d in ds]
         if not dirs:
@@ -150,9 +155,17 @@ class LakeTable:
                 list(self.config.pk_fields),
             ).limit(0)
         df = self.spark.read.parquet(*dirs)
-        return align_to_schema(
-            df, {**snap["schema"], SHA_COL: "string"}, list(self.config.pk_fields)
+        has_meta = "_deleted" in df.columns
+        out = align_to_schema(
+            df,
+            {**snap["schema"], SHA_COL: "string"},
+            list(self.config.pk_fields) + ([*META_COLS] if has_meta else []),
         )
+        if not has_meta:
+            return out
+        if include_meta:
+            return out
+        return out.where(~F.col("_deleted")).drop(*META_COLS)
 
     # --------------------------------------------------------------- merge
     def merge_batch(
@@ -206,14 +219,21 @@ class LakeTable:
         old_buckets: dict[str, list[str]] = snap["buckets"]
         target_dirs = [d for b in touched for d in old_buckets.get(str(b), [])]
         target = self._read_buckets(target_dirs, new_schema)
-        if target is not None:
-            target = target.drop(SHA_COL) if SHA_COL in target.columns else target
+        if target is not None and SHA_COL in target.columns:
+            target = target.drop(SHA_COL)
 
         ev = align_to_schema(
             src, new_schema, pk + ["commit_ts", "offset", "op", "_bucket"]
         )
-        merged = merge_into_state(target, ev.drop("_bucket"), self.config, attr_fields)
-        out = merged.withColumn(SHA_COL, content_sha256("content") if "content" in attr_fields else F.lit(None).cast("string"))
+        merged = merge_into_state(
+            target, ev.drop("_bucket"), self.config, attr_fields, emit_meta=True
+        )
+        sha = (
+            content_sha256("content")
+            if "content" in attr_fields
+            else F.lit(None).cast("string")
+        )
+        out = merged.withColumn(SHA_COL, F.when(~F.col("_deleted"), sha))
         out = out.withColumn("_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets))
 
         # --- copy-on-write: write only touched buckets ----------------------

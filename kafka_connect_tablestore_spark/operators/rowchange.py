@@ -8,7 +8,10 @@ Vectorized re-expression of ``utils/RowChangeTransformer.java``:
 - the decision matrix (``:201-256``): PUT/UPDATE/DELETE vs errant, by
   insert.mode × delete.mode × null shape (full expected matrix ported from
   ``RowChangeTransformerTest.java:106-762`` into
-  ``tests/test_rowchange_matrix.py``);
+  ``tests/test_rowchange_matrix.py``).  Notably, a tombstone that cannot
+  delete (delete.mode ∈ {none, column}) is an *empty-row overwrite* under
+  insert.mode=put (``:209-210``) and a dirty record only under update
+  (``:211-212``);
 - the tolerance gate (``TableStoreSinkWriter.java:226-241``,
   ``enums/RuntimeErrorTolerance.java``): NONE → first error raises;
   ALL → errant rows split to the DLQ.
@@ -79,21 +82,37 @@ def validate_and_classify(
     for c in attr_fields:
         all_null = all_null & F.col(c).isNull()
 
+    row_deletable = config.delete_mode in ROW_DELETE_MODES_
+    col_deletable = config.delete_mode in COL_DELETE_MODES_
+    put_mode = config.insert_mode is InsertMode.PUT
+
+    # Tombstone that cannot delete the row: PUT mode → empty-row overwrite
+    # (RowChangeTransformer.java:209-210); UPDATE mode → dirty record.
+    is_dead_tombstone = (op == F.lit("DELETE")) & F.lit(not row_deletable)
+    op = F.when(is_dead_tombstone & F.lit(put_mode), F.lit("PUT")).otherwise(op)
+
     error = (
         F.when(null_pk, F.lit("NULL_PRIMARY_KEY"))
         .when(
-            (op == F.lit("DELETE")) & F.lit(config.delete_mode not in ROW_DELETE_MODES_),
+            is_dead_tombstone & F.lit(not put_mode),
             F.lit("DELETE_NOT_ALLOWED"),
         )
         .when(
-            (op == F.lit("UPDATE"))
-            & all_null
-            & F.lit(config.delete_mode not in COL_DELETE_MODES_),
+            (op == F.lit("UPDATE")) & all_null & F.lit(not col_deletable),
             F.lit("ALL_COLUMNS_NULL"),
         )
         .otherwise(F.lit(None).cast("string"))
     )
-    return events.withColumn("_op", op).withColumn(ERROR_COL, error)
+    out = events.withColumn("_op", op).withColumn(ERROR_COL, error)
+    # A DELETE downgraded to an empty PUT must present a columnless payload
+    # even if the producer attached one (value==null ⇒ no columns parsed).
+    if put_mode and not row_deletable:
+        downgraded = (F.col("op") == F.lit("DELETE")) if has_op else is_dead_tombstone
+        for c in attr_fields:
+            out = out.withColumn(
+                c, F.when(downgraded, F.lit(None).cast(dict(out.dtypes)[c])).otherwise(F.col(c))
+            )
+    return out
 
 
 def split_errant(

@@ -12,9 +12,11 @@ graft's per-record ``op`` column):
 
 - any null PK field  → errant record (``RowChangeTransformer.java:140-142``)
 - tombstone (op=DELETE, i.e. null value in the reference,
-  ``RowChangeTransformer.java:174-191``):
+  ``RowChangeTransformer.java:174-191``; decision ``:201-214``):
     delete.mode ∈ {row, row_and_column} → delete row
-    otherwise                           → errant (dirty record)
+    else, insert.mode = put             → empty-row overwrite (RowPutChange
+                                          with no columns — "覆盖写")
+    else (insert.mode = update)         → errant (dirty record)
 - op=PUT    → RowPutChange: full-row overwrite (absent columns dropped)
 - op=UPDATE → RowUpdateChange: per-column partial update;
     null column + delete.mode ∈ {column, row_and_column} → delete column
@@ -73,6 +75,9 @@ def replay(
         if op == "DELETE":
             if config.delete_mode in ROW_DELETE_MODES:
                 state.pop(pk, None)
+            elif config.insert_mode is InsertMode.PUT:
+                # RowPutChange with no columns (RowChangeTransformer.java:209-210)
+                state[pk] = {}
             else:
                 errant(ev, "DELETE_NOT_ALLOWED")
             continue

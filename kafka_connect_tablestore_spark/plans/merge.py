@@ -40,6 +40,15 @@ from kafka_connect_tablestore_spark.config import (
 
 ORD_COLS = ("commit_ts", "offset")
 
+#: system metadata columns persisted per lake row: the version (order struct
+#: of the last change applied to the key) and a retained tombstone flag.
+#: Versioned tombstones make PUT/DELETE application order-insensitive across
+#: micro-batches (late or reordered full-row events converge to the same
+#: state — the LWW-register treatment).  Partial UPDATEs keep the reference's
+#: own delivery contract: in-order per key (Kafka per-partition order, one key
+#: per partition — exactly the assumption in ``TableStoreSinkWriter.java:125``).
+META_COLS = ("_deleted", "_ver_ts", "_ver_off")
+
 
 def _ord() -> Column:
     """Total order of events: struct compares lexicographically."""
@@ -50,12 +59,15 @@ def fold_state(
     events: DataFrame,
     config: SinkConfig,
     attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+    emit_meta: bool = False,
 ) -> DataFrame:
     """Fold clean change events into final state, one row per surviving key.
 
     Input columns: ``pk_fields + (commit_ts, offset, op) + attr_fields``;
     ``op ∈ {PUT, UPDATE, DELETE}`` (already validated/normalized upstream).
-    Output: ``pk_fields + attr_fields`` for keys that exist after the fold.
+    Output: ``pk_fields + attr_fields`` for keys that exist after the fold;
+    with ``emit_meta`` every key is emitted (deleted ones flagged) plus the
+    META_COLS version columns, for tombstone-retaining sinks.
     """
     if config.column_whitelist is not None:
         attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
@@ -73,6 +85,8 @@ def fold_state(
     upd_ord = F.max(F.when(is_upd, _ord())).alias("_upd_ord")
 
     aggs = [bar_ord, bar_row, upd_ord]
+    if emit_meta:
+        aggs.append(F.max(_ord()).alias("_all_ord"))
     col_delete = config.delete_mode in COL_DELETE_MODES_
     if col_delete:
         # Last update wins wholesale (null = column delete marker,
@@ -114,7 +128,27 @@ def fold_state(
             out_cols.append(
                 F.when(after(o), F.col(f"_lnn_{c}")).otherwise(base(c)).alias(c)
             )
-    return g.where(exists).select(*out_cols)
+    if not emit_meta:
+        return g.where(exists).select(*out_cols)
+    # emit_meta: every key survives; deleted rows keep null attributes and a
+    # tombstone flag + version (order-insensitive PUT/DELETE convergence).
+    out_cols = [F.col(c) for c in pk]
+    if col_delete:
+        upd_after = after(F.col("_upd_ord"))
+        for c in attr_fields:
+            v = F.when(upd_after, F.col(f"_last_upd.{c}")).otherwise(base(c))
+            out_cols.append(F.when(exists, v).alias(c))
+    else:
+        for c in attr_fields:
+            o = F.col(f"_lnn_ord_{c}")
+            v = F.when(after(o), F.col(f"_lnn_{c}")).otherwise(base(c))
+            out_cols.append(F.when(exists, v).alias(c))
+    out_cols += [
+        (~exists).alias("_deleted"),
+        F.col("_all_ord.commit_ts").alias("_ver_ts"),
+        F.col("_all_ord.offset").alias("_ver_off"),
+    ]
+    return g.select(*out_cols)
 
 
 def merge_into_state(
@@ -122,25 +156,39 @@ def merge_into_state(
     events: DataFrame,
     config: SinkConfig,
     attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+    emit_meta: bool = False,
 ) -> DataFrame:
     """MERGE a batch of clean events into existing ``target`` state.
 
-    The existing row is a virtual PUT at order (-1, -1): strictly before every
-    real event (real offsets/timestamps are >= 0), so the same fold implements
-    WHEN MATCHED UPDATE / DELETE and WHEN NOT MATCHED INSERT in one pass
-    (maps the reference's overwrite-by-PK idempotency, SURVEY §2 S11/S19).
+    The existing row re-enters the fold as a virtual event: a PUT (or a
+    DELETE, for a retained tombstone) at its stored version — or at order
+    (-1, -1) when the target carries no version columns (strictly before
+    every real event).  The same fold therefore implements WHEN MATCHED
+    UPDATE / DELETE and WHEN NOT MATCHED INSERT in one pass (the reference's
+    overwrite-by-PK idempotency, SURVEY §2 S11/S19), and stored versions make
+    redelivered/reordered full-row events converge.
     """
     if config.column_whitelist is not None:
         attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
     pk = list(config.pk_fields)
     ev = events.select(*pk, *ORD_COLS, "op", *attr_fields)
     if target is None:
-        return fold_state(ev, config, attr_fields)
-    virt = target.select(
-        *pk,
-        F.lit(-1).cast("long").alias("commit_ts"),
-        F.lit(-1).cast("long").alias("offset"),
-        F.lit("PUT").alias("op"),
-        *[F.col(c) for c in attr_fields],
-    )
-    return fold_state(virt.unionByName(ev), config, attr_fields)
+        return fold_state(ev, config, attr_fields, emit_meta)
+    has_meta = all(c in target.columns for c in META_COLS)
+    if has_meta:
+        virt = target.select(
+            *pk,
+            F.col("_ver_ts").alias("commit_ts"),
+            F.col("_ver_off").alias("offset"),
+            F.when(F.col("_deleted"), F.lit("DELETE")).otherwise(F.lit("PUT")).alias("op"),
+            *[F.col(c) for c in attr_fields],
+        )
+    else:
+        virt = target.select(
+            *pk,
+            F.lit(-1).cast("long").alias("commit_ts"),
+            F.lit(-1).cast("long").alias("offset"),
+            F.lit("PUT").alias("op"),
+            *[F.col(c) for c in attr_fields],
+        )
+    return fold_state(virt.unionByName(ev), config, attr_fields, emit_meta)
