@@ -1,0 +1,90 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+tokenization, shingling, quality scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (JVM-side, codegen'd — no Python in the hot
+path), with canonical formulas chosen to be expressible 1:1 in ANSI SQL so
+every operator has a DuckDB oracle:
+
+- words(text)       = split(trim(lower(text)), '\\s+')
+- shingle_k(text)   = k-grams of words joined by single spaces
+- h(s, seed)        = int64(md5(seed || '|' || s)[0:15] as hex)  — the shared
+                      deterministic hash family across engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny stopword lists per language for the n-gram/stopword language-ID
+#: heuristic (deterministic, dependency-free)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "value", "table", "row"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+}
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def hash64(col: Column, seed: str) -> Column:
+    """Shared Spark/DuckDB 60-bit hash: md5 hex prefix as int64.
+    DuckDB twin: ``('0x' || substr(md5('<seed>|' || s), 1, 15))::bigint``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles (1-based), empty array when fewer than k words.
+    DuckDB twin: ``list_transform(generate_series(1, len(w)-k+1), i -> ...)``
+    (generate_series is naturally empty when len < k; Spark's sequence would
+    run descending, hence the explicit guard)."""
+    w = words(col)
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(k)]
+    )
+    return F.when(F.size(w) >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (a BPE-ish subword estimate is chars/4;
+    both emitted by the text-quality operator)."""
+    return F.size(words(col))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of alphanumeric characters (quality signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    alnum = F.length(F.regexp_replace(c, r"[^a-zA-Z0-9]", ""))
+    return alnum.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language — argmax is the language-ID."""
+    w = words(col)
+    out = {}
+    for lang, sws in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in sws])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return out
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Whitespace-normalized content fingerprint (md5 of canonical form) —
+    the document-level analogue of the per-row sha256 invariant."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))

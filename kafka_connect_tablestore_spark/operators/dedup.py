@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each scale-shaped for 100 TB:
+
+- **exact**: hash-groupBy on a content fingerprint.  One shuffle on the
+  fingerprint; map-side partial aggregation collapses duplicates early.
+- **MinHash + LSH**: shingle → minhash signature (per-row, no shuffle) →
+  band → bucket-join (shuffle only on band keys, never all-pairs).  The
+  classic near-dup pipeline (Broder '97); candidate pairs are verified with
+  exact n-gram Jaccard.
+- **SimHash**: 32-bit sign-hash of word hashes (Charikar '02) — per-row,
+  embarrassingly parallel; near-dups share simhash values / low Hamming
+  distance.
+- **n-gram Jaccard**: exact verification on candidate pairs only.
+
+All hash math uses the shared md5-based ``hash64`` family so every operator
+has a bit-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.functions.text import (
+    doc_fingerprint,
+    hash64,
+    shingles,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-content fingerprint: one surviving row per
+    distinct content (min id wins), with the duplicate-group size."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_id", "group_size", "fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: h_j = min over shingles of hash64(s, 'mh<j>').
+
+    Pure per-row expressions — zero shuffle; at 100 TB this is a map-only
+    stage fused into the scan by whole-stage codegen."""
+    sh = shingles(text_col, k)
+    cols = [F.col(id_col)]
+
+    def hasher(j: int):
+        # single-arg lambda: F.transform treats a 2-arg lambda as
+        # (element, index) — a default-arg closure would capture the index!
+        return lambda s: hash64(s, f"mh{j}")
+
+    for j in range(n_hashes):
+        cols.append(F.array_min(F.transform(sh, hasher(j))).alias(f"h{j}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band value become a candidate
+    pair, scored by the number of matching minhashes (est. Jaccard ≈ n/8).
+
+    Scale shape: the only shuffle is the self-join on (band_idx, band_key) —
+    bucket sizes are bounded by collision rate, never O(N²).  A hot bucket
+    (e.g. boilerplate docs) can be capped with a per-bucket limit upstream.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes).where(
+        F.col("h0").isNotNull()
+    )
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"h{b * r + i}") for i in range(r)])
+        band_rows.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"),
+                *[F.col(f"h{j}") for j in range(n_hashes)],
+            )
+        )
+    banded = band_rows[0]
+    for x in band_rows[1:]:
+        banded = banded.unionByName(x)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            sum(
+                F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+                for j in range(n_hashes)
+            ).alias("n_match"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash: bit b set iff sum over words of ±1 (sign of word-hash
+    bit b) is positive.  Per-row expression tree — map-only at scale."""
+    from kafka_connect_tablestore_spark.functions.text import words
+
+    w = words(text_col)
+    hashed = F.transform(w, lambda x: hash64(x, "sh"))
+    total = F.lit(0).cast("long")
+
+    def bit_folder(b: int):
+        # exact bit extraction (shiftright, not double division — a double
+        # mantissa cannot hold the 60-bit hash); DuckDB twin: (h >> b) & 1.
+        # Two-arg lambda exactly (acc, h): extra default args change the
+        # higher-order function's perceived arity.
+        def fold(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fold
+
+    for b in range(bits):
+        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), bit_folder(b))
+        total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), total.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidate pairs (verify stage of the
+    near-dup pipeline): jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct
+    k-shingle sets.  Only candidates are verified — the exact step never
+    sees the full N² space."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands).select(
+        "doc_a", "doc_b"
+    )
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
+    )
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out

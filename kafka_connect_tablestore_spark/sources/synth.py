@@ -154,7 +154,11 @@ def changelog_from_events(spark_df: DataFrame, *, n_partitions: int = 8) -> Data
         F.lit("repos").alias("topic"),
         F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
-        F.unix_millis(F.col("ts")).alias("commit_ts"),
+        # tz-free millis: parquet timestamps load as TIMESTAMP_NTZ in Spark 4
+        # and must match DuckDB's epoch_ms regardless of session timezone
+        F.expr(
+            "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+        ).alias("commit_ts"),
         F.when(F.col("event_type") == "error", F.lit("DELETE"))
         .when(F.col("event_type").isin("view", "click"), F.lit("UPDATE"))
         .otherwise(F.lit("PUT"))
@@ -180,15 +184,15 @@ def changelog_from_events(spark_df: DataFrame, *, n_partitions: int = 8) -> Data
 CHANGELOG_FROM_EVENTS_SQL = """
 SELECT
   'repos' AS topic,
-  CAST(user_id % 8 AS INT) AS partition,
-  event_id AS offset,
+  CAST(user_id % 8 AS INT) AS "partition",
+  event_id AS "offset",
   epoch_ms(ts) AS commit_ts,
   CASE WHEN event_type = 'error' THEN 'DELETE'
        WHEN event_type IN ('view','click') THEN 'UPDATE'
        ELSE 'PUT' END AS op,
   'repo_' || CAST(user_id % 40 AS VARCHAR) AS repo,
   'src/f' || CAST(event_id % 25 AS VARCHAR) || '.py' AS path,
-  CASE WHEN event_type = 'error' THEN NULL ELSE md5(CAST(event_id AS VARCHAR)) END AS commit,
+  CASE WHEN event_type = 'error' THEN NULL ELSE md5(CAST(event_id AS VARCHAR)) END AS "commit",
   CASE WHEN event_type = 'error' THEN NULL
        WHEN event_type = 'view' THEN NULL
        ELSE ['py','java','go'][CAST(user_id % 3 AS INT) + 1] END AS lang,
