@@ -336,8 +336,17 @@ _BANDS_SQL = " UNION ALL ".join(
     for b in range(4)
 )
 
+from kafka_connect_tablestore_spark.operators.dedup import (  # noqa: E402
+    MINHASH_P,
+    minhash_perm_coeffs,
+)
+
+_BASE_HS = f"list_transform({SHINGLES}, s -> {H('s', 'mh')} % {MINHASH_P})"
 _SIG_SQL = "SELECT doc_id, " + ", ".join(
-    f"list_min(list_transform({SHINGLES}, s -> {H('s', f'mh{j}')})) AS h{j}"
+    "list_min(list_transform({hs}, h -> (h * {a} + {b}) % {p})) AS h{j}".format(
+        hs=_BASE_HS, a=minhash_perm_coeffs(j)[0], b=minhash_perm_coeffs(j)[1],
+        p=MINHASH_P, j=j,
+    )
     for j in range(8)
 ) + " FROM documents"
 

@@ -111,6 +111,12 @@ class SinkConfig:
     n_buckets: int = 32
     salt_buckets: int = 8          # hot-key salting fan-out for two-phase LWW
     auto_create: bool = True       # CREATE TABLE IF NOT EXISTS semantics (S17)
+    # Lineage granularity: per-source-partition offset ranges need one extra
+    # aggregation pass over the batch; with False, global lineage is observed
+    # as a side-effect of the merge job itself (df.observe — zero extra
+    # scans, the high-throughput setting) and all buckets are treated as
+    # touched (uniform batches touch them all anyway).
+    lineage_per_partition: bool = True
 
     def __post_init__(self) -> None:
         if not (1 <= len(self.pk_fields) <= 4):

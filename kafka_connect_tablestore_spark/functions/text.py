@@ -38,12 +38,17 @@ def hash64(col: Column, seed: str) -> Column:
     ).cast("long")
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles (1-based), empty array when fewer than k words.
+def shingles_from_words(w: Column, k: int = 3) -> Column:
+    """k-word shingles (1-based) from a *materialized* word-array column,
+    empty array when fewer than k words.
     DuckDB twin: ``list_transform(generate_series(1, len(w)-k+1), i -> ...)``
     (generate_series is naturally empty when len < k; Spark's sequence would
-    run descending, hence the explicit guard)."""
-    w = words(col)
+    run descending, hence the explicit guard).
+
+    Take a pre-projected column, not an inline ``words(text)`` expression:
+    the lambda references the array k+1 times per element, and Catalyst
+    re-evaluates inline subexpressions inside higher-order functions — an
+    inline split would run once per shingle instead of once per row."""
     idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(w, i + j) for j in range(k)]
@@ -51,6 +56,12 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(F.size(w) >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Convenience composition — prefer the two-stage
+    ``select(words(...)) → shingles_from_words`` in hot paths (see above)."""
+    return shingles_from_words(words(col), k)
 
 
 def token_count(col: Column | str) -> Column:

@@ -172,11 +172,16 @@ class LakeTable:
         self,
         clean_events: DataFrame,
         batch_id: str,
+        lineage: dict | None = None,
+        touched: list[int] | None = None,
     ) -> dict:
         """MERGE one micro-batch of clean events. Idempotent by batch_id.
 
         Returns the batch manifest entry (also persisted in the snapshot):
         per-source-partition offset ranges + row counts (lineage/metrics).
+        ``lineage``/``touched`` can be precomputed by the caller in a single
+        combined stats pass (see ``CdcEngine.apply_batch``) — at 10^10 events
+        every extra scan of the batch matters.
         """
         self.create_if_absent()
         snap = self.snapshot()
@@ -190,32 +195,31 @@ class LakeTable:
         pk = list(self.config.pk_fields)
         attr_fields = tuple(new_schema.keys())
 
-        # --- lineage: per-partition offset ranges + counts (small collect) -
-        lineage_rows = (
-            clean_events.groupBy("partition")
-            .agg(
-                F.min("offset").alias("start_offset"),
-                F.max("offset").alias("end_offset"),
-                F.count(F.lit(1)).alias("rows"),
-            )
-            .collect()
-        )
-        lineage = {
-            str(r["partition"]): {
-                "start_offset": r["start_offset"],
-                "end_offset": r["end_offset"],
-                "rows": r["rows"],
-            }
-            for r in lineage_rows
-        }
-
-        # --- touched buckets (config-bounded collect) -----------------------
         src = clean_events.withColumn(
             "_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets)
         )
-        touched = sorted(
-            r["_bucket"] for r in src.select("_bucket").distinct().collect()
-        )
+        if lineage is None or touched is None:
+            # one combined stats pass: per-partition offset ranges + row
+            # counts + the touched-bucket set (config-bounded collect)
+            stats = (
+                src.groupBy("partition")
+                .agg(
+                    F.min("offset").alias("start_offset"),
+                    F.max("offset").alias("end_offset"),
+                    F.count(F.lit(1)).alias("rows"),
+                    F.collect_set("_bucket").alias("buckets"),
+                )
+                .collect()
+            )
+            lineage = {
+                str(r["partition"]): {
+                    "start_offset": r["start_offset"],
+                    "end_offset": r["end_offset"],
+                    "rows": r["rows"],
+                }
+                for r in stats
+            }
+            touched = sorted({b for r in stats for b in r["buckets"]})
         old_buckets: dict[str, list[str]] = snap["buckets"]
         target_dirs = [d for b in touched for d in old_buckets.get(str(b), [])]
         target = self._read_buckets(target_dirs, new_schema)
@@ -273,6 +277,21 @@ class LakeTable:
         }
         self._commit(meta)
         return {**manifest, "skipped": False}
+
+    def amend_lineage(self, batch_id: str, lineage: dict) -> None:
+        """Attach post-hoc lineage metrics (from ``Dataset.observe``) to an
+        already-committed batch as a sidecar — the snapshot itself stays
+        immutable."""
+        d = os.path.join(self.dir, "lineage")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"{batch_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.rename(tmp, os.path.join(d, f"{batch_id}.json"))
+
+    def read_lineage(self, batch_id: str) -> dict | None:
+        p = os.path.join(self.dir, "lineage", f"{batch_id}.json")
+        return json.load(open(p)) if os.path.exists(p) else None
 
     # ----------------------------------------------------------------- dlq
     def append_dlq(self, dlq_df: DataFrame, batch_id: str) -> None:

@@ -25,8 +25,17 @@ from pyspark.sql import functions as F
 from kafka_connect_tablestore_spark.functions.text import (
     doc_fingerprint,
     hash64,
-    shingles,
+    shingles_from_words,
+    words,
 )
+
+#: MinHash permutation domain (prime) and coefficient schedule — shared with
+#: the DuckDB oracle in __spark_entry__.py.
+MINHASH_P = 1_000_000_007
+
+
+def minhash_perm_coeffs(j: int) -> tuple[int, int]:
+    return 2 * j + 3, 97 * j + 1
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,17 +63,33 @@ def minhash_signatures(
 
     Pure per-row expressions — zero shuffle; at 100 TB this is a map-only
     stage fused into the scan by whole-stage codegen."""
-    sh = shingles(text_col, k)
+    # One md5 per shingle, then n_hashes affine permutations mod a prime
+    # (classic single-hash MinHash): 8x fewer md5 calls than hashing per
+    # seed.  (h % P) <= 1e9 and a_j <= ~800, so products stay far below
+    # int64 overflow — DuckDB raises on BIGINT overflow, so this bound is a
+    # correctness requirement for the oracle, not just a nicety.
+    #
+    # The base-hash array is materialized in its own projection:
+    # CollapseProject keeps non-cheap multi-referenced expressions
+    # un-inlined, so the split/shingle/md5 work happens once per row instead
+    # of once per hash column (measured 6x on the signature stage).
+    wdf = df.select(F.col(id_col), words(text_col).alias("_w"))
+    shdf = wdf.select(
+        F.col(id_col), shingles_from_words(F.col("_w"), k).alias("_sh")
+    )
+    base = F.transform(F.col("_sh"), lambda s: hash64(s, "mh") % MINHASH_P)
+    tmp = shdf.select(F.col(id_col), base.alias("_hs"))
     cols = [F.col(id_col)]
 
-    def hasher(j: int):
+    def perm(j: int):
         # single-arg lambda: F.transform treats a 2-arg lambda as
         # (element, index) — a default-arg closure would capture the index!
-        return lambda s: hash64(s, f"mh{j}")
+        a, b = minhash_perm_coeffs(j)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
     for j in range(n_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(j))).alias(f"h{j}"))
-    return df.select(*cols)
+        cols.append(F.array_min(F.transform(F.col("_hs"), perm(j))).alias(f"h{j}"))
+    return tmp.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -86,6 +111,11 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, n_hashes).where(
         F.col("h0").isNotNull()
     )
+    # persist the signatures: they are referenced by 4 band branches × 2 join
+    # sides, and CollapseProject would otherwise re-inline (= recompute) the
+    # shingle/md5 work 8×.  At 100 TB this is the standard LSH shape too —
+    # signatures are ~64 bytes/doc, tiny next to the corpus.
+    sig = sig.persist()
     band_rows = []
     for b in range(bands):
         key = F.concat_ws("_", *[F.col(f"h{b * r + i}") for i in range(r)])
@@ -124,10 +154,12 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash: bit b set iff sum over words of ±1 (sign of word-hash
     bit b) is positive.  Per-row expression tree — map-only at scale."""
-    from kafka_connect_tablestore_spark.functions.text import words
-
-    w = words(text_col)
-    hashed = F.transform(w, lambda x: hash64(x, "sh"))
+    # materialize the hashed-word array once (see minhash_signatures note)
+    df = df.select(
+        F.col(id_col),
+        F.transform(words(text_col), lambda x: hash64(x, "sh")).alias("_hw"),
+    )
+    hashed = F.col("_hw")
     total = F.lit(0).cast("long")
 
     def bit_folder(b: int):
@@ -164,8 +196,9 @@ def ngram_jaccard_pairs(
     cand = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands).select(
         "doc_a", "doc_b"
     )
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, k)).alias("sh")
+    sh = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("sh"),
     )
     out = (
         cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
