@@ -177,6 +177,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return project_attributes(_log(spark, sf), cfg)
 
     # ---- training-data pipeline operators ---------------------------------
+    def cdc_timeseries_transform(spark, sf):  # S18
+        from kafka_connect_tablestore_spark.operators.timeseries import (
+            TimeseriesConfig,
+            timeseries_transform,
+        )
+
+        e = _events(spark, sf).select(
+            "event_id", "event_type", "user_id", "value",
+            F.expr(
+                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            ).alias("t_ms"),
+        )
+        cfg = TimeseriesConfig(
+            measurement_field="event_type",
+            datasource_field="user_id",
+            tag_fields=("event_type",),
+            time_field="t_ms",
+            time_unit="ms",
+            field_cols=("value", "event_id"),
+        )
+        out = timeseries_transform(e, cfg)
+        return out.select(
+            "_measurement", "_datasource", "_tags_str", "_time_us", "value", "event_id"
+        )
+
     def pipe_dedup_exact(spark, sf):
         return dedup_exact(_docs(spark, sf))
 
@@ -254,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_dlq_split=cdc_dlq_split,
         cdc_type_cast=cdc_type_cast,
         cdc_projection_whitelist=cdc_projection_whitelist,
+        cdc_timeseries_transform=cdc_timeseries_transform,
         pipe_dedup_exact=pipe_dedup_exact,
         pipe_minhash_signatures=pipe_minhash_signatures,
         pipe_lsh_pairs=pipe_lsh_pairs,
@@ -452,6 +478,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_projection_whitelist": (
             f'WITH {LOG} SELECT topic, "partition", "offset", commit_ts, op, '
             "repo, path, lang, content FROM log"
+        ),
+        "cdc_timeseries_transform": (
+            "SELECT event_type AS _measurement, "
+            "CAST(user_id AS VARCHAR) AS _datasource, "
+            "'event_type=' || event_type AS _tags_str, "
+            "epoch_ms(ts) * 1000 AS _time_us, "
+            "value, event_id FROM events"
         ),
         "pipe_dedup_exact": (
             f"SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size, "

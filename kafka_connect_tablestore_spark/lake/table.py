@@ -278,6 +278,65 @@ class LakeTable:
         self._commit(meta)
         return {**manifest, "skipped": False}
 
+    # ------------------------------------------------------------ compaction
+    def compact(self, tombstone_watermark_ts: int | None = None) -> dict:
+        """Rewrite every bucket into a single fresh snapshot: merges the
+        per-batch file fragments (a long-running ingest accretes one file
+        per touched bucket per batch) and drops tombstones whose version is
+        older than ``tombstone_watermark_ts`` (safe once no event older than
+        the watermark can still arrive — the same reasoning as a streaming
+        watermark).  Metadata-only readers are unaffected: the snapshot swap
+        is atomic and old snapshots remain readable until GC'd."""
+        snap = self.snapshot()
+        df = self.read(include_meta=True)
+        if tombstone_watermark_ts is not None:
+            df = df.where(
+                ~F.col("_deleted") | (F.col("_ver_ts") >= F.lit(tombstone_watermark_ts))
+            )
+        out = df.withColumn(
+            "_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets)
+        )
+        version = snap["version"] + 1
+        snap_dir = os.path.join(self.dir, "data", f"snap{version:06d}")
+        (
+            out.repartition(self.config.n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        buckets = {
+            d.split("=")[1]: [os.path.join(snap_dir, d)]
+            for d in os.listdir(snap_dir)
+            if d.startswith("_bucket=")
+        }
+        meta = {
+            "version": version,
+            "schema": snap["schema"],
+            "buckets": buckets,
+            "batches": snap["batches"],
+            "parent": snap["version"],
+            "compacted": True,
+        }
+        self._commit(meta)
+        return {"version": version, "n_buckets": len(buckets)}
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories not referenced by the current snapshot
+        (crash orphans + superseded bucket files).  Run after ``compact``."""
+        import shutil
+
+        snap = self.snapshot()
+        live = {os.path.normpath(d) for ds in snap["buckets"].values() for d in ds}
+        data = os.path.join(self.dir, "data")
+        removed = []
+        for sd in sorted(os.listdir(data)):
+            p = os.path.join(data, sd)
+            keep = any(os.path.normpath(d).startswith(os.path.normpath(p)) for d in live)
+            if not keep:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed
+
     def amend_lineage(self, batch_id: str, lineage: dict) -> None:
         """Attach post-hoc lineage metrics (from ``Dataset.observe``) to an
         already-committed batch as a sidecar — the snapshot itself stays

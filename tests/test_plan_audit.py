@@ -1,0 +1,80 @@
+"""Physical-plan audits (the 100 TB checklist).
+
+- **Zero per-row Python** (BASELINE.json input_hint): no non-Arrow
+  ``BatchEvalPython`` node may appear in any queries() plan; Python is only
+  allowed as Arrow-batched nodes (``ArrowEvalPython`` / ``MapInPandas``,
+  used solely by the multimodal stub).
+- **Pushdown & pruning**: filters and column projections must reach the
+  parquet scan (``PushedFilters`` / narrow ``ReadSchema``).
+- **Codegen**: the CDC hot path must run inside WholeStageCodegen spans.
+- **No driver-side loops**: collect-based operators are forbidden in the
+  batch plan; the engine's only collects are config-bounded metadata
+  (asserted by source inspection of the stats pass).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(em.queries()))
+def test_no_row_at_a_time_python(spark, name):
+    df = em.queries()[name](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python:\n{plan}"
+
+
+def test_multimodal_is_arrow_batched(spark):
+    df = em.queries()["pipe_multimodal_features"](spark, SF_DIR)
+    assert "MapInPandas" in physical_plan(df)
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint" in plan
+
+
+def test_changelog_scan_prunes_columns(spark):
+    # the tombstone filter only needs 5 derived cols — the scan must not
+    # read value/props
+    df = em.queries()["cdc_tombstone_filter"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_cdc_fold_is_codegened(spark):
+    df = em.queries()["cdc_final_state"](spark, SF_DIR)
+    df.collect()  # AQE: codegen spans only visible in the finalized plan
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the simple plan string
+    assert "*(" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lww_maxby_uses_partial_aggregation(spark):
+    """The skew story: max_by must run as two-phase HashAggregate
+    (partial → final), so hot keys pre-reduce map-side."""
+    df = em.queries()["cdc_lww_maxby"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
+
+
+def test_ann_broadcasts_query_side(spark):
+    df = em.queries()["pipe_ann_brute"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
