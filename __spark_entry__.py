@@ -186,7 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _events(spark, sf).select(
             "event_id", "event_type", "user_id", "value",
             F.expr(
-                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+                "cast(ts as timestamp_ntz))"
             ).alias("t_ms"),
         )
         cfg = TimeseriesConfig(
@@ -255,6 +256,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_embedding_neardup(spark, sf):
         return embedding_neardup_pairs(_emb(spark, sf), threshold=0.9)
 
+    def pipe_clean_corpus(spark, sf):
+        """Composed training-data pipeline: exact-dedup survivors that pass
+        quality gates (length + alphanumeric ratio) in the target language —
+        the end-to-end shape of a corpus-cleaning job."""
+        d = _docs(spark, sf)
+        survivors = dedup_exact(d).select(F.col("keep_id").alias("doc_id"))
+        s = lang_scores("text")
+        en = (s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+        scored = d.select(
+            "doc_id",
+            token_count("text").cast("long").alias("n_tokens"),
+            F.round(alpha_ratio("text"), 4).alias("alpha_ratio"),
+            en.alias("is_en"),
+        )
+        return (
+            survivors.join(scored, "doc_id")
+            .where((F.col("n_tokens") >= 10) & (F.col("alpha_ratio") >= 0.5) & F.col("is_en"))
+            .select("doc_id", "n_tokens", "alpha_ratio")
+        )
+
     def pipe_multimodal_features(spark, sf):  # mapInPandas plumbing (no SQL)
         d = _docs(spark, sf).select(
             F.col("doc_id").alias("media_id"),
@@ -291,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_ann_brute=pipe_ann_brute,
         pipe_ann_lsh=pipe_ann_lsh,
         pipe_embedding_neardup=pipe_embedding_neardup,
+        pipe_clean_corpus=pipe_clean_corpus,
         pipe_multimodal_features=pipe_multimodal_features,
     )
     return q
@@ -510,6 +532,17 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'fr' END AS lang_guess FROM documents"
         ),
         "pipe_fingerprint": f"SELECT doc_id, {FP} AS fp FROM documents",
+        "pipe_clean_corpus": (
+            f"WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {FP}), "
+            "scored AS (SELECT doc_id, "
+            f"CAST(len({W}) AS BIGINT) AS n_tokens, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE "
+            "/ greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio, "
+            f"({_LANG_CASES['en']} >= {_LANG_CASES['de']} AND {_LANG_CASES['en']} >= {_LANG_CASES['fr']}) AS is_en "
+            "FROM documents) "
+            "SELECT s.doc_id, n_tokens, alpha_ratio FROM survivors s JOIN scored USING (doc_id) "
+            "WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND is_en"
+        ),
         "pipe_ann_brute": _ANN_BRUTE_SQL,
         # pipe_ann_lsh, pipe_embedding_neardup, pipe_multimodal_features:
         # non-SQL-expressible (hyperplane buckets / mapInPandas) → rows-only.

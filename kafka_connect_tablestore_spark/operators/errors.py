@@ -1,0 +1,55 @@
+"""Dead-letter queue round-trip (SURVEY §2 S15/S16).
+
+The reference serializes errant records (original key/value JSON + an
+ErrorInfo header) to a Kafka topic (``errors/KafkaReporter.java:61-112``) or
+a Tablestore table with PK ``(topic_partition, offset)`` and attrs
+``key:binary, value:binary, error_info:string``
+(``errors/TableStoreReporter.java:243-270``) — crucially, the ORIGINAL
+payload is preserved so operators can fix and replay.
+
+``dlq_rows`` (in operators.rowchange) writes that layout; this module closes
+the loop: ``reparse_dlq`` reconstructs replayable change events from a DLQ
+table, so a corrected config (e.g. delete.mode widened, whitelist fixed) can
+re-apply them — the Spark analogue of replaying a dead-letter topic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DLQ_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def reparse_dlq(dlq: DataFrame) -> DataFrame:
+    """DLQ rows → replayable change events.
+
+    ``topic_partition`` splits back into (topic, partition) — the reference
+    builds it as ``"<topic>_<partition>"`` (``TableStoreReporter.java:246``);
+    the JSON-serialized original payload is re-parsed with an explicit schema
+    (codegen'd ``from_json``, no Python)."""
+    v = F.from_json(F.col("value").cast("string"), DLQ_VALUE_SCHEMA)
+    tp = F.col("topic_partition")
+    return dlq.select(
+        F.regexp_extract(tp, r"^(.*)_(\d+)$", 1).alias("topic"),
+        F.regexp_extract(tp, r"^(.*)_(\d+)$", 2).cast("int").alias("partition"),
+        F.col("offset"),
+        v.getField("commit_ts").alias("commit_ts"),
+        v.getField("op").alias("op"),
+        v.getField("repo").alias("repo"),
+        v.getField("path").alias("path"),
+        v.getField("commit").alias("commit"),
+        v.getField("lang").alias("lang"),
+        v.getField("content").alias("content"),
+    )

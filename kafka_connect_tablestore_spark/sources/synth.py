@@ -155,9 +155,12 @@ def changelog_from_events(spark_df: DataFrame, *, n_partitions: int = 8) -> Data
         F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
         # tz-free millis: parquet timestamps load as TIMESTAMP_NTZ in Spark 4
-        # and must match DuckDB's epoch_ms regardless of session timezone
+        # and must match DuckDB's epoch_ms regardless of session timezone;
+        # the explicit cast keeps this correct even if the driver session
+        # disables NTZ inference
         F.expr(
-            "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            "cast(ts as timestamp_ntz))"
         ).alias("commit_ts"),
         F.when(F.col("event_type") == "error", F.lit("DELETE"))
         .when(F.col("event_type").isin("view", "click"), F.lit("UPDATE"))
