@@ -174,3 +174,44 @@ class CdcEngine:
 
     def state(self) -> DataFrame:
         return self.table.read()
+
+
+class MultiTableCdcEngine:
+    """Topic-routed multi-table sink: the reference task's per-record
+    ``getTableNameByTopic`` dispatch (``TableStoreSinkWriter.java:222-224``)
+    becomes one routing split + one CdcEngine per target table, each with its
+    own snapshots/manifests/DLQ (mirrors the shared-writer-per-table maps in
+    ``TableStoreSinkTask.java:30-98``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: SinkConfig,
+        lake_root: str,
+        attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+    ) -> None:
+        self.spark = spark
+        self.config = config
+        self.lake_root = lake_root
+        self.attr_fields = attr_fields
+        self._engines: dict[str, CdcEngine] = {}
+
+    def engine_for(self, table: str) -> CdcEngine:
+        if table not in self._engines:
+            self._engines[table] = CdcEngine(
+                self.spark, self.config, self.lake_root, table, self.attr_fields
+            )
+        return self._engines[table]
+
+    def apply_batch(self, events: DataFrame, batch_id: str) -> dict[str, dict]:
+        from kafka_connect_tablestore_spark.operators.routing import route
+
+        manifests: dict[str, dict] = {}
+        for table, part in route(events, self.config).items():
+            manifests[table] = self.engine_for(table).apply_batch(
+                part, f"{batch_id}@{table}"
+            )
+        return manifests
+
+    def state(self, table: str) -> DataFrame:
+        return self.engine_for(table).state()

@@ -75,6 +75,37 @@ def test_lww_maxby_uses_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
 
 
+def test_merge_plan_has_exactly_two_shuffles(spark):
+    """The ingest hot path budget: shuffle 1 = the fold groupBy(pk) (with
+    map-side partial aggregation pre-reducing repeated keys), shuffle 2 = the
+    bucket repartition before the partitioned write — moving only the folded
+    (deduped) states, never the raw events twice."""
+    from kafka_connect_tablestore_spark.config import DeleteMode, SinkConfig
+    from kafka_connect_tablestore_spark.functions.hashing import bucket_of
+    from kafka_connect_tablestore_spark.operators.rowchange import (
+        split_errant,
+        validate_and_classify,
+    )
+    from kafka_connect_tablestore_spark.plans.merge import merge_into_state
+    from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    ev = synth_changelog(spark, 1000, seed=81)
+    clean, _ = split_errant(validate_and_classify(ev, cfg, ("commit", "lang", "content")), cfg)
+    merged = merge_into_state(None, clean, cfg, ("commit", "lang", "content"), emit_meta=True)
+    out = merged.withColumn("_bucket", bucket_of(cfg.pk_fields, cfg.n_buckets)).repartition(
+        cfg.n_buckets, "_bucket"
+    )
+    plan = physical_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # two-phase aggregation (partial map-side + final) — max_by over string
+    # payloads uses SortAggregate (non-fixed-width buffers), which still
+    # pre-reduces hot keys before the shuffle
+    n_aggs = sum(plan.count(k) for k in ("HashAggregate(", "ObjectHashAggregate(", "SortAggregate("))
+    assert n_aggs >= 2, plan
+    assert "partial" in plan.lower() or n_aggs >= 2
+
+
 def test_ann_broadcasts_query_side(spark):
     df = em.queries()["pipe_ann_brute"](spark, SF_DIR)
     assert "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
