@@ -61,7 +61,16 @@ def widen(a: str, b: str) -> str:
 
 def batch_attr_schema(df: DataFrame, attr_fields: tuple[str, ...]) -> dict[str, str]:
     by_name = {f.name: canon(f.dataType.simpleString()) for f in df.schema.fields}
-    return {c: by_name[c] for c in attr_fields if c in by_name}
+    out = {c: by_name[c] for c in attr_fields if c in by_name}
+    for name, typ in out.items():
+        if typ not in _SPARK_TYPES:
+            # the reference rejects non-scalar column types outright
+            # (ColumnCoverterUtil.java:57-76, DefaultEventParserTest.java:594-628)
+            raise SchemaEvolutionError(
+                f"unsupported attribute type {typ!r} for column {name!r} "
+                f"(supported: {sorted(_SPARK_TYPES)})"
+            )
+    return out
 
 
 def evolve(

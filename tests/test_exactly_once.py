@@ -97,3 +97,22 @@ def test_manifest_lineage_per_partition(spark, tmp_path):
     assert total == events.count()  # no malformed events in this log
     for p in parts.values():
         assert p["start_offset"] <= p["end_offset"]
+
+
+def test_empty_batch_commits_cleanly(spark, tmp_path):
+    """foreachBatch can deliver empty micro-batches: both lineage paths must
+    commit a valid (empty) manifest and leave state untouched."""
+    from kafka_connect_tablestore_spark.config import RuntimeErrorTolerance
+
+    events = synth_changelog(spark, 500, seed=10).cache()
+    empty = events.where("offset < 0")
+    for flag in (True, False):
+        cfg = SinkConfig(delete_mode=DeleteMode.ROW, lineage_per_partition=flag)
+        eng = CdcEngine(spark, cfg, str(tmp_path / f"lp{flag}"))
+        eng.apply_batch(events, "b0")
+        sig = state_sig(eng)
+        m = eng.apply_batch(empty, "b1-empty")
+        assert not m["skipped"]
+        assert state_sig(eng) == sig
+        # committed: re-applying the empty batch is now a skip
+        assert eng.apply_batch(empty, "b1-empty")["skipped"]

@@ -57,3 +57,15 @@ def test_incompatible_change_rejected(spark, tmp_path):
         eng.apply_batch(e2, "b-1")
     # failed batch must not have committed anything
     assert "b-1" not in eng.table.committed_batches()
+
+
+def test_non_scalar_attr_type_rejected(spark, tmp_path):
+    """Non-scalar / unsupported attribute types are errors, as in the
+    reference (ColumnCoverterUtil.java:57-76)."""
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    e = synth_changelog(spark, 50, seed=26).withColumn(
+        "stars", F.array(F.lit(1), F.lit(2))
+    )
+    eng = CdcEngine(spark, cfg, str(tmp_path), attr_fields=BASE_ATTRS + ("stars",))
+    with pytest.raises(SchemaEvolutionError, match="unsupported attribute type"):
+        eng.apply_batch(e, "b-0")
