@@ -23,8 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_tablestore_spark.config import RuntimeErrorTolerance, SinkConfig
+from kafka_connect_tablestore_spark.functions.hashing import bucket_of
 from kafka_connect_tablestore_spark.lake.table import LakeTable
 from kafka_connect_tablestore_spark.operators.rowchange import (
+    ERROR_COL,
+    ToleranceError,
     dlq_rows,
     enforce_tolerance,
     split_errant,
@@ -55,9 +58,6 @@ class CdcEngine:
         ② the merge/fold/write pass, ③ a DLQ write only when errants exist.
         """
         classified = validate_and_classify(events, self.config, self.attr_fields)
-
-        from kafka_connect_tablestore_spark.functions.hashing import bucket_of
-        from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
 
         if not self.config.lineage_per_partition:
             return self._apply_batch_observed(classified, batch_id)
@@ -108,12 +108,6 @@ class CdcEngine:
         tolerance=NONE failures also surface from the same observation.
         """
         from pyspark.sql.observation import Observation
-        from kafka_connect_tablestore_spark.operators.rowchange import (
-            ERROR_COL,
-            ToleranceError,
-            dlq_rows,
-            split_errant,
-        )
 
         is_clean = F.col(ERROR_COL).isNull()
         obs = Observation(f"lineage-{batch_id}")
