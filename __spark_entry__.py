@@ -121,6 +121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cdc_final_state(spark, sf):  # S11 fold + sha256 invariant
         return _final_state(spark, sf)
 
+    def cdc_final_state_colmode(spark, sf):
+        """S11 fold under insert=update + delete.mode=column: null columns
+        DELETE (last update wins wholesale); tombstones are dirty records
+        and never reach the fold."""
+        cfg = SinkConfig(
+            insert_mode=InsertMode.UPDATE,
+            delete_mode=DeleteMode.COLUMN,
+            tolerance=RuntimeErrorTolerance.ALL,
+        )
+        log = _log(spark, sf)
+        clean, _ = split_errant(validate_and_classify(log, cfg, ATTRS), cfg)
+        return merge_into_state(None, clean, cfg, ATTRS).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+
     def cdc_tombstone_filter(spark, sf):  # S10
         log = _log(spark, sf)
         return log.where(F.col("op") == "DELETE").select(
@@ -293,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_lww_maxby=cdc_lww_maxby,
         cdc_lww_salted=cdc_lww_salted,
         cdc_final_state=cdc_final_state,
+        cdc_final_state_colmode=cdc_final_state_colmode,
         cdc_tombstone_filter=cdc_tombstone_filter,
         cdc_pk_kafka=cdc_pk_kafka,
         cdc_pk_search=cdc_pk_search,
@@ -467,6 +483,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_maxby": f"WITH {LOG} {lww_cols}",
         "cdc_lww_salted": f"WITH {LOG} {lww_cols}",
         "cdc_final_state": _FINAL_STATE_SQL,
+        # update+column-delete: every clean record is a whole-row update with
+        # null=delete-column, so the fold degenerates to LWW over non-tombstones
+        "cdc_final_state_colmode": (
+            f'WITH {LOG} SELECT repo, path, "commit", lang, content FROM log '
+            "WHERE op <> 'DELETE' QUALIFY row_number() OVER ("
+            'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
+        ),
         "cdc_tombstone_filter": (
             f'WITH {LOG} SELECT "partition", "offset", commit_ts, repo, path '
             "FROM log WHERE op = 'DELETE'"

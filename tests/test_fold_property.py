@@ -58,14 +58,15 @@ def gen_case(rng: random.Random, case: str, n: int) -> list[tuple]:
 
 
 MODES = [
-    (im, dm)
+    (im, dm, wl)
     for im in (InsertMode.PUT, InsertMode.UPDATE)
     for dm in (DeleteMode.NONE, DeleteMode.ROW, DeleteMode.COLUMN, DeleteMode.ROW_AND_COLUMN)
+    for wl in (None, ("commit", "lang"))
 ]
 
 
-@pytest.mark.parametrize("insert_mode,delete_mode", MODES)
-def test_random_interleavings_match_oracle(spark, insert_mode, delete_mode):
+@pytest.mark.parametrize("insert_mode,delete_mode,whitelist", MODES)
+def test_random_interleavings_match_oracle(spark, insert_mode, delete_mode, whitelist):
     rng = random.Random(f"{insert_mode}-{delete_mode}")
     all_rows: list[tuple] = []
     n_cases = 60
@@ -77,21 +78,22 @@ def test_random_interleavings_match_oracle(spark, insert_mode, delete_mode):
         pk_types=("string", "string", "string"),
         insert_mode=insert_mode,
         delete_mode=delete_mode,
+        column_whitelist=whitelist,
     )
     df = spark.createDataFrame(all_rows, SCHEMA)
     classified = validate_and_classify(df, cfg, ATTRS)
     clean, errant = split_errant(classified, cfg)
     state = merge_into_state(None, clean, cfg, ATTRS)
+    attrs = tuple(a for a in ATTRS if whitelist is None or a in whitelist)
     got = {
-        (r["case"], r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+        (r["case"], r["repo"], r["path"]): tuple(r[a] for a in attrs)
         for r in state.collect()
     }
     got_errs = errant.count()
 
     events = [dict(zip(SCHEMA.fieldNames(), row)) for row in all_rows]
     want_state, want_dlq = replay(events, cfg, ATTRS)
-    want = {pk: (a.get("commit"), a.get("lang"), a.get("content"))
-            for pk, a in want_state.items()}
+    want = {pk: tuple(a.get(c) for c in attrs) for pk, a in want_state.items()}
     assert got_errs == len(want_dlq)
     assert got.keys() == want.keys(), (
         f"extra={list(got.keys() - want.keys())[:3]} "
