@@ -15,7 +15,11 @@ are bit-identical across engines.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# ensure the engine package resolves regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no stateful stream operators (SURVEY §2 "explicitly
+absent"), but a production CDC pipeline wants per-key ingest telemetry that
+survives across micro-batches: change counts, last-seen versions, delete
+ratios — the streaming analogue of the batch lineage manifests.
+
+``change_rate_monitor`` keeps per-repo state ``(n_events, n_deletes,
+last_commit_ts)`` in the state store and emits the updated row for every repo
+seen in the current micro-batch.  Arrow-batched (pandas per key-group), no
+row-at-a-time Python; state is bounded by key cardinality and can be aged out
+with ``state.setTimeoutDuration`` in processing-time mode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+        T.StructField("last_commit_ts", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+        T.StructField("last_commit_ts", T.LongType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_events, n_deletes, last_ts = (
+        state.get if state.exists else (0, 0, 0)
+    )
+    for pdf in pdfs:
+        n_events += len(pdf)
+        n_deletes += int((pdf["op"] == "DELETE").sum())
+        if len(pdf):
+            last_ts = max(last_ts, int(pdf["commit_ts"].max()))
+    state.update((n_events, n_deletes, last_ts))
+    yield pd.DataFrame(
+        [
+            {
+                "repo": key[0],
+                "n_events": n_events,
+                "n_deletes": n_deletes,
+                "last_commit_ts": last_ts,
+            }
+        ]
+    )
+
+
+def change_rate_monitor(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-repo ingest telemetry (cumulative across micro-batches)."""
+    return (
+        events_stream.select("repo", "op", "commit_ts")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
