@@ -8,8 +8,10 @@ The reference applies row changes *sequentially* per key (hash-PK bucketed
 
 Spark-first re-expression: instead of imperatively replaying (a window over a
 hot key serializes into one task), the fold DECOMPOSES into associative
-aggregates, evaluated by one hash aggregation with map-side partial combine —
-Catalyst's partial/final HashAggregate gives skew resistance for free:
+aggregates, evaluated by one two-phase aggregation (partial map-side + final;
+SortAggregate physically, since max_by buffers carry strings) — the partial
+phase pre-reduces hot keys before the shuffle, giving skew resistance for
+free (see BENCH/BASELINE.md "Skew resilience"):
 
 - barrier  B  = last event with op ∈ {PUT, DELETE}  (a "reset": PUT replaces
   the whole row, DELETE clears it).  The pre-existing target row enters the
@@ -22,9 +24,9 @@ Catalyst's partial/final HashAggregate gives skew resistance for free:
                                 →  c = c of the LAST update after B (null
                                     deletes the column), else B's value.
 
-Each branch is a ``max_by(value, conditional-order-struct)`` — associative,
-partially aggregatable, and whole-stage-codegen'd.  ``max_by`` ignores rows
-whose ordering expression is NULL, which encodes the conditions.
+Each branch is a ``max_by(value, conditional-order-struct)`` — associative
+and partially aggregatable.  ``max_by`` ignores rows whose ordering
+expression is NULL, which encodes the conditions.
 """
 
 from __future__ import annotations
@@ -32,11 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_tablestore_spark.config import (
-    COL_DELETE_MODES_,
-    DeleteMode,
-    SinkConfig,
-)
+from kafka_connect_tablestore_spark.config import COL_DELETE_MODES_, SinkConfig
 
 ORD_COLS = ("commit_ts", "offset")
 
