@@ -50,6 +50,7 @@ from kafka_connect_tablestore_spark.operators.rowchange import (
     validate_and_classify,
 )
 from kafka_connect_tablestore_spark.operators.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     brute_force_topk,
     embedding_neardup_pairs,
@@ -275,6 +276,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_embedding_neardup(spark, sf):
         return embedding_neardup_pairs(_emb(spark, sf), threshold=0.9)
 
+    def pipe_ann_ivf(spark, sf):
+        emb = _emb(spark, sf)
+        return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+    def pipe_neardup_clusters(spark, sf):
+        from kafka_connect_tablestore_spark.operators.clustering import dedup_neardup
+
+        return dedup_neardup(_docs(spark, sf), jaccard_threshold=0.8)
+
     def pipe_clean_corpus(spark, sf):
         """Composed training-data pipeline: exact-dedup survivors that pass
         quality gates (length + alphanumeric ratio) in the target language —
@@ -331,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_fingerprint=pipe_fingerprint,
         pipe_ann_brute=pipe_ann_brute,
         pipe_ann_lsh=pipe_ann_lsh,
+        pipe_ann_ivf=pipe_ann_ivf,
+        pipe_neardup_clusters=pipe_neardup_clusters,
         pipe_embedding_neardup=pipe_embedding_neardup,
         pipe_clean_corpus=pipe_clean_corpus,
         pipe_multimodal_features=pipe_multimodal_features,

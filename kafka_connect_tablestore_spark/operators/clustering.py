@@ -1,0 +1,94 @@
+"""Near-duplicate clustering: connected components over candidate pairs.
+
+Training pipelines dedup by keeping ONE document per near-dup *cluster*, not
+per pair — pairs (a,b), (b,c) must collapse {a,b,c} to a single survivor.
+Connected components is the canonical "operator Spark lacks", implemented
+here as the classic iterative min-label propagation (HashToMin-style):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Iterations are driver-side (an iterative algorithm —
+exempt from the SQL-oracle contract); each step is one join + one
+aggregation, and near-dup clusters have tiny diameters (dup chains), so the
+loop converges in a handful of rounds even at 10^10 docs.  Labels are cached
+per round and the fixpoint check rides the label aggregation (no extra pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return ``(id_col, cluster_id)`` where cluster_id = min member id.
+
+    ``ids``: one row per vertex; ``pairs``: undirected edges (any orientation).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    labels = labels.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias("cluster_id"),
+                (F.col("nmin").isNotNull() & (F.col("nmin") < F.col("cluster_id"))).alias("_changed"),
+            )
+            .cache()
+        )
+        changed = new_labels.where("_changed").limit(1).count()
+        labels.unpersist()
+        labels = new_labels.drop("_changed").cache()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias(id_col), "cluster_id")
+
+
+def dedup_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Cluster-level near-dup dedup: LSH candidates → exact-Jaccard verify →
+    connected components → keep min id per cluster.
+
+    Output: ``(doc_id, cluster_id, is_survivor)`` for every input doc."""
+    from kafka_connect_tablestore_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        threshold=jaccard_threshold,
+    ).select("doc_a", "doc_b")
+    comp = connected_components(df.select(id_col), pairs, id_col)
+    survivors = comp.groupBy("cluster_id").agg(F.min(id_col).alias("_keep"))
+    return (
+        comp.join(survivors, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col(id_col) == F.col("_keep")).alias("is_survivor"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Similarity-search operators: brute-force exactness, LSH/IVF candidate
+shapes, and cross-variant consistency."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    brute_force_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_matches_numpy(spark):
+    emb = _emb(spark).limit(50).cache()
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = emb.where("vec_id = 0")
+    got = [
+        (r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = sorted(
+        ((round(cos(rows[0], v), 4), i) for i, v in rows.items() if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert [(n, c) for _, n, c in [(r, n, c) for r, n, c in got]] == [
+        (i, c) for c, i in want
+    ]
+
+
+def test_ann_variants_are_well_formed_and_consistent(spark):
+    emb = _emb(spark).cache()
+    q = emb.where("vec_id < 5")
+    brute = brute_force_topk(emb, q, k=5)
+    top1 = {r["query_id"]: r["cos_sim"] for r in brute.where("rank = 1").collect()}
+    for variant in (ann_lsh_topk(emb, q, k=5), ann_ivf_topk(emb, q, k=5)):
+        rows = variant.collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in by_q.items():
+            ranks = sorted(r["rank"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))  # contiguous ranks
+            # approximate scores can never beat the exact best
+            assert max(r["cos_sim"] for r in rs) <= top1[qid] + 1e-9
+            assert all(r["neighbor_id"] != qid for r in rs)
