@@ -13,20 +13,22 @@ SortAggregate physically, since max_by buffers carry strings) — the partial
 phase pre-reduces hot keys before the shuffle, giving skew resistance for
 free (see BENCH/BASELINE.md "Skew resilience"):
 
-- barrier  B  = last event with op ∈ {PUT, DELETE}  (a "reset": PUT replaces
-  the whole row, DELETE clears it).  The pre-existing target row enters the
-  fold as a virtual PUT at order (-1, -1), which makes MERGE = the same fold.
-- row exists  ⇔  no barrier, or B is PUT, or an UPDATE exists after B.
-- per attribute column c:
-    delete.mode ∈ {none, row}   →  c = last NON-NULL update of c after B,
-                                    else B's value (nulls in updates ignored);
-    delete.mode ∈ {column, row_and_column}
-                                →  c = c of the LAST update after B (null
-                                    deletes the column), else B's value.
+- row exists  ⇔  no barrier (= last PUT/DELETE), or the barrier is a PUT, or
+  an UPDATE exists after the barrier.
+- per attribute column c, the winner is the LATEST event that *sets* c:
+  every PUT (sets c to its value, null = absent) and DELETE (clears c), plus
+  — depending on delete.mode — UPDATEs that carry c:
+    delete.mode ∈ {none, row}            →  only non-null UPDATE values set c
+                                             (null ignored);
+    delete.mode ∈ {column, row_and_column} → every UPDATE sets c (null
+                                             deletes the column).
+  final c = winner.c unless the winner is a DELETE (→ null).
 
-Each branch is a ``max_by(value, conditional-order-struct)`` — associative
-and partially aggregatable.  ``max_by`` ignores rows whose ordering
-expression is NULL, which encodes the conditions.
+One ``max_by(struct(op, c), conditional-order)`` per column — associative,
+partially aggregatable, and each column's payload is shuffled exactly once.
+``max_by`` ignores rows whose ordering expression is NULL, which encodes the
+"sets c" condition.  The pre-existing target row enters the fold as a virtual
+PUT (or DELETE tombstone) at its stored version, making MERGE the same fold.
 """
 
 from __future__ import annotations
@@ -73,78 +75,50 @@ def fold_state(
     op = F.col("op")
     is_upd = op == F.lit("UPDATE")
     is_bar = ~is_upd  # PUT or DELETE
+    col_delete = config.delete_mode in COL_DELETE_MODES_
 
     # Sentinel "no such event" order: NULL (max/max_by ignore NULL orders).
-    bar_ord = F.max(F.when(is_bar, _ord())).alias("_bar_ord")
-    bar_row = F.max_by(
-        F.struct(op.alias("op"), *[F.col(c).alias(c) for c in attr_fields]),
-        F.when(is_bar, _ord()),
-    ).alias("_bar")
-    upd_ord = F.max(F.when(is_upd, _ord())).alias("_upd_ord")
-
-    aggs = [bar_ord, bar_row, upd_ord]
-    if emit_meta:
-        aggs.append(F.max(_ord()).alias("_all_ord"))
-    col_delete = config.delete_mode in COL_DELETE_MODES_
-    if col_delete:
-        # Last update wins wholesale (null = column delete marker,
-        # DeleteMode.{COLUMN,ROW_AND_COLUMN}; RowChangeTransformer.java:230-255).
+    aggs = [
+        F.max(F.when(is_bar, _ord())).alias("_bar_ord"),
+        F.max_by(op, F.when(is_bar, _ord())).alias("_bar_op"),
+        F.max(F.when(is_upd, _ord())).alias("_upd_ord"),
+    ]
+    for c in attr_fields:
+        # events that SET column c: all barriers + (qualifying) updates
+        sets_c = is_bar | (is_upd if col_delete else (is_upd & F.col(c).isNotNull()))
         aggs.append(
             F.max_by(
-                F.struct(*[F.col(c).alias(c) for c in attr_fields]),
-                F.when(is_upd, _ord()),
-            ).alias("_last_upd")
+                F.struct(op.alias("op"), F.col(c).alias("v")),
+                F.when(sets_c, _ord()),
+            ).alias(f"_w_{c}")
         )
-    else:
-        # Per-column last non-null update + the order it happened at.
-        for c in attr_fields:
-            cond = is_upd & F.col(c).isNotNull()
-            aggs.append(F.max_by(F.col(c), F.when(cond, _ord())).alias(f"_lnn_{c}"))
-            aggs.append(F.max(F.when(cond, _ord())).alias(f"_lnn_ord_{c}"))
 
     g = events.groupBy(*pk).agg(*aggs)
 
-    after = lambda o: o.isNotNull() & (F.col("_bar_ord").isNull() | (o > F.col("_bar_ord")))  # noqa: E731
-    bar_is_put = F.col("_bar_ord").isNotNull() & (F.col("_bar.op") == F.lit("PUT"))
+    bar_ord, upd_ord = F.col("_bar_ord"), F.col("_upd_ord")
     exists = (
-        F.col("_bar_ord").isNull()
-        | bar_is_put
-        | after(F.col("_upd_ord"))
+        bar_ord.isNull()
+        | (F.col("_bar_op") == F.lit("PUT"))
+        | (upd_ord.isNotNull() & (bar_ord.isNull() | (upd_ord > bar_ord)))
     )
 
+    def final(c: str) -> Column:
+        w = F.col(f"_w_{c}")
+        return F.when(w.isNotNull() & (w["op"] != F.lit("DELETE")), w["v"])
+
     out_cols: list[Column] = [F.col(c) for c in pk]
-    base = lambda c: F.when(bar_is_put, F.col(f"_bar.{c}"))  # noqa: E731  (else NULL)
-    if col_delete:
-        upd_after = after(F.col("_upd_ord"))
-        for c in attr_fields:
-            out_cols.append(
-                F.when(upd_after, F.col(f"_last_upd.{c}")).otherwise(base(c)).alias(c)
-            )
-    else:
-        for c in attr_fields:
-            o = F.col(f"_lnn_ord_{c}")
-            out_cols.append(
-                F.when(after(o), F.col(f"_lnn_{c}")).otherwise(base(c)).alias(c)
-            )
     if not emit_meta:
+        out_cols += [final(c).alias(c) for c in attr_fields]
         return g.where(exists).select(*out_cols)
     # emit_meta: every key survives; deleted rows keep null attributes and a
     # tombstone flag + version (order-insensitive PUT/DELETE convergence).
-    out_cols = [F.col(c) for c in pk]
-    if col_delete:
-        upd_after = after(F.col("_upd_ord"))
-        for c in attr_fields:
-            v = F.when(upd_after, F.col(f"_last_upd.{c}")).otherwise(base(c))
-            out_cols.append(F.when(exists, v).alias(c))
-    else:
-        for c in attr_fields:
-            o = F.col(f"_lnn_ord_{c}")
-            v = F.when(after(o), F.col(f"_lnn_{c}")).otherwise(base(c))
-            out_cols.append(F.when(exists, v).alias(c))
+    out_cols += [F.when(exists, final(c)).alias(c) for c in attr_fields]
+    # version = order of the key's latest event (greatest skips NULL sides)
+    all_ord = F.greatest(bar_ord, upd_ord)
     out_cols += [
         (~exists).alias("_deleted"),
-        F.col("_all_ord.commit_ts").alias("_ver_ts"),
-        F.col("_all_ord.offset").alias("_ver_off"),
+        all_ord["commit_ts"].alias("_ver_ts"),
+        all_ord["offset"].alias("_ver_off"),
     ]
     return g.select(*out_cols)
 
