@@ -94,7 +94,7 @@ class CdcEngine:
         touched = sorted({b for r in stats for b in r["buckets"] if b is not None})
         n_errant = sum(r["errant_rows"] for r in stats)
         if n_errant and self.config.tolerance is RuntimeErrorTolerance.ALL:
-            self.table.append_dlq(dlq_rows(errant), batch_id)
+            self.table.append_dlq(dlq_rows(errant, self.config), batch_id)
         return self.table.merge_batch(clean, batch_id, lineage=lineage, touched=touched)
 
     def _apply_batch_observed(self, classified, batch_id: str) -> dict:
@@ -104,8 +104,17 @@ class CdcEngine:
         merge job itself via ``Dataset.observe`` on the pre-split frame — no
         extra scan.  Every bucket is treated as touched (the uniform-batch
         case this path is built for).  A DLQ pass runs only when the
-        observation reports errants, so clean batches pay zero extra jobs;
-        tolerance=NONE failures also surface from the same observation.
+        observation reports errants, so clean batches pay zero extra jobs.
+
+        Ordering contract (reference: errants are reported and the task
+        failed *before* Connect commits offsets, ``TableStoreSinkTask.java:
+        118-121``): the tolerance gate and the DLQ append run *between* the
+        data-write job (when the observation has fired) and the snapshot
+        pointer swap, via ``merge_batch``'s ``before_commit`` hook.  A
+        tolerance=NONE violation therefore aborts the commit (orphan files
+        only, no visible state change), and DLQ rows can never be lost to a
+        crash after commit — if the swap never happens, the whole batch
+        replays.
         """
         from pyspark.sql.observation import Observation
 
@@ -119,24 +128,26 @@ class CdcEngine:
             F.count(F.when(~is_clean, F.lit(1))).alias("errant_rows"),
         )
         clean, errant = split_errant(observed, self.config)
-        manifest = self.table.merge_batch(
+
+        def before_commit(manifest: dict) -> None:
+            # the data-write job has run ⇒ the observation has fired
+            lineage = {"_global": dict(obs.get)}
+            n_errant = lineage["_global"]["errant_rows"]
+            if n_errant:
+                if self.config.tolerance is RuntimeErrorTolerance.NONE:
+                    raise ToleranceError(
+                        f"{n_errant} errant record(s) with tolerance=none in {batch_id}"
+                    )
+                self.table.append_dlq(dlq_rows(errant, self.config), batch_id)
+            manifest["partitions"] = lineage
+
+        return self.table.merge_batch(
             clean,
             batch_id,
             lineage={"_observed": True},
             touched=list(range(self.config.n_buckets)),
+            before_commit=before_commit,
         )
-        if manifest.get("skipped"):
-            return manifest
-        lineage = {"_global": dict(obs.get)}
-        n_errant = lineage["_global"]["errant_rows"]
-        if n_errant:
-            if self.config.tolerance is RuntimeErrorTolerance.NONE:
-                raise ToleranceError(
-                    f"{n_errant} errant record(s) with tolerance=none in {batch_id}"
-                )
-            self.table.append_dlq(dlq_rows(errant), batch_id)
-        self.table.amend_lineage(batch_id, lineage)
-        return {**manifest, "partitions": lineage}
 
     # -------------------------------------------------------------- replay
     def replay(

@@ -15,10 +15,12 @@ Design parity with the fallback backend:
   row-change matrix), then applied with ONE ``MERGE INTO`` whose source is
   the folded frame with a ``_deleted`` flag — matched+deleted → DELETE,
   matched → UPDATE SET *, unmatched+live → INSERT;
-- exactly-once: the batch id is stamped as a snapshot summary property via
-  the commit's ``snapshot-property.`` write option; re-apply checks the
-  snapshot log (``table.snapshots``) for the id — data and marker commit in
-  the same Iceberg transaction;
+- exactly-once: the batch id is stamped on the MERGE's own snapshot summary
+  (``spark.wap.id`` conf → summary key ``wap.id``, set only around the MERGE);
+  re-apply checks the snapshot log (``table.snapshots``) for the same key —
+  data and marker commit in the same Iceberg transaction, and a per-row
+  ``(_ver_ts, _ver_off)`` guard in the MERGE keeps replayed stale batches
+  from clobbering newer rows;
 - schema evolution: ``ALTER TABLE ADD COLUMNS`` / ``ALTER COLUMN TYPE``
   generated from the same registry diff as the fallback.
 """
@@ -46,12 +48,26 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 # --------------------------------------------------------------- SQL builders
+
+#: snapshot-summary key carrying the batch id.  ``spark.conf.set("spark.wap.id",
+#: batch_id)`` stamps exactly this key on the commit's snapshot summary —
+#: ``committed_batches`` MUST read the same key (write-side and read-side key
+#: equality is unit-tested string-level, since the jar is absent in-sandbox).
+BATCH_STAMP_KEY = "wap.id"
+BATCH_STAMP_CONF = "spark.wap.id"
+
+#: per-row version columns the MERGE guard compares — the same META order
+#: columns the fold emits (plans/merge.py META_COLS).
+VER_COLS = ("_ver_ts", "_ver_off")
+
+
 def create_table_sql(
     table: str, config: SinkConfig, schema: dict[str, str]
 ) -> str:
     cols = ", ".join(
         [f"{c} string" for c in config.pk_fields]
         + [f"{name} {typ}" for name, typ in schema.items()]
+        + [f"{c} long" for c in VER_COLS]
     )
     bucket_col = config.pk_fields[0]
     return (
@@ -61,14 +77,27 @@ def create_table_sql(
 
 
 def merge_sql(table: str, source_view: str, config: SinkConfig, attr_fields: tuple[str, ...]) -> str:
+    """MERGE with a version guard: a matched row is only updated/deleted when
+    the source version is not older than the target's (``t._ver_ts <
+    s._ver_ts`` or tie on ts broken by offset) — so a replayed *stale* batch
+    can never clobber rows a newer batch already wrote, even if its idempotency
+    stamp was lost."""
     on = " AND ".join(f"t.{c} = s.{c}" for c in config.pk_fields)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in attr_fields)
-    ins_cols = ", ".join(list(config.pk_fields) + list(attr_fields))
-    ins_vals = ", ".join(f"s.{c}" for c in list(config.pk_fields) + list(attr_fields))
+    guard = (
+        "(t._ver_ts < s._ver_ts OR "
+        "(t._ver_ts = s._ver_ts AND t._ver_off <= s._ver_off))"
+    )
+    sets = ", ".join(
+        [f"t.{c} = s.{c}" for c in attr_fields]
+        + [f"t.{c} = s.{c}" for c in VER_COLS]
+    )
+    all_cols = list(config.pk_fields) + list(attr_fields) + list(VER_COLS)
+    ins_cols = ", ".join(all_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in all_cols)
     return (
         f"MERGE INTO {table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED AND s._deleted THEN DELETE "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN MATCHED AND {guard} AND s._deleted THEN DELETE "
+        f"WHEN MATCHED AND {guard} THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED AND NOT s._deleted THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
@@ -115,8 +144,10 @@ class IcebergLakeTable:
         self.spark.sql(create_table_sql(self.table, self.config, schema))
 
     def committed_batches(self) -> set[str]:
+        """Batch ids previously stamped on snapshot summaries — reads back the
+        SAME summary key the write path stamps (``BATCH_STAMP_KEY``)."""
         rows = self.spark.sql(
-            f"SELECT summary['batch_id'] AS b FROM {self.table}.snapshots"
+            f"SELECT summary['{BATCH_STAMP_KEY}'] AS b FROM {self.table}.snapshots"
         ).collect()
         return {r["b"] for r in rows if r["b"]}
 
@@ -139,11 +170,15 @@ class IcebergLakeTable:
             self.spark.sql(ddl)
         view = f"_batch_{abs(hash(batch_id)) % 10**9}"
         folded.createOrReplaceTempView(view)
-        self.spark.conf.set(
-            f"spark.wap.id", batch_id  # write-audit-publish style stamping
-        )
-        self.spark.sql(merge_sql(self.table, view, self.config, self.attr_fields))
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ('last_batch_id'='{batch_id}')"
-        )
+        # Stamp the batch id on the MERGE's own snapshot summary: data and
+        # idempotency marker commit in ONE Iceberg transaction.  The conf key
+        # writes summary['wap.id'] — exactly what committed_batches() reads.
+        # (Requires write.wap.enabled to be UNSET on the table, else the
+        # snapshot is staged instead of published.)  No post-hoc ALTER: a
+        # second commit would break the atomicity contract.
+        self.spark.conf.set(BATCH_STAMP_CONF, batch_id)
+        try:
+            self.spark.sql(merge_sql(self.table, view, self.config, self.attr_fields))
+        finally:
+            self.spark.conf.unset(BATCH_STAMP_CONF)
         return {"batch_id": batch_id, "skipped": False}

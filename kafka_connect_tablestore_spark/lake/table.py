@@ -50,6 +50,58 @@ from kafka_connect_tablestore_spark.plans.schema_evolution import (
 
 SHA_COL = "content_sha256"
 
+#: attribute-column count cap per table, mirroring the reference's column
+#: count limit check (``utils/ParamChecker.java:75-97``).
+MAX_ATTR_COLUMNS = 128
+
+
+class TableValidationError(ValueError):
+    """Config ↔ existing-table conflict (the reference's ``ParamChecker``
+    failures: PK name/type positional mismatch, PK-name collision in the
+    attribute whitelist, column count limit — ``utils/ParamChecker.java:
+    41-97``)."""
+
+
+def check_table(meta: dict, config: SinkConfig, attr_fields: tuple[str, ...]) -> None:
+    """Validate a SinkConfig against an existing table's stored identity.
+
+    Port of ``utils/ParamChecker.java:41-97``: ① PK names and types must match
+    positionally (``:41-65``); ② no attribute column may collide with a PK
+    name (``:75-97``); ③ attribute column count is capped.  Additionally the
+    physical bucket count must match — a different ``n_buckets`` would hash
+    keys into different buckets and silently leave stale duplicate-PK rows in
+    buckets a merge no longer touches.
+    """
+    stored_pk = tuple(meta.get("pk_fields", config.pk_fields))
+    stored_types = tuple(meta.get("pk_types", config.pk_types))
+    if stored_pk != tuple(config.pk_fields):
+        raise TableValidationError(
+            f"primary-key names mismatch: table has {stored_pk}, "
+            f"config has {tuple(config.pk_fields)} (ParamChecker.java:41-65)"
+        )
+    if stored_types != tuple(config.pk_types):
+        raise TableValidationError(
+            f"primary-key types mismatch: table has {stored_types}, "
+            f"config has {tuple(config.pk_types)} (ParamChecker.java:41-65)"
+        )
+    stored_buckets = meta.get("n_buckets", config.n_buckets)
+    if stored_buckets != config.n_buckets:
+        raise TableValidationError(
+            f"bucket count mismatch: table was created with n_buckets="
+            f"{stored_buckets}, config has {config.n_buckets}"
+        )
+    for c in attr_fields:
+        if c in config.pk_fields:
+            raise TableValidationError(
+                f"attribute column {c!r} collides with a primary-key name "
+                "(ParamChecker.java:75-97)"
+            )
+    if len(meta.get("schema", {})) > MAX_ATTR_COLUMNS:
+        raise TableValidationError(
+            f"table exceeds {MAX_ATTR_COLUMNS} attribute columns "
+            "(ParamChecker.java:75-97 column count limit)"
+        )
+
 
 class LakeTable:
     def __init__(
@@ -67,6 +119,11 @@ class LakeTable:
         if config.column_whitelist is not None:
             attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
         self.attr_fields = attr_fields
+        if self.exists():
+            # reference behavior: an existing table is validated against the
+            # config at writer startup (TableStoreSinkWriter.java:280-354 →
+            # ParamChecker.checkTable), not lazily at first write.
+            check_table(self.snapshot(), config, attr_fields)
 
     # ---------------------------------------------------------------- meta
     @property
@@ -109,6 +166,12 @@ class LakeTable:
             "buckets": {},
             "batches": {},
             "parent": None,
+            # table identity, validated against the config on every open
+            # (ParamChecker.java:41-97; n_buckets governs the key→bucket hash
+            # so it is as much a part of the table's identity as the PK)
+            "pk_fields": list(self.config.pk_fields),
+            "pk_types": list(self.config.pk_types),
+            "n_buckets": self.config.n_buckets,
         }
         self._commit(meta)
 
@@ -174,6 +237,7 @@ class LakeTable:
         batch_id: str,
         lineage: dict | None = None,
         touched: list[int] | None = None,
+        before_commit=None,
     ) -> dict:
         """MERGE one micro-batch of clean events. Idempotent by batch_id.
 
@@ -182,9 +246,15 @@ class LakeTable:
         ``lineage``/``touched`` can be precomputed by the caller in a single
         combined stats pass (see ``CdcEngine.apply_batch``) — at 10^10 events
         every extra scan of the batch matters.
+
+        ``before_commit(manifest)`` runs after the data files are written but
+        *before* the snapshot pointer swap: it may enrich the manifest (e.g.
+        observed lineage) or raise to abort the commit (tolerance gate) —
+        an abort leaves only orphan files, never visible state.
         """
         self.create_if_absent()
         snap = self.snapshot()
+        check_table(snap, self.config, self.attr_fields)
         if batch_id in snap["batches"]:
             return {**snap["batches"][batch_id], "skipped": True}
 
@@ -268,12 +338,19 @@ class LakeTable:
             "committed_at_version": version,
             "wall_secs": round(time.time() - t0, 3),
         }
+        if before_commit is not None:
+            # tolerance gate / observed lineage: runs post-write, pre-swap —
+            # a raise here aborts the commit (orphan files only)
+            before_commit(manifest)
         meta = {
             "version": version,
             "schema": new_schema,
             "buckets": buckets,
             "batches": {**snap["batches"], batch_id: manifest},
             "parent": snap["version"],
+            "pk_fields": snap.get("pk_fields", list(self.config.pk_fields)),
+            "pk_types": snap.get("pk_types", list(self.config.pk_types)),
+            "n_buckets": snap.get("n_buckets", self.config.n_buckets),
         }
         self._commit(meta)
         return {**manifest, "skipped": False}
@@ -316,6 +393,9 @@ class LakeTable:
             "batches": snap["batches"],
             "parent": snap["version"],
             "compacted": True,
+            "pk_fields": snap.get("pk_fields", list(self.config.pk_fields)),
+            "pk_types": snap.get("pk_types", list(self.config.pk_types)),
+            "n_buckets": snap.get("n_buckets", self.config.n_buckets),
         }
         self._commit(meta)
         return {"version": version, "n_buckets": len(buckets)}

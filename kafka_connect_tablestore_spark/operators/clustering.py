@@ -10,14 +10,23 @@ here as the classic iterative min-label propagation (HashToMin-style):
 repeated to fixpoint.  Iterations are driver-side (an iterative algorithm —
 exempt from the SQL-oracle contract); each step is one join + one
 aggregation, and near-dup clusters have tiny diameters (dup chains), so the
-loop converges in a handful of rounds even at 10^10 docs.  Labels are cached
-per round and the fixpoint check rides the label aggregation (no extra pass).
+loop converges in a handful of rounds even at 10^10 docs.  Labels are
+localCheckpoint'ed per round — materialize AND truncate lineage, since each
+round references the previous labels twice and the logical plan would
+otherwise double per round — and the fixpoint check rides the label
+aggregation (no extra pass).  Non-convergence within ``max_iter`` raises
+(``strict``) instead of returning silently under-merged clusters.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """min-label propagation hit ``max_iter`` before reaching fixpoint —
+    the returned labels would silently under-merge long chains."""
 
 
 def connected_components(
@@ -27,10 +36,14 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Return ``(id_col, cluster_id)`` where cluster_id = min member id.
 
     ``ids``: one row per vertex; ``pairs``: undirected edges (any orientation).
+    Raises :class:`ConvergenceError` when the fixpoint is not reached within
+    ``max_iter`` rounds (``strict=False`` downgrades to returning the
+    partial labels — only safe when the caller bounds component diameter).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -39,28 +52,35 @@ def connected_components(
         .cache()
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
-    labels = labels.cache()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, "src")
             .groupBy(F.col("dst").alias("src"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "src", "left")
-            .select(
-                "src",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias("cluster_id"),
-                (F.col("nmin").isNotNull() & (F.col("nmin") < F.col("cluster_id"))).alias("_changed"),
-            )
-            .cache()
+        new_labels = labels.join(neighbor_min, "src", "left").select(
+            "src",
+            F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias("cluster_id"),
+            (F.col("nmin").isNotNull() & (F.col("nmin") < F.col("cluster_id"))).alias("_changed"),
         )
+        # Each round references `labels` TWICE (join probe + neighbor agg), so
+        # the logical plan would DOUBLE per round — caching alone does not
+        # truncate lineage and round ~15 would OOM the driver on plan analysis
+        # alone.  localCheckpoint materializes AND truncates: constant plan
+        # size per round, which is what an iterative graph algorithm needs.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.where("_changed").limit(1).count()
-        labels.unpersist()
-        labels = new_labels.drop("_changed").cache()
+        labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise ConvergenceError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "(component diameter exceeds the round budget; raise max_iter)"
+        )
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 

@@ -98,6 +98,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band value become a candidate
@@ -106,6 +107,13 @@ def minhash_lsh_pairs(
     Scale shape: the only shuffle is the self-join on (band_idx, band_key) —
     bucket sizes are bounded by collision rate, never O(N²).  A hot bucket
     (e.g. boilerplate docs) can be capped with a per-bucket limit upstream.
+
+    Cache lifecycle: with ``eager=True`` (default) the candidate pairs are
+    materialized inside this call (``localCheckpoint``) and the signature
+    cache is released before returning — nothing persists past the call, so
+    a long-running driver invoking this per batch accretes no storage.
+    ``eager=False`` returns the fully-lazy plan and leaves the signature
+    cache pinned (caller owns the lifecycle).
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes).where(
@@ -146,6 +154,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if eager:
+        # materialize the (small) pair set now, then release the signature
+        # cache — localCheckpoint truncates the lineage so the returned
+        # frame no longer depends on sig.
+        pairs = pairs.localCheckpoint(eager=True)
+        sig.unpersist()
     return pairs
 
 

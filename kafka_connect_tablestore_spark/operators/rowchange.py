@@ -145,11 +145,16 @@ def enforce_tolerance(errant: DataFrame, config: SinkConfig) -> None:
             )
 
 
-def dlq_rows(errant: DataFrame) -> DataFrame:
+def dlq_rows(errant: DataFrame, config: SinkConfig | None = None) -> DataFrame:
     """Project errant records to the DLQ layout mirroring
     ``errors/TableStoreReporter.java:243-270``:
-    ``(topic_partition, offset, key, value, error_info)``."""
-    key_json = F.to_json(F.struct("repo", "path"))
+    ``(topic_partition, offset, key, value, error_info)``.
+
+    The key JSON is built from the *configured* primary key (the reference
+    serializes the record key, which is the PK source in record_key mode) —
+    not a hardcoded column list, so non-default PKs round-trip."""
+    pk_fields = config.pk_fields if config is not None else ("repo", "path")
+    key_json = F.to_json(F.struct(*pk_fields))
     payload_cols = [c for c in errant.columns if c not in ("topic", "partition", "offset", ERROR_COL)]
     return errant.select(
         F.concat_ws("_", F.col("topic"), F.col("partition")).alias("topic_partition"),
