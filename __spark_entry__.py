@@ -274,7 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
     def pipe_embedding_neardup(spark, sf):
-        return embedding_neardup_pairs(_emb(spark, sf), threshold=0.9)
+        # threshold tuned to the synthetic embeddings (max pairwise cosine
+        # ≈ 0.51): 0.35 yields a non-empty, oracle-verified pair set —
+        # round 1's 0.9 returned zero rows, proving nothing.
+        return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
     def pipe_ann_ivf(spark, sf):
         emb = _emb(spark, sf)
@@ -473,6 +476,148 @@ _LANG_CASES = {
     for lang, sws in STOPWORDS.items()
 }
 
+# ---- embedding-space oracles ------------------------------------------------
+# Shared cosine fragment (list_dot_product == the Spark left-fold bit-wise,
+# proven by pipe_ann_brute's round-1 hash match).
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+)
+
+
+def _bucket_sql(vexpr: str, n_planes: int = 6, dim: int = 16, seed: str = "lsh") -> str:
+    """DuckDB twin of operators.similarity.hyperplane_bucket: same plane
+    constants (one hashlib generator), same left-assoc projection sum, same
+    NULL-out-of-bounds semantics (v[i] OOB → NULL → CASE falls to 0)."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        hyperplane_components,
+    )
+
+    planes = hyperplane_components(n_planes, dim, seed)
+    parts = []
+    for p, comps in enumerate(planes):
+        proj = " + ".join(f"({vexpr}[{i + 1}] * {comps[i]!r})" for i in range(dim))
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _ann_lsh_sql(k: int = 5, n_planes: int = 6, dim: int = 16) -> str:
+    b = _bucket_sql("v", n_planes, dim)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {b} AS bucket FROM base),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+  FROM b c JOIN b q ON c.bucket = q.bucket AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, cos_sim
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+def _embedding_neardup_sql(
+    threshold: float = 0.35, n_planes: int = 6, dim: int = 16, n_tables: int = 4
+) -> str:
+    # OR-amplified union over n_tables hash tables, then DISTINCT — the twin
+    # of embedding_neardup_pairs.
+    cos = (
+        "round(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(c.v, c.v))), 4)"
+    )
+    tables = []
+    for t in range(n_tables):
+        seed = "lsh" if t == 0 else f"lsh{t}"
+        b = _bucket_sql("v", n_planes, dim, seed=seed)
+        tables.append(
+            f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cos_sim "
+            f"FROM (SELECT vec_id, v, {b} AS bucket FROM base) a "
+            f"JOIN (SELECT vec_id, v, {b} AS bucket FROM base) c "
+            f"ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
+            f"WHERE {cos} >= {threshold}"
+        )
+    union = " UNION ".join(f"({t})" for t in tables)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+{union}
+"""
+
+
+def _ann_ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 2) -> str:
+    # distance = (<v,v> - 2<v,c>) + <c,c> — the exact operand order of
+    # operators.similarity.ivf_assign; ties broken by lowest cell index
+    # (Spark's array_position-first-min).
+    probes = ", ".join(f"({p})" for p in range(nprobe))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_idx, v AS c
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_cells})
+),
+assign AS (
+  SELECT vec_id, cell_idx,
+    (list_dot_product(v, v) - (2.0 * list_dot_product(v, c))) + list_dot_product(c, c) AS dist
+  FROM base CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, cell_idx AS cell FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_idx) = 1
+),
+corpus AS (SELECT base.vec_id AS neighbor_id, v AS cv, cell FROM base JOIN cells USING (vec_id)),
+q0 AS (SELECT base.vec_id AS query_id, v AS qv, cell AS cell0 FROM base JOIN cells USING (vec_id) WHERE base.vec_id < 5),
+qp AS (SELECT query_id, qv, CAST((cell0 + p) % {n_cells} AS INT) AS cell FROM q0 CROSS JOIN (VALUES {probes}) t(p)),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM corpus JOIN qp USING (cell) WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, cos_sim
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+#: connected components (min-label fixpoint) as a recursive reachability
+#: closure: cluster_id = min reachable id == min component member (edges are
+#: symmetrized); survivors are the min member (doc_id == cluster_id).
+_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE sig AS ({_SIG_SQL}), banded AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.h0 IS NOT NULL
+),
+sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS s FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
+  WHERE len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
+    / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE
+    >= 0.8
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor FROM comp
+"""
+
+#: DuckDB twin of the deterministic fake decoder in operators/multimodal.py:
+#: payload = utf8(text), digest byte k = hex pair k of sha256(text).
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'image' AS kind,
+  CAST(32 + ('0x' || substr(sha256(text), 1, 2))::INT % 224 AS INT) AS width,
+  CAST(32 + ('0x' || substr(sha256(text), 3, 2))::INT % 224 AS INT) AS height,
+  sha256(text) AS payload_sha256
+FROM documents
+"""
+
 _ANN_BRUTE_SQL = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -583,6 +728,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_tokens >= 10 AND alpha_ratio >= 0.5 AND is_en"
         ),
         "pipe_ann_brute": _ANN_BRUTE_SQL,
-        # pipe_ann_lsh, pipe_embedding_neardup, pipe_multimodal_features:
-        # non-SQL-expressible (hyperplane buckets / mapInPandas) → rows-only.
+        "pipe_ann_lsh": _ann_lsh_sql(k=5, n_planes=6, dim=16),
+        "pipe_ann_ivf": _ann_ivf_sql(k=5, n_cells=16, nprobe=2),
+        "pipe_embedding_neardup": _embedding_neardup_sql(threshold=0.35),
+        "pipe_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+        "pipe_multimodal_features": _MULTIMODAL_SQL,
     }

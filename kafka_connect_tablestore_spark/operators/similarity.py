@@ -76,31 +76,44 @@ def brute_force_topk(
     )
 
 
+def hyperplane_components(
+    n_planes: int = 8, dim: int = 16, seed: str = "lsh"
+) -> list[list[float]]:
+    """Deterministic pseudo-random plane components in [-0.5, 0.5) from the
+    shared md5 hash family: plane_p[i] = (hash64('<seed>|p_i') % 1000)/1000
+    - 0.5, computed driver-side with hashlib (bit-identical to what Catalyst
+    would constant-fold from the ``functions.text.hash64`` expression, and to
+    the DuckDB oracle's literals — one generator, three engines)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}|{p}_{i}".encode()).hexdigest()[:15], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 16, seed: str = "lsh"):
-    """Sign-bit LSH bucket id: bit p = 1 iff <v, plane_p> > 0.
+    """Sign-bit LSH bucket id: bit p = 1 iff <v[:dim], plane_p> > 0.
 
-    Plane components are deterministic pseudo-randoms in [-0.5, 0.5) from the
-    md5 family: plane_p[i] = (hash64('<seed>|p_i') % 1000)/1000 - 0.5."""
-    from kafka_connect_tablestore_spark.functions.text import hash64
-
+    The projection is an explicit 16-term sum over ``F.get`` (0-based, null
+    out-of-bounds) — NOT ``zip_with``: zip_with pads the shorter array with
+    nulls, and one null product poisons the whole aggregate to NULL, which
+    silently collapsed every longer-than-``dim`` vector into bucket 0 (all
+    sign tests false).  Vectors shorter than ``dim`` contribute only their
+    present components (null terms short-circuit the sign test to 0, same as
+    the SQL twin's out-of-bounds NULL)."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    vd = v.cast("array<double>")
     bucket = F.lit(0)
-    for p in range(n_planes):
-        comps = F.array(
-            *[
-                (
-                    F.pmod(hash64(F.lit(f"{p}_{i}"), seed), F.lit(1000)).cast("double")
-                    / F.lit(1000.0)
-                    - F.lit(0.5)
-                )
-                for i in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(v.cast("array<double>"), comps, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    for p, comps in enumerate(hyperplane_components(n_planes, dim, seed)):
+        proj = F.get(vd, 0) * F.lit(comps[0])
+        for i in range(1, dim):
+            proj = proj + F.get(vd, i) * F.lit(comps[i])
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -150,18 +163,21 @@ def ann_lsh_topk(
 
 def ivf_assign(vec_col, centroids: list[list[float]]):
     """Cell id = argmin squared-L2 distance to the (broadcast-literal)
-    centroid table — the IVF coarse quantizer as a pure expression."""
+    centroid table — the IVF coarse quantizer as a pure expression.
+
+    Distance uses the algebraic expansion ``(<v,v> - 2<v,c>) + <c,c>`` with
+    each inner product as the same left-fold the cosine uses: bit-identical
+    to the DuckDB oracle's ``list_dot_product`` form (a per-element
+    ``(x-y)²`` fold would sum in a different order and ulp-flip argmin on
+    near-equidistant centroids).  Ties pick the first (lowest) cell index —
+    the oracle's ``row_number() ORDER BY dist, cell_idx`` twin."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = v.cast("array<double>")
+    vv = _dot(vd, vd)
     dists = []
     for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vd, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(d)
+        dists.append((vv - F.lit(2.0) * _dot(vd, carr)) + _dot(carr, carr))
     darr = F.array(*dists)
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
@@ -233,25 +249,39 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 16,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets (bucket-local
-    self-join — never all-pairs)."""
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    self-join — never all-pairs).
+
+    OR-amplified over ``n_tables`` independent hash tables (seeds
+    ``lsh``, ``lsh1``, ...): a pair is a candidate if it collides in ANY
+    table, lifting recall from p to 1-(1-p)^T — the standard LSH
+    construction (per-table collision probability for random sign planes is
+    (1 - θ/π)^n_planes).  Cost is T bucket-joins, still never O(N²).  A pair
+    colliding in several tables dedups on (vec_a, vec_b) — cos_sim is
+    identical per pair, so a plain ``distinct`` suffices."""
+    out = None
+    for t in range(n_tables):
+        seed = "lsh" if t == 0 else f"lsh{t}"
+        b = df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=seed).alias("bucket"),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"c.{id_col}").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("c.v")), 4).alias("cos_sim"),
+        a, c = b.alias("a"), b.alias("c")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.bucket") == F.col("c.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"c.{id_col}").alias("vec_b"),
+                F.round(cosine(F.col("a.v"), F.col("c.v")), 4).alias("cos_sim"),
+            )
+            .where(F.col("cos_sim") >= threshold)
         )
-        .where(F.col("cos_sim") >= threshold)
-    )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()

@@ -58,3 +58,35 @@ def test_ann_variants_are_well_formed_and_consistent(spark):
             # approximate scores can never beat the exact best
             assert max(r["cos_sim"] for r in rs) <= top1[qid] + 1e-9
             assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_embedding_neardup_nonempty_and_exact_subset(spark):
+    """De-vacuation guard (round-1 verdict): the bucket-local near-dup pair
+    set must be NON-EMPTY on the test corpus, every emitted pair must appear
+    in the exact all-pairs result at the same threshold, and recall vs the
+    exact set must clear a floor (hyperplane LSH with 6 planes keeps
+    high-cosine pairs together with good probability)."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        cosine,
+        embedding_neardup_pairs,
+    )
+
+    emb = _emb(spark).cache()
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    assert len(got) > 0, "threshold/data must produce a non-empty pair set"
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("va"))
+    c = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(c, F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 4) >= 0.35)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    assert got <= exact, f"bucket-local pairs must be a subset of exact: {got - exact}"
+    recall = len(got) / len(exact)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} below floor (got {len(got)}/{len(exact)})"
