@@ -223,6 +223,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "_measurement", "_datasource", "_tags_str", "_time_us", "value", "event_id"
         )
 
+    # ---- schemaless MAP / raw STRING payload shapes (SURVEY §1.1 2+3) -----
+    def _map_events(spark, sf):
+        """Deterministic map<string,string> payload derived from ``events``:
+        the schemaless-JSON shape (JsonConverter schemas.enable=false).  One
+        in 7 user_ids is corrupted to a non-numeric string so the declared-
+        type path exercises TYPE_MISMATCH."""
+        e = _events(spark, sf)
+        uid = F.col("user_id").cast("long").cast("string")
+        return e.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.create_map(
+                F.lit("user_id"),
+                F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("u"), uid)).otherwise(uid),
+                F.lit("amount"),
+                F.floor(F.col("value") * 100).cast("string"),
+                F.lit("active"),
+                F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+                F.lit("note"),
+                F.col("event_type"),
+            ).alias("value_map"),
+        )
+
+    def cdc_map_payload(spark, sf):
+        """Declared-type MAP parse: whitelisted fields cast to declared types,
+        uncastable values → TYPE_MISMATCH errant (DefaultEventParser.java:
+        73-108 + 144-149)."""
+        from kafka_connect_tablestore_spark.operators.payloads import parse_map_payload
+
+        out = parse_map_payload(
+            _map_events(spark, sf),
+            CFG,
+            declared={"user_id": "long", "amount": "double", "note": "string"},
+        )
+        return out.select("event_id", "user_id", "amount", "note", "error_info")
+
+    def cdc_map_payload_dynamic(spark, sf):
+        """Dynamic (no-whitelist) MAP parse, tall: per-value type mapping
+        Number→double, Boolean→boolean, else string
+        (ColumnCoverterUtil.java:79-92)."""
+        from kafka_connect_tablestore_spark.operators.payloads import explode_map_payload
+
+        return explode_map_payload(_map_events(spark, sf), ("event_id",))
+
+    def cdc_string_payload(spark, sf):
+        """Raw STRING payload → single attribute column named ``value``
+        (DefaultEventParser.java:233-237)."""
+        from kafka_connect_tablestore_spark.operators.payloads import parse_string_payload
+
+        e = _events(spark, sf).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias("payload"),
+        )
+        return parse_string_payload(e, "payload", side="value")
+
     def pipe_dedup_exact(spark, sf):
         return dedup_exact(_docs(spark, sf))
 
@@ -334,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_type_cast=cdc_type_cast,
         cdc_projection_whitelist=cdc_projection_whitelist,
         cdc_timeseries_transform=cdc_timeseries_transform,
+        cdc_map_payload=cdc_map_payload,
+        cdc_map_payload_dynamic=cdc_map_payload_dynamic,
+        cdc_string_payload=cdc_string_payload,
         pipe_dedup_exact=pipe_dedup_exact,
         pipe_minhash_signatures=pipe_minhash_signatures,
         pipe_lsh_pairs=pipe_lsh_pairs,
@@ -475,6 +532,64 @@ _LANG_CASES = {
     lang: f"len(list_filter({W}, w -> list_contains([{', '.join(repr(s) for s in sws)}], w)))"
     for lang, sws in STOPWORDS.items()
 }
+
+# ---- MAP / STRING payload oracles -------------------------------------------
+#: the map<string,string> payload derivation, mirrored column-wise (DuckDB has
+#: no need for an actual MAP — the driver compares values, the Spark side
+#: carries the real MapType column).
+_MAP_BASE = """
+m AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+    CASE WHEN event_id % 7 = 0
+         THEN 'u' || CAST(CAST(user_id AS BIGINT) AS VARCHAR)
+         ELSE CAST(CAST(user_id AS BIGINT) AS VARCHAR) END AS user_id_s,
+    CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) AS amount_s,
+    CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS active_s,
+    event_type AS note_s
+  FROM events
+)
+"""
+
+_NUM_RE_SQL = "'^-?[0-9]+(\\.[0-9]+)?$'"
+
+_MAP_PAYLOAD_SQL = f"""
+WITH {_MAP_BASE}
+SELECT event_id,
+  TRY_CAST(user_id_s AS BIGINT) AS user_id,
+  TRY_CAST(amount_s AS DOUBLE) AS amount,
+  note_s AS note,
+  CASE WHEN user_id_s IS NOT NULL AND TRY_CAST(user_id_s AS BIGINT) IS NULL
+       THEN 'TYPE_MISMATCH:user_id'
+       WHEN amount_s IS NOT NULL AND TRY_CAST(amount_s AS DOUBLE) IS NULL
+       THEN 'TYPE_MISMATCH:amount'
+       END AS error_info
+FROM m
+"""
+
+_MAP_DYNAMIC_SQL = f"""
+WITH {_MAP_BASE},
+tall AS (
+  SELECT event_id, 'user_id' AS field, user_id_s AS raw FROM m
+  UNION ALL SELECT event_id, 'amount', amount_s FROM m
+  UNION ALL SELECT event_id, 'active', active_s FROM m
+  UNION ALL SELECT event_id, 'note', note_s FROM m
+)
+SELECT event_id, field,
+  CASE WHEN regexp_matches(raw, {_NUM_RE_SQL}) THEN 'double'
+       WHEN raw IN ('true', 'false') THEN 'boolean'
+       ELSE 'string' END AS dyn_type,
+  CASE WHEN regexp_matches(raw, {_NUM_RE_SQL}) THEN TRY_CAST(raw AS DOUBLE) END AS v_double,
+  CASE WHEN raw IN ('true', 'false') THEN raw = 'true' END AS v_boolean,
+  CASE WHEN NOT regexp_matches(raw, {_NUM_RE_SQL}) AND raw NOT IN ('true', 'false') THEN raw END AS v_string
+FROM tall
+"""
+
+_STRING_PAYLOAD_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  event_type || ':' || CAST(event_id AS VARCHAR) AS value
+FROM events
+"""
+
 
 # ---- embedding-space oracles ------------------------------------------------
 # Shared cosine fragment (list_dot_product == the Spark left-fold bit-wise,
@@ -692,6 +807,9 @@ def oracle_sql() -> dict[str, str]:
             "epoch_ms(ts) * 1000 AS _time_us, "
             "value, event_id FROM events"
         ),
+        "cdc_map_payload": _MAP_PAYLOAD_SQL,
+        "cdc_map_payload_dynamic": _MAP_DYNAMIC_SQL,
+        "cdc_string_payload": _STRING_PAYLOAD_SQL,
         "pipe_dedup_exact": (
             f"SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size, "
             f"{FP} AS fp FROM documents GROUP BY fp"

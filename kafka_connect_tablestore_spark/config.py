@@ -117,6 +117,16 @@ class SinkConfig:
     # scans, the high-throughput setting) and all buckets are treated as
     # touched (uniform batches touch them all anyway).
     lineage_per_partition: bool = True
+    # Pluggable event parser — the engine's one user extension point,
+    # mirroring the reference's ``event.parse.class``
+    # (``TableStoreSinkConfig.java:53-54``, instantiation ``:702-710``,
+    # interface ``parsers/EventParser.java:13-66``).  A callable
+    # ``DataFrame -> DataFrame`` applied to the raw batch before
+    # classification; it must emit the engine's event columns
+    # (pk_fields + attr fields + envelope).  Declarative column expressions
+    # keep it JVM-side; an Arrow ``mapInPandas`` stage works for payloads
+    # Catalyst can't express.  None = built-in (records already structured).
+    event_parser: object | None = None
 
     def __post_init__(self) -> None:
         if not (1 <= len(self.pk_fields) <= 4):

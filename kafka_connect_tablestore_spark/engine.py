@@ -57,6 +57,10 @@ class CdcEngine:
         stats pass (per-partition lineage + touched buckets + errant count),
         ② the merge/fold/write pass, ③ a DLQ write only when errants exist.
         """
+        if self.config.event_parser is not None:
+            # user extension point (reference: event.parse.class,
+            # parsers/EventParser.java:13-66): raw batch → engine events
+            events = self.config.event_parser(events)
         classified = validate_and_classify(events, self.config, self.attr_fields)
 
         if not self.config.lineage_per_partition:

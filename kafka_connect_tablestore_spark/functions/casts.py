@@ -6,8 +6,11 @@ anything → STRING on request.  Dynamic (schemaless) values map
 Number→DOUBLE, bytes→BINARY, Boolean→BOOLEAN, else STRING (``:79-92``).
 
 Spark-first: plain ``cast`` expressions — codegen'd, no UDF.  Config-vs-data
-type mismatches (``DefaultEventParser.java:333-339``) surface as an errant
-column rather than an exception, feeding the S14 tolerance gate.
+type mismatch handling (``DefaultEventParser.java:333-339``) lives in
+``operators/payloads.py``: per-record TYPE_MISMATCH → ``error_info`` → the
+S14 tolerance gate for dynamic MAP payloads (``parse_map_payload``), and a
+plan-time strict check for static STRUCT schemas
+(``check_declared_struct_types``).  This module is the happy-path cast only.
 """
 
 from __future__ import annotations

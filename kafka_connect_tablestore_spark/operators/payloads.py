@@ -1,0 +1,147 @@
+"""Schemaless MAP and raw STRING payload parsing (SURVEY §1.1 shapes 2+3).
+
+The reference's ``DefaultEventParser`` handles three payload shapes; round 1
+covered only STRUCT.  This module adds the other two, Spark-first:
+
+- **MAP / null schema** (``DefaultEventParser.java:73-108, 246-294``):
+  schemaless JSON → dynamically-typed ``Map<String,Object>``.  Spark carries
+  it as a ``map<string,string>`` column (SURVEY §1.5); parsing is
+  ``try_element_at`` + ``try_cast`` — pure Catalyst expressions, null-safe
+  under ANSI mode.
+
+  Two typing regimes, mirroring the reference:
+
+  * **declared** (whitelist with types, ``TableStoreSinkConfig.java:835-883``):
+    each declared field is cast to its declared type; a present-but-uncastable
+    value is a TYPE_MISMATCH errant record
+    (``DefaultEventParser.java:144-149, 333-339`` throw → S14 tolerance gate),
+    closing round 1's gap where bad-typed records silently null-cast.
+  * **dynamic** (no whitelist, ``utils/ColumnCoverterUtil.java:79-92``):
+    per-VALUE type mapping — Number→DOUBLE, Boolean→BOOLEAN, else STRING.  A
+    DataFrame column has one static type, so the dynamic bag is emitted TALL
+    (one row per attribute, ``explode(map)``), each attribute independently
+    typed — exactly the wide-column row model of the target store.
+
+- **STRING** (``DefaultEventParser.java:233-237, 178-182, 191-195``): a raw
+  string payload becomes a single attribute column named ``value`` (or
+  ``key`` when the string is on the key side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.config import COLUMN_TYPE_WIDENING, SinkConfig
+from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
+
+#: string shapes the dynamic typer recognizes as numbers / booleans —
+#: the schemaless-JSON analogue of ``instanceof Number / Boolean`` in
+#: ``ColumnCoverterUtil.java:79-92``.
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+
+
+def parse_map_payload(
+    df: DataFrame,
+    config: SinkConfig,
+    declared: dict[str, str],
+    value_col: str = "value_map",
+) -> DataFrame:
+    """Declared-type MAP parse: extract + cast each whitelisted field.
+
+    Adds one typed column per declared field and ``error_info`` =
+    'TYPE_MISMATCH:<field>' for the first field whose value is present but
+    does not cast to its declared type (the reference throws on the first
+    mismatch, ``DefaultEventParser.java:144-149``).  Absent fields are null
+    (whitelisted-but-missing fields are skipped, ``:304-346``).  Feed the
+    result to the S14 tolerance gate / DLQ split like any classified frame.
+    """
+    m = F.col(value_col)
+    out_cols = list(df.columns)
+    err: Column = F.lit(None).cast("string")
+    typed: list[Column] = []
+    for name, typ in declared.items():
+        target = COLUMN_TYPE_WIDENING[typ]
+        raw = F.try_element_at(m, F.lit(name))
+        val = raw.try_cast(target)
+        typed.append(val.alias(name))
+        # first mismatch wins (reference throws at the first bad field)
+        err = F.coalesce(
+            err,
+            F.when(raw.isNotNull() & val.isNull(), F.lit(f"TYPE_MISMATCH:{name}")),
+        )
+    return df.select(*out_cols, *typed, err.alias(ERROR_COL))
+
+
+def explode_map_payload(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str = "value_map",
+) -> DataFrame:
+    """Dynamic (no-whitelist) MAP parse, emitted tall: one output row per
+    attribute with its per-value inferred type — Number→double,
+    Boolean→boolean, else string (``ColumnCoverterUtil.java:79-92``).
+
+    Output: ``key_cols + (field, dyn_type, v_double, v_boolean, v_string)``;
+    exactly one of the three value columns is non-null per row.  Map-only at
+    scale (explode fuses into the scan; no shuffle)."""
+    exploded = df.select(
+        *key_cols, F.explode(F.col(value_col)).alias("field", "_raw")
+    )
+    raw = F.col("_raw")
+    is_num = raw.rlike(_NUM_RE)
+    is_bool = raw.isin("true", "false")
+    dyn = (
+        F.when(is_num, F.lit("double"))
+        .when(is_bool, F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+    return exploded.select(
+        *key_cols,
+        "field",
+        dyn.alias("dyn_type"),
+        F.when(is_num, raw.try_cast("double")).alias("v_double"),
+        F.when(is_bool, raw == F.lit("true")).alias("v_boolean"),
+        F.when(~is_num & ~is_bool, raw).alias("v_string"),
+    )
+
+
+def parse_string_payload(
+    df: DataFrame, payload_col: str, side: str = "value"
+) -> DataFrame:
+    """Raw STRING payload → a single attribute column named ``value`` (or
+    ``key`` for key-side strings) — ``DefaultEventParser.java:233-237``.
+    The original payload column is replaced by the canonically-named one."""
+    if side not in ("value", "key"):
+        raise ValueError("side must be 'value' or 'key'")
+    keep = [c for c in df.columns if c != payload_col]
+    return df.select(*keep, F.col(payload_col).cast("string").alias(side))
+
+
+# ------------------------------------------------------- struct strict check
+_TYPE_CLASS = {
+    "tinyint": "long", "smallint": "long", "int": "long", "bigint": "long",
+    "float": "double", "double": "double",
+    "string": "string", "boolean": "boolean", "binary": "binary",
+}
+
+
+def check_declared_struct_types(df: DataFrame, declared: dict[str, str]) -> None:
+    """Strict whitelist-declared vs record-schema type check for STRUCT
+    payloads (``DefaultEventParser.java:333-339``): the record's field type
+    class must equal the declared class (all int widths are one class, all
+    float widths another — ``ColumnCoverterUtil.java:57-76``).  A DataFrame
+    column's type is static, so the reference's per-record throw becomes a
+    plan-time raise — every record would be errant."""
+    dtypes = dict(df.dtypes)
+    for name, typ in declared.items():
+        if name not in dtypes:
+            continue  # absent fields are skipped (whitelist semantics)
+        declared_class = COLUMN_TYPE_WIDENING[typ]
+        actual_class = _TYPE_CLASS.get(dtypes[name])
+        if actual_class is None or actual_class != declared_class:
+            raise TypeError(
+                f"whitelist declares {name!r} as {declared_class} but the "
+                f"record schema has {dtypes[name]} "
+                "(DefaultEventParser.java:333-339 strict check)"
+            )
