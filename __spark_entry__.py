@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from kafka_connect_tablestore_spark.config import (
     DeleteMode,
     InsertMode,
+    PrimaryKeyMode,
     RuntimeErrorTolerance,
     SinkConfig,
 )
@@ -277,6 +278,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return parse_string_payload(e, "payload", side="value")
 
+    def cdc_key_value_merge(spark, sf):
+        """Kafka-shaped key/value structs → flat event columns: PK from the
+        key struct (pk_mode=record_key), attribute bag = value fields then
+        key fields with key overwriting on clash at the value-side position
+        (LinkedHashMap putAll order), PK names never in the bag
+        (DefaultEventParser.java:107-214)."""
+        from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+        e = _events(spark, sf)
+        df = e.select(
+            F.col("event_id").cast("long").alias("offset"),
+            F.struct(
+                F.concat(F.lit("r"), (F.col("user_id") % 50).cast("string")).alias("repo"),
+                F.concat(F.lit("p"), (F.col("event_id") % 20).cast("string")).alias("path"),
+                F.concat(F.lit("K:"), F.col("event_type")).alias("shared"),
+            ).alias("key"),
+            F.struct(
+                F.lit("value-side-ignored").alias("repo"),
+                F.col("event_type").alias("commit"),
+                F.concat(F.lit("V:"), F.col("event_type")).alias("shared"),
+                F.col("props").alias("note"),
+            ).alias("value"),
+        )
+        cfg = SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY)
+        return parse_key_value(df, cfg)
+
     def pipe_dedup_exact(spark, sf):
         return dedup_exact(_docs(spark, sf))
 
@@ -391,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_map_payload=cdc_map_payload,
         cdc_map_payload_dynamic=cdc_map_payload_dynamic,
         cdc_string_payload=cdc_string_payload,
+        cdc_key_value_merge=cdc_key_value_merge,
         pipe_dedup_exact=pipe_dedup_exact,
         pipe_minhash_signatures=pipe_minhash_signatures,
         pipe_lsh_pairs=pipe_lsh_pairs,
@@ -587,6 +615,16 @@ FROM tall
 _STRING_PAYLOAD_SQL = """
 SELECT CAST(event_id AS BIGINT) AS event_id,
   event_type || ':' || CAST(event_id AS VARCHAR) AS value
+FROM events
+"""
+
+_KEY_VALUE_MERGE_SQL = """
+SELECT CAST(event_id AS BIGINT) AS "offset",
+  'r' || CAST(user_id % 50 AS VARCHAR) AS repo,
+  'p' || CAST(event_id % 20 AS VARCHAR) AS path,
+  event_type AS "commit",
+  'K:' || event_type AS shared,
+  props AS note
 FROM events
 """
 
@@ -810,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_map_payload": _MAP_PAYLOAD_SQL,
         "cdc_map_payload_dynamic": _MAP_DYNAMIC_SQL,
         "cdc_string_payload": _STRING_PAYLOAD_SQL,
+        "cdc_key_value_merge": _KEY_VALUE_MERGE_SQL,
         "pipe_dedup_exact": (
             f"SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size, "
             f"{FP} AS fp FROM documents GROUP BY fp"

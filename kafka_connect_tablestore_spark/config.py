@@ -111,12 +111,14 @@ class SinkConfig:
     n_buckets: int = 32
     salt_buckets: int = 8          # hot-key salting fan-out for two-phase LWW
     auto_create: bool = True       # CREATE TABLE IF NOT EXISTS semantics (S17)
-    # Lineage granularity: per-source-partition offset ranges need one extra
-    # aggregation pass over the batch; with False, global lineage is observed
-    # as a side-effect of the merge job itself (df.observe — zero extra
-    # scans, the high-throughput setting) and all buckets are treated as
-    # touched (uniform batches touch them all anyway).
-    lineage_per_partition: bool = True
+    # Lineage granularity.  False (default): global lineage is observed as
+    # a side-effect of the merge job itself (df.observe — ONE Spark job per
+    # batch, zero extra scans — the 10^10-event setting) and all buckets are
+    # treated as touched (uniform batches touch them all anyway).  True:
+    # per-source-partition offset ranges + the touched-bucket set, at the
+    # cost of one extra aggregation pass over the batch — turn on for
+    # sparse/selective batches or when per-partition audit lineage matters.
+    lineage_per_partition: bool = False
     # Pluggable event parser — the engine's one user extension point,
     # mirroring the reference's ``event.parse.class``
     # (``TableStoreSinkConfig.java:53-54``, instantiation ``:702-710``,

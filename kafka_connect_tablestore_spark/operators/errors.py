@@ -53,3 +53,44 @@ def reparse_dlq(dlq: DataFrame) -> DataFrame:
         v.getField("lang").alias("lang"),
         v.getField("content").alias("content"),
     )
+
+
+def kafka_dlq_records(
+    errant: DataFrame,
+    pk_fields: tuple[str, ...] = ("repo", "path"),
+    topic: str = "error-queue",
+) -> DataFrame:
+    """Errant records → Kafka-producer-shaped DLQ rows
+    (``errors/KafkaReporter.java:61-112``).
+
+    Emits exactly the schema Spark's Kafka sink
+    (``df.write.format("kafka")``) accepts — ``topic:string, key:binary,
+    value:binary, headers:array<struct<key:string,value:binary>>,
+    timestamp:timestamp`` — so on a cluster with a broker this frame IS the
+    producer call.  Mirroring ``convertToProducerRecord``:
+
+    - key / value: the original record's serialized key and payload
+      (``:90-92``; JSON here, the graft's wire format),
+    - the record timestamp rides along (``:94-96``,
+      ``checkAndConvertTimestamp``: non-positive → null),
+    - one ``ErrorInfo`` header carries the error string (``:109``).
+    """
+    from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
+
+    key_json = F.to_json(F.struct(*pk_fields))
+    payload_cols = [
+        c for c in errant.columns if c not in ("topic", "partition", "offset", ERROR_COL)
+    ]
+    ts = F.col("commit_ts")
+    return errant.select(
+        F.lit(topic).alias("topic"),
+        key_json.cast("binary").alias("key"),
+        F.to_json(F.struct(*payload_cols)).cast("binary").alias("value"),
+        F.array(
+            F.struct(
+                F.lit("ErrorInfo").alias("key"),
+                F.col(ERROR_COL).cast("binary").alias("value"),
+            )
+        ).alias("headers"),
+        F.when(ts > 0, F.timestamp_millis(ts)).alias("timestamp"),
+    )

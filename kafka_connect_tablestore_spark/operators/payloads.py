@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_tablestore_spark.config import COLUMN_TYPE_WIDENING, SinkConfig
+from kafka_connect_tablestore_spark.config import (
+    COLUMN_TYPE_WIDENING,
+    PrimaryKeyMode,
+    SinkConfig,
+)
+from kafka_connect_tablestore_spark.operators.projection import merge_key_value
 from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
 
 #: string shapes the dynamic typer recognizes as numbers / booleans —
@@ -116,6 +121,104 @@ def parse_string_payload(
         raise ValueError("side must be 'value' or 'key'")
     keep = [c for c in df.columns if c != payload_col]
     return df.select(*keep, F.col(payload_col).cast("string").alias(side))
+
+
+# ------------------------------------------------------ key/value merge (S9)
+def parse_key_value(
+    df: DataFrame,
+    config: SinkConfig,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Full key/value record parse (S4 + S9): flatten a Kafka-shaped record
+    with ``key`` and ``value`` payload columns into engine event columns.
+
+    Reference semantics (``DefaultEventParser.java:107-214``):
+
+    - PK fields are pulled from the **mode-selected side** — the key payload
+      for ``pk_mode=record_key``, the value payload for ``record_value``
+      (``parseForPrimaryKey``, ``:107-155``); a record PK field whose type
+      class differs from the configured ``pk_types`` entry is an error
+      (``:142-149`` throws — a struct column's type is static, so the
+      per-record throw becomes a plan-time raise here).
+    - The attribute bag is the **value fields first, then the key fields,
+      key overwriting value on a name clash** (``parseForColumns``
+      ``:156-195``: value ``putAll`` then key ``putAll`` into one
+      ``LinkedHashMap``).
+    - PK-named fields never land in the attribute bag
+      (``parseStructForColumns`` skips primary-key names, ``:304-346``),
+      and the column whitelist filters what remains.
+    - A STRING-shaped payload contributes a single column named ``value`` /
+      ``key`` — but not on the side the PK is extracted from
+      (``:178-182, 191-195``).
+
+    Everything is a plain ``select`` over struct-field accessors — Catalyst
+    prunes unread struct fields into the parquet scan; zero Python per row.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    key_type = df.schema[key_col].dataType
+    val_type = df.schema[value_col].dataType
+    key_is_struct = isinstance(key_type, StructType)
+    val_is_struct = isinstance(val_type, StructType)
+
+    if config.pk_mode is PrimaryKeyMode.RECORD_KEY:
+        pk_src, pk_is_struct = key_col, key_is_struct
+    elif config.pk_mode is PrimaryKeyMode.RECORD_VALUE:
+        pk_src, pk_is_struct = value_col, val_is_struct
+    else:
+        raise ValueError(
+            "parse_key_value requires pk_mode record_key or record_value "
+            "(RowChangeTransformer.java:76-89 dispatch)"
+        )
+    if not pk_is_struct:
+        raise TypeError(
+            f"pk_mode={config.pk_mode.value} needs a STRUCT {pk_src!r} payload "
+            "(DefaultEventParser.java:113-118: non-struct key/value cannot "
+            "carry named PK fields)"
+        )
+
+    # --- PK columns: strict type-class check, then cast -------------------
+    pk_struct: StructType = df.schema[pk_src].dataType
+    pk_exprs: list[Column] = []
+    for name, typ in zip(config.pk_fields, config.pk_types):
+        if name not in pk_struct.names:
+            # absent PK field ⇒ every record errant; surfaced as null PK to
+            # the S14 gate (DefaultEventParser.java:130-138 throws per record)
+            pk_exprs.append(F.lit(None).cast(typ).alias(name))
+            continue
+        actual = _TYPE_CLASS.get(pk_struct[name].dataType.simpleString())
+        if actual != typ:
+            raise TypeError(
+                f"PK field {name!r} is declared {typ} but the record has "
+                f"{pk_struct[name].dataType.simpleString()} "
+                "(DefaultEventParser.java:142-149 strict PK type check)"
+            )
+        pk_exprs.append(F.col(f"{pk_src}.{name}").cast(typ).alias(name))
+
+    # --- attribute bag: value fields, then key fields overwrite -----------
+    val_fields = list(val_type.names) if val_is_struct else []
+    key_fields = list(key_type.names) if key_is_struct else []
+    drop = set(config.pk_fields)
+    merged = merge_key_value(
+        [c for c in val_fields if c not in drop],
+        [c for c in key_fields if c not in drop],
+    )
+    if config.column_whitelist is not None:
+        merged = [c for c in merged if c in config.column_whitelist]
+    attr_exprs = [
+        F.col(f"{key_col if c in key_fields else value_col}.{c}").alias(c)
+        for c in merged
+    ]
+    # STRING-shaped payloads → one column named after the side, except on
+    # the PK-extraction side (DefaultEventParser.java:178-182, 191-195)
+    if isinstance(val_type, StringType) and config.pk_mode is not PrimaryKeyMode.RECORD_VALUE:
+        attr_exprs.append(F.col(value_col).alias("value"))
+    if isinstance(key_type, StringType) and config.pk_mode is not PrimaryKeyMode.RECORD_KEY:
+        attr_exprs.append(F.col(key_col).alias("key"))
+
+    envelope = [c for c in df.columns if c not in (key_col, value_col)]
+    return df.select(*envelope, *pk_exprs, *attr_exprs)
 
 
 # ------------------------------------------------------- struct strict check

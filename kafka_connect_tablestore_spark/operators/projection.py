@@ -36,7 +36,9 @@ def project_attributes(
 
 
 def merge_key_value(value_df_cols: list[str], key_cols: list[str]) -> list[str]:
-    """Order of the merged attribute bag: value fields first, key fields
-    overwrite on name clash (``DefaultEventParser.java:156-214``)."""
-    merged = [c for c in value_df_cols if c not in key_cols]
-    return merged + list(key_cols)
+    """Order of the merged attribute bag (``DefaultEventParser.java:156-214``):
+    ``LinkedHashMap`` ``putAll(value)`` then ``putAll(key)`` — a key field
+    that clashes with a value field keeps the VALUE side's position (a
+    ``LinkedHashMap`` re-put preserves insertion order) while its value comes
+    from the key; key-only fields append at the end."""
+    return list(value_df_cols) + [c for c in key_cols if c not in value_df_cols]

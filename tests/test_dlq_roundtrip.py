@@ -50,3 +50,50 @@ def test_dlq_reparse_and_replay(spark, tmp_path):
         (r["repo"], r["path"]): r["content_sha256"] for r in e.state().collect()
     }
     assert sig(eng2) == sig(ref)
+
+
+def test_kafka_dlq_records_shape_and_header(spark):
+    """KafkaReporter parity (errors/KafkaReporter.java:61-112): the frame has
+    exactly the Spark Kafka-sink schema, the ErrorInfo header carries the
+    error string, and key/value round-trip the original record."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.config import SinkConfig
+    from kafka_connect_tablestore_spark.operators.errors import kafka_dlq_records
+    from kafka_connect_tablestore_spark.operators.rowchange import (
+        split_errant,
+        validate_and_classify,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("t", 0, 1, 1000, "PUT", "r1", "a", "c1", "py", "x"),
+            ("t", 0, 2, -5, "BOGUS_OP", "r1", None, "c2", "py", "y"),
+        ],
+        "topic string, partition int, offset long, commit_ts long, op string, "
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = SinkConfig()
+    classified = validate_and_classify(events, cfg, ("commit", "lang", "content"))
+    _, errant = split_errant(classified, cfg)
+    out = kafka_dlq_records(errant, cfg.pk_fields, topic="dlq-topic")
+
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "topic:string",
+        "key:binary",
+        "value:binary",
+        "headers:array<struct<key:string,value:binary>>",
+        "timestamp:timestamp",
+    ]
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["topic"] == "dlq-topic"
+    assert json.loads(bytes(r["key"]).decode()) == {"repo": "r1"}  # null path absent
+    payload = json.loads(bytes(r["value"]).decode())
+    assert payload["op"] == "BOGUS_OP" and payload["content"] == "y"
+    (hdr,) = r["headers"]
+    assert hdr["key"] == "ErrorInfo" and len(bytes(hdr["value"])) > 0
+    assert r["timestamp"] is None  # non-positive record timestamp -> null (:94-96)

@@ -86,7 +86,7 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
 
 
 def test_manifest_lineage_per_partition(spark, tmp_path):
-    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW, lineage_per_partition=True)
     events = synth_changelog(spark, 3000, seed=9, n_partitions=4).cache()
     eng = CdcEngine(spark, cfg, str(tmp_path))
     m = eng.apply_batch(events, "b-0")

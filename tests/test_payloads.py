@@ -139,3 +139,108 @@ def test_custom_event_parser_feeds_fold(spark, tmp_path):
         (r["repo"], r["path"]): r["content_sha256"] for r in e.state().collect()
     }
     assert sig(eng) == sig(ref) and len(sig(eng)) > 0
+
+
+# ----------------------------------------------------- key/value merge (S9)
+def _kv_df(spark):
+    """Kafka-shaped records: key struct carries the PK + a clashing field."""
+    rows = [
+        (0, 100, ("r1", "a", "key-src"), ("r1", "x", "c1", "from-value", "v-only")),
+        (1, 200, ("r1", "b", "key-src"), ("zz", "y", "c2", "from-value", "v-only")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "offset long, commit_ts long, "
+        "key struct<repo:string, path:string, shared:string>, "
+        "value struct<repo:string, path:string, commit:string, shared:string, note:string>",
+    )
+
+
+def test_key_value_merge_record_key(spark):
+    """pk_mode=record_key: PK from the key struct; attribute bag = value
+    fields then key fields, key overwriting on clash; PK names dropped
+    (DefaultEventParser.java:107-214)."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    cfg = SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY)
+    out = parse_key_value(_kv_df(spark), cfg)
+    assert out.columns == ["offset", "commit_ts", "repo", "path", "commit", "shared", "note"]
+    rows = {r["offset"]: r.asDict() for r in out.collect()}
+    # PK comes from the KEY side ('r1','a'), not the value's ('r1','x')
+    assert (rows[0]["repo"], rows[0]["path"]) == ("r1", "a")
+    assert (rows[1]["repo"], rows[1]["path"]) == ("r1", "b")
+    # clash: key's 'shared' overwrites value's
+    assert rows[0]["shared"] == "key-src"
+    assert rows[0]["note"] == "v-only" and rows[0]["commit"] == "c1"
+
+
+def test_key_value_merge_record_value(spark):
+    """pk_mode=record_value: PK from the value struct; key fields still
+    overwrite the attribute bag on clash."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    cfg = SinkConfig(pk_mode=PrimaryKeyMode.RECORD_VALUE)
+    out = parse_key_value(_kv_df(spark), cfg)
+    rows = {r["offset"]: r.asDict() for r in out.collect()}
+    assert (rows[1]["repo"], rows[1]["path"]) == ("zz", "y")
+    assert rows[1]["shared"] == "key-src"  # key overwrites even in value mode
+
+
+def test_key_value_whitelist_filters_attrs(spark):
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    cfg = SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY, column_whitelist=("note",))
+    out = parse_key_value(_kv_df(spark), cfg)
+    assert out.columns == ["offset", "commit_ts", "repo", "path", "note"]
+
+
+def test_key_value_string_key_side(spark):
+    """STRING-shaped key + pk_mode=record_value: key contributes a 'key'
+    column (DefaultEventParser.java:191-195)."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    df = spark.createDataFrame(
+        [(0, "raw-key", ("r1", "a", "c1"))],
+        "offset long, key string, value struct<repo:string, path:string, commit:string>",
+    )
+    cfg = SinkConfig(pk_mode=PrimaryKeyMode.RECORD_VALUE)
+    out = parse_key_value(df, cfg)
+    row = out.first().asDict()
+    assert row["key"] == "raw-key" and (row["repo"], row["path"]) == ("r1", "a")
+    # but with record_key the string key cannot carry named PK fields
+    with pytest.raises(TypeError, match="STRUCT"):
+        parse_key_value(df, SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY))
+
+
+def test_key_value_strict_pk_type_check(spark):
+    """A record PK field with the wrong type class raises
+    (DefaultEventParser.java:142-149)."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    df = spark.createDataFrame(
+        [(0, (7, "a"), ("x",))],
+        "offset long, key struct<repo:long, path:string>, value struct<commit:string>",
+    )
+    with pytest.raises(TypeError, match="strict PK type check"):
+        parse_key_value(df, SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY))
+
+
+def test_key_value_absent_pk_field_is_null(spark):
+    """A PK field absent from the payload struct surfaces as null (errant at
+    the S14 gate), mirroring the per-record throw at
+    DefaultEventParser.java:130-138."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    df = spark.createDataFrame(
+        [(0, ("r1",), ("c1", "note"))],
+        "offset long, key struct<repo:string>, value struct<commit:string, note:string>",
+    )
+    out = parse_key_value(df, SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY))
+    row = out.first().asDict()
+    assert row["repo"] == "r1" and row["path"] is None
