@@ -116,14 +116,29 @@ def minhash_lsh_pairs(
     cache pinned (caller owns the lifecycle).
     """
     r = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes).where(
-        F.col("h0").isNotNull()
+    # Docs with no shingles (fewer than k words, or null text) must be
+    # dropped — their all-null signatures would otherwise share one
+    # degenerate band key and pair with each other.  Filter on the INPUT
+    # (same excluded set as ``h0 IS NOT NULL``): a predicate on the computed
+    # h0 gets pushed below the projection chain, which fully inlines the
+    # words→shingles→md5 alias chain into the predicate, and higher-order
+    # functions re-evaluate inline subexpressions per element — measured
+    # ~12× the whole signature stage (10 s vs 0.8 s at sf0.1).
+    sig = minhash_signatures(
+        df.where(F.size(words(text_col)) >= 3), text_col, id_col, n_hashes
     )
     # persist the signatures: they are referenced by 4 band branches × 2 join
     # sides, and CollapseProject would otherwise re-inline (= recompute) the
     # shingle/md5 work 8×.  At 100 TB this is the standard LSH shape too —
     # signatures are ~64 bytes/doc, tiny next to the corpus.
     sig = sig.persist()
+    if eager:
+        # Fill the cache in its own job BEFORE the join references it 8
+        # ways: cache population is per-partition and not synchronized
+        # within a job, so concurrent branches of one job all MISS and
+        # recompute the md5-heavy signature stage (measured 8x = ~16 s at
+        # sf0.1; with the eager fill the whole query is ~2 s).
+        sig.count()
     band_rows = []
     for b in range(bands):
         key = F.concat_ws("_", *[F.col(f"h{b * r + i}") for i in range(r)])
