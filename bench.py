@@ -69,11 +69,14 @@ def bench_cdc_ingest(spark, n_events: int, workdir: str) -> tuple[float, float]:
     )
     events = spark.read.parquet(log_dir)
 
-    # warm-up batch (JIT/codegen/scan init) into a throwaway lake — the
-    # timed runs then measure steady-state throughput, which is what a
+    # FULL-SIZE warm-up batch (JIT/codegen/scan init) into a throwaway lake —
+    # C2 compilation of the whole-stage-codegen paths needs real volume (a
+    # small warm batch leaves the first timed trial 2-5x slow); the timed
+    # runs then measure steady-state throughput, which is what a
     # long-running streaming ingest actually sees
     warm = CdcEngine(spark, cfg, os.path.join(workdir, "lake-warm"))
-    warm.apply_batch(events.limit(50_000), "warm-0")
+    warm.apply_batch(events, "warm-0")
+    shutil.rmtree(os.path.join(workdir, "lake-warm"), ignore_errors=True)
 
     # best-of-N to reject noisy-neighbor interference on the shared sandbox
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))

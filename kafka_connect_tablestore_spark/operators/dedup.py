@@ -243,7 +243,11 @@ def ngram_jaccard_pairs(
                 ).cast("double")
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return out
+    if threshold > 0.0:
+        # filter on the un-rounded value (rounding is display-only); skipped
+        # entirely at threshold 0 — pushdown would inline the
+        # array_intersect expression into the predicate and compute it
+        # twice per pair for a vacuous check
+        out = out.where(F.col("jaccard") >= threshold)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
