@@ -701,8 +701,9 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 def _ann_ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 2) -> str:
     # distance = (<v,v> - 2<v,c>) + <c,c> — the exact operand order of
     # operators.similarity.ivf_assign; ties broken by lowest cell index
-    # (Spark's array_position-first-min).
-    probes = ", ".join(f"({p})" for p in range(nprobe))
+    # (Spark's array_position-first-min / sort_array on struct<dist,idx>).
+    # Probes = the nprobe nearest cells in true distance order, the twin of
+    # operators.similarity.ivf_probe_cells.
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
@@ -719,8 +720,12 @@ cells AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_idx) = 1
 ),
 corpus AS (SELECT base.vec_id AS neighbor_id, v AS cv, cell FROM base JOIN cells USING (vec_id)),
-q0 AS (SELECT base.vec_id AS query_id, v AS qv, cell AS cell0 FROM base JOIN cells USING (vec_id) WHERE base.vec_id < 5),
-qp AS (SELECT query_id, qv, CAST((cell0 + p) % {n_cells} AS INT) AS cell FROM q0 CROSS JOIN (VALUES {probes}) t(p)),
+q0 AS (SELECT base.vec_id AS query_id, v AS qv FROM base WHERE base.vec_id < 5),
+qp AS (
+  SELECT a.vec_id AS query_id, q0.qv, a.cell_idx AS cell
+  FROM assign a JOIN q0 ON a.vec_id = q0.query_id
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY a.dist, a.cell_idx) <= {nprobe}
+),
 scored AS (
   SELECT DISTINCT query_id, neighbor_id, {_COS} AS cos_sim
   FROM corpus JOIN qp USING (cell) WHERE query_id <> neighbor_id

@@ -12,7 +12,7 @@ partitioning), reporting throughput at both plus efficiency
 
 Methodology (each level a fresh driver subprocess):
   * input: ``SPARK_GRAFT_BENCH_EVENTS`` synthetic change events (default
-    96M — large enough that the ~4-5 s per-batch scheduling floor is <5%
+    192M — large enough that the ~4-5 s per-batch scheduling floor is <3%
     of the N-level wall), seed 42, Zipf-skewed repos, materialized to
     parquet in 256 slices for BOTH levels (same files, same task
     granularity — per-task hash-aggregate state is level-independent).
@@ -47,7 +47,7 @@ spark = (
     SparkSession.builder.master(f"local-cluster[{{n_exec}},8,20480]")
     .appName("kcts-scaling")
     .config("spark.sql.shuffle.partitions", str(shufp))
-    .config("spark.executor.memory", "18g")
+    .config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "14g"))
     .config("spark.driver.memory", "8g")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -115,7 +115,7 @@ def run_level(repo: str, n_exec: int, n_events: int, shufp: int, slices: int,
 
 def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "96000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "192000000"))
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     shufp, slices = 64, 256
     lo = run_level(repo, 1, n_events, shufp, slices, trials)

@@ -133,9 +133,31 @@ class CdcEngine:
         )
         clean, errant = split_errant(observed, self.config)
 
+        def _lineage_row() -> dict:
+            # The data-write job has run, so the observation normally fires
+            # within milliseconds (listener-bus delivery is async).  Guard
+            # with a bounded poll: if the metrics never arrive (e.g. the
+            # executed plan landed on a different SparkSession than the one
+            # the Observation listener is registered on), fall back to one
+            # direct aggregate job instead of blocking forever.
+            import time as _time
+
+            deadline = _time.time() + 10.0
+            while _time.time() < deadline:
+                if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                    return dict(obs.get)
+                _time.sleep(0.05)
+            row = classified.agg(
+                F.min(F.when(is_clean, F.col("offset"))).alias("start_offset"),
+                F.max(F.when(is_clean, F.col("offset"))).alias("end_offset"),
+                F.count(F.when(is_clean, F.lit(1))).alias("rows"),
+                F.count(F.when(~is_clean, F.lit(1))).alias("errant_rows"),
+            ).first()
+            return row.asDict()
+
         def before_commit(manifest: dict) -> None:
             # the data-write job has run ⇒ the observation has fired
-            lineage = {"_global": dict(obs.get)}
+            lineage = {"_global": _lineage_row()}
             n_errant = lineage["_global"]["errant_rows"]
             if n_errant:
                 if self.config.tolerance is RuntimeErrorTolerance.NONE:

@@ -193,10 +193,15 @@ class LakeTable:
         os.rename(vtmp, self._version_path)
 
     # ---------------------------------------------------------------- read
-    def _read_buckets(self, bucket_dirs: list[str], schema: dict[str, str]) -> DataFrame | None:
+    def _read_buckets(
+        self,
+        bucket_dirs: list[str],
+        schema: dict[str, str],
+        session: SparkSession | None = None,
+    ) -> DataFrame | None:
         if not bucket_dirs:
             return None
-        df = self.spark.read.parquet(*bucket_dirs)
+        df = (session or self.spark).read.parquet(*bucket_dirs)
         keep = list(self.config.pk_fields) + [c for c in META_COLS if c in df.columns]
         return align_to_schema(df, schema, keep)
 
@@ -292,7 +297,15 @@ class LakeTable:
             touched = sorted({b for r in stats for b in r["buckets"]})
         old_buckets: dict[str, list[str]] = snap["buckets"]
         target_dirs = [d for b in touched for d in old_buckets.get(str(b), [])]
-        target = self._read_buckets(target_dirs, new_schema)
+        # Read the target side on the SAME session as the incoming batch.
+        # Inside foreachBatch the batch frame belongs to the micro-batch's
+        # cloned session; a main-session target read would move the merged
+        # plan's execution (and its SQLExecutionEnd events) to the main
+        # session, which the clone-registered Observation listener filters
+        # out — obs.get in before_commit would then block forever.
+        target = self._read_buckets(
+            target_dirs, new_schema, session=clean_events.sparkSession
+        )
         if target is not None and SHA_COL in target.columns:
             target = target.drop(SHA_COL)
 

@@ -182,6 +182,70 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
+def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """The ``nprobe`` nearest cells in true distance order (ties → lowest
+    cell index), as an ``array<int>`` expression: sort a
+    ``struct<dist,idx>`` array and slice.  Same algebraic distance as
+    ``ivf_assign``, so probe #1 always equals the assignment cell —
+    bit-identical to the oracle's ``row_number() ORDER BY dist, cell_idx``."""
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    vd = v.cast("array<double>")
+    vv = _dot(vd, vd)
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = (vv - F.lit(2.0) * _dot(vd, carr)) + _dot(carr, carr)
+        entries.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("i")))
+    ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["i"])
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Sampled Lloyd k-means coarse quantizer — the at-scale IVF trainer.
+
+    Deterministic by construction: the training sample is the first
+    ``sample_size`` vectors in md5(id) order (a seedless uniform sample that
+    any cluster size reproduces bit-identically), seeds are the first
+    ``n_cells`` of that sample, and ``iters`` full Lloyd rounds run
+    driver-side in numpy.  The collect is bounded by ``sample_size`` —
+    at 100 TB the corpus never moves; only ~2k vectors do.  Empty cells
+    keep their previous centroid (standard Lloyd degeneracy handling)."""
+    import numpy as np
+
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    # spherical k-means: the ANN metric is cosine, so cluster DIRECTIONS —
+    # train on unit vectors and re-normalize centroids each round.  Unit
+    # centroids also make the downstream raw-vector L2 argmin (ivf_assign)
+    # equal the cosine argmax: |v|^2 - 2<v,c> + 1 is minimized where <v,c>
+    # is maximized.
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [[float(v) for v in c] for c in cents]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -190,37 +254,44 @@ def ann_ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: str = "first",
 ) -> DataFrame:
-    """IVF-style ANN: train = take the first ``n_cells`` vectors as coarse
-    centroids (deterministic; swap for k-means at scale), assign every corpus
+    """IVF-style ANN: train the coarse quantizer, assign every corpus
     vector to its nearest cell (map-only), probe the ``nprobe`` nearest cells
     per query, exact-rank within the probed candidates.
+
+    ``train='first'`` (default): centroids = the first ``n_cells`` vectors
+    by id — trivially deterministic, SQL-expressible (the DuckDB oracle
+    twin).  ``train='kmeans'``: sampled Lloyd k-means
+    (``train_ivf_centroids``) — the quantizer a 100 TB corpus wants; same
+    bounded driver collect, better-balanced cells.
 
     Scale shape: cell assignment is computed once and bucket-written (the
     inverted file); a query then reads nprobe/n_cells of the corpus instead
     of scanning it — the classic recall/latency dial."""
-    centroids = [
-        [float(x) for x in r[vec_col]]
-        for r in df.orderBy(id_col).limit(n_cells).collect()
-    ]
+    if train == "kmeans":
+        centroids = train_ivf_centroids(
+            df, n_cells, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
         ivf_assign(F.col(vec_col), centroids).alias("cell"),
     )
-    # nprobe nearest cells per query: rank the same distance array
+    # nprobe nearest cells per query, in true distance order — probing the
+    # actually-closest cells is what makes nprobe a recall dial on a
+    # balanced (k-means) quantizer
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        ivf_assign(F.col(vec_col), centroids).alias("cell0"),
+        ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
     )
-    probes = []
-    for p in range(nprobe):
-        # p-th nearest cell via iterated argmin exclusion is expression-heavy;
-        # probe = primary cell + (primary + p) mod n_cells keeps it cheap and
-        # deterministic (a ring probe; real IVF uses the distance order)
-        probes.append(F.pmod(F.col("cell0") + F.lit(p), F.lit(n_cells)))
-    qp = q.withColumn("cell", F.explode(F.array(*probes)))
+    qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
 
     from pyspark.sql import Window
 

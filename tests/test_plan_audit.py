@@ -109,3 +109,29 @@ def test_merge_plan_has_exactly_two_shuffles(spark):
 def test_ann_broadcasts_query_side(spark):
     df = em.queries()["pipe_ann_brute"](spark, SF_DIR)
     assert "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_key_value_parse_prunes_struct_fields(spark, tmp_path):
+    """parse_key_value is a plain select over struct-field accessors, so
+    Catalyst must prune unread struct fields into the parquet scan: with a
+    whitelist keeping only 'note', the value struct's other fields must not
+    be read."""
+    from kafka_connect_tablestore_spark.config import PrimaryKeyMode, SinkConfig
+    from kafka_connect_tablestore_spark.operators.payloads import parse_key_value
+
+    src = spark.createDataFrame(
+        [(0, ("r1", "a"), ("c1", "n1", "x" * 10))],
+        "offset long, key struct<repo:string,path:string>, "
+        "value struct<commit:string,note:string,content:string>",
+    )
+    p = str(tmp_path / "kv.parquet")
+    src.write.parquet(p)
+    df = parse_key_value(
+        spark.read.parquet(p),
+        SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY, column_whitelist=("note",)),
+    )
+    plan = physical_plan(df)
+    # value struct narrowed to note only: neither commit nor content is read
+    assert "note" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "content" not in read_schema[0] and "commit" not in read_schema[0]

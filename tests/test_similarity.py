@@ -90,3 +90,55 @@ def test_embedding_neardup_nonempty_and_exact_subset(spark):
     assert got <= exact, f"bucket-local pairs must be a subset of exact: {got - exact}"
     recall = len(got) / len(exact)
     assert recall >= 0.2, f"LSH recall {recall:.2f} below floor (got {len(got)}/{len(exact)})"
+
+
+def test_ivf_kmeans_trainer_deterministic_and_effective(spark):
+    """Sampled-k-means IVF (the at-scale quantizer): deterministic across
+    runs, well-formed top-k, and recall vs exact no worse than the
+    first-n-vectors quantizer on the same corpus."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_topk,
+        brute_force_topk,
+        train_ivf_centroids,
+    )
+
+    df = _emb(spark)
+    # fair queries: NOT the first-n vectors — under train='first' those ARE
+    # the centroids, which inflates that quantizer's recall artificially
+    queries = df.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+
+    c1 = train_ivf_centroids(df, n_cells=8, sample_size=256, iters=3)
+    c2 = train_ivf_centroids(df, n_cells=8, sample_size=256, iters=3)
+    assert c1 == c2  # bit-identical across runs
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def run(train):
+        got = ann_ivf_topk(df, queries, k=5, n_cells=8, nprobe=2, train=train)
+        rows = got.collect()
+        # well-formed: <=k per query, ranks dense from 1
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        return len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact) / len(exact)
+
+    def max_cell_share(centroids):
+        from kafka_connect_tablestore_spark.operators.similarity import ivf_assign
+
+        counts = [
+            r["n"]
+            for r in df.select(ivf_assign(F.col("embedding"), centroids).alias("c"))
+            .groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        return max(counts) / sum(counts)
+
+    # scale properties the spherical trainer buys: balanced cells (a probe
+    # reads ~nprobe/n_cells of the corpus) and better cosine recall than the
+    # first-n quantizer at the same probe budget (measured 0.58 vs 0.32)
+    assert max_cell_share(c1) < 0.45
+    assert run("kmeans") > run("first")
