@@ -170,15 +170,18 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     to the DuckDB oracle's ``list_dot_product`` form (a per-element
     ``(x-y)²`` fold would sum in a different order and ulp-flip argmin on
     near-equidistant centroids).  Ties pick the first (lowest) cell index —
-    the oracle's ``row_number() ORDER BY dist, cell_idx`` twin."""
+    the oracle's ``row_number() ORDER BY dist, cell_idx`` twin.
+
+    The centroid table ships as ONE nested-array literal and distances come
+    from a single ``transform`` lambda: per-centroid expression trees (16
+    cells × 64 dims of ``lit`` calls) cost seconds of driver plan-build time
+    and blow up codegen; the HOF form is O(1) plan size in both n_cells and
+    dim."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = v.cast("array<double>")
     vv = _dot(vd, vd)
-    dists = []
-    for c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append((vv - F.lit(2.0) * _dot(vd, carr)) + _dot(carr, carr))
-    darr = F.array(*dists)
+    cent = F.lit([[float(x) for x in c] for c in centroids])
+    darr = F.transform(cent, lambda c: (vv - F.lit(2.0) * _dot(vd, c)) + _dot(c, c))
     return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
@@ -187,16 +190,21 @@ def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
     cell index), as an ``array<int>`` expression: sort a
     ``struct<dist,idx>`` array and slice.  Same algebraic distance as
     ``ivf_assign``, so probe #1 always equals the assignment cell —
-    bit-identical to the oracle's ``row_number() ORDER BY dist, cell_idx``."""
+    bit-identical to the oracle's ``row_number() ORDER BY dist, cell_idx``.
+    Same single-literal ``transform`` form as ``ivf_assign`` (plan size
+    independent of n_cells × dim)."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = v.cast("array<double>")
     vv = _dot(vd, vd)
-    entries = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = (vv - F.lit(2.0) * _dot(vd, carr)) + _dot(carr, carr)
-        entries.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("i")))
-    ranked = F.slice(F.sort_array(F.array(*entries)), 1, nprobe)
+    cent = F.lit([[float(x) for x in c] for c in centroids])
+    entries = F.transform(
+        cent,
+        lambda c, i: F.struct(
+            ((vv - F.lit(2.0) * _dot(vd, c)) + _dot(c, c)).alias("d"),
+            i.cast("int").alias("i"),
+        ),
+    )
+    ranked = F.slice(F.sort_array(entries), 1, nprobe)
     return F.transform(ranked, lambda s: s["i"])
 
 
