@@ -48,20 +48,28 @@ def brute_force_topk(
     ``queries`` is small (a handful of probe vectors) — broadcast it so the
     corpus scan never shuffles.  Scores are rounded to 4 decimals with an
     id tie-break, making ranks deterministic across engines."""
+    qd = F.col(vec_col).cast("array<double>")
+    # norms are per-vector: evaluate once per row, not once per scored pair
+    # (HOF aggregates don't codegen; per-pair norms triple the join's cost).
+    # dot/(qn*cn) is the same expression tree as `cosine` — bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        qd.alias("qv"),
+        _norm(qd).alias("qn"),
     )
     c = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        qd.alias("cv"),
+        _norm(qd).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -100,22 +108,30 @@ def hyperplane_components(
 def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 16, seed: str = "lsh"):
     """Sign-bit LSH bucket id: bit p = 1 iff <v[:dim], plane_p> > 0.
 
-    The projection is an explicit 16-term sum over ``F.get`` (0-based, null
-    out-of-bounds) — NOT ``zip_with``: zip_with pads the shorter array with
-    nulls, and one null product poisons the whole aggregate to NULL, which
-    silently collapsed every longer-than-``dim`` vector into bucket 0 (all
-    sign tests false).  Vectors shorter than ``dim`` contribute only their
-    present components (null terms short-circuit the sign test to 0, same as
-    the SQL twin's out-of-bounds NULL)."""
+    The vector is sliced to ``dim`` BEFORE the inner product — a bare
+    ``zip_with(v, plane)`` pads the shorter side (the plane) with nulls, and
+    one null product poisons the aggregate to NULL, which silently collapsed
+    every longer-than-``dim`` vector into bucket 0.  After the slice both
+    arrays have ``dim`` elements; a vector genuinely shorter than ``dim``
+    yields a NULL projection and bit 0 on every plane (same as the SQL
+    twin's out-of-bounds NULL).
+
+    The plane table ships as ONE nested-array literal with the projections
+    in a single ``transform`` lambda: unrolled per-plane sums (n_planes ×
+    dim terms) overflow the JVM's 64KB codegen method limit when several
+    tables land in one stage (OR-amplified near-dup), silently dropping the
+    whole stage to interpreted mode."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
-    vd = v.cast("array<double>")
-    bucket = F.lit(0)
-    for p, comps in enumerate(hyperplane_components(n_planes, dim, seed)):
-        proj = F.get(vd, 0) * F.lit(comps[0])
-        for i in range(1, dim):
-            proj = proj + F.get(vd, i) * F.lit(comps[i])
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    vd = F.slice(v.cast("array<double>"), 1, dim)
+    planes = F.lit(hyperplane_components(n_planes, dim, seed))
+    bits = F.transform(
+        planes,
+        # 2^i is exact in double for i < 53, so the cast is lossless
+        lambda p, i: F.when(
+            _dot(vd, p) > 0, F.pow(F.lit(2.0), i).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
 
 
 def ann_lsh_topk(
@@ -132,14 +148,17 @@ def ann_lsh_topk(
     ``n_planes`` (more planes = smaller buckets).  At scale, corpus buckets
     are computed once (map-only) and bucketed-written, so each query reads
     one bucket — the IVF pattern."""
+    vd = F.col(vec_col).cast("array<double>")
     bq = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        vd.alias("qv"),
+        _norm(vd).alias("qn"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     bc = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        vd.alias("cv"),
+        _norm(vd).alias("cn"),
         hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
@@ -148,7 +167,9 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -286,9 +307,11 @@ def ann_ivf_topk(
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(n_cells).collect()
         ]
+    vd = F.col(vec_col).cast("array<double>")
     corpus = df.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        vd.alias("cv"),
+        _norm(vd).alias("cn"),
         ivf_assign(F.col(vec_col), centroids).alias("cell"),
     )
     # nprobe nearest cells per query, in true distance order — probing the
@@ -296,7 +319,8 @@ def ann_ivf_topk(
     # balanced (k-means) quantizer
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+        vd.alias("qv"),
+        _norm(vd).alias("qn"),
         ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
     )
     qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
@@ -309,7 +333,9 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -337,30 +363,47 @@ def embedding_neardup_pairs(
     ``lsh``, ``lsh1``, ...): a pair is a candidate if it collides in ANY
     table, lifting recall from p to 1-(1-p)^T — the standard LSH
     construction (per-table collision probability for random sign planes is
-    (1 - θ/π)^n_planes).  Cost is T bucket-joins, still never O(N²).  A pair
-    colliding in several tables dedups on (vec_a, vec_b) — cos_sim is
-    identical per pair, so a plain ``distinct`` suffices."""
-    out = None
-    for t in range(n_tables):
-        seed = "lsh" if t == 0 else f"lsh{t}"
-        b = df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("v"),
-            hyperplane_bucket(F.col(vec_col), n_planes, dim, seed=seed).alias("bucket"),
-        )
-        a, c = b.alias("a"), b.alias("c")
-        pairs = (
-            a.join(
-                c,
-                (F.col("a.bucket") == F.col("c.bucket"))
-                & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+    (1 - θ/π)^n_planes).  Cost is T bucket-joins' worth of candidates, never
+    O(N²) — realized as ONE self-join: every vector computes all T buckets
+    in a single scan, ``posexplode``s to ``(table, bucket)`` rows, and the
+    join keys on the pair (so a probe shuffles once, not T times; candidate
+    volume is identical to T separate joins).  A pair colliding in several
+    tables dedups on (vec_a, vec_b) — cos_sim is identical per pair, so a
+    plain ``distinct`` suffices."""
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), n_planes, dim, seed=("lsh" if t == 0 else f"lsh{t}")
             )
-            .select(
-                F.col(f"a.{id_col}").alias("vec_a"),
-                F.col(f"c.{id_col}").alias("vec_b"),
-                F.round(cosine(F.col("a.v"), F.col("c.v")), 4).alias("cos_sim"),
-            )
-            .where(F.col("cos_sim") >= threshold)
+            for t in range(n_tables)
+        ]
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    # norms are per-VECTOR: evaluate them once per row here, not once per
+    # candidate pair in the join (HOF aggregates don't codegen to tight
+    # loops, so per-pair norms dominated the join's cost).  Same expression
+    # tree as `cosine`, so dot/(na*nb) stays bit-identical to the oracle.
+    b = df.select(
+        F.col(id_col),
+        vd.alias("v"),
+        _norm(vd).alias("n"),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.t") == F.col("c.t"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"c.{id_col}").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("c.v")) / (F.col("a.n") * F.col("c.n")), 4
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
