@@ -203,8 +203,9 @@ class CdcEngine:
             manifests.append(self.apply_batch(b, f"{batch_prefix}-{k}"))
         return manifests
 
-    def state(self) -> DataFrame:
-        return self.table.read()
+    def state(self, version: int | None = None) -> DataFrame:
+        """Current table state, or AS OF ``version`` (snapshot time travel)."""
+        return self.table.read(version=version)
 
 
 class MultiTableCdcEngine:

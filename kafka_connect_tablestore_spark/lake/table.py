@@ -140,8 +140,22 @@ class LakeTable:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.dir, "meta", f"v{version:06d}.json")
 
-    def snapshot(self) -> dict:
-        return json.load(open(self._meta_path(self.current_version())))
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        path = self._meta_path(v)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"table {self.name} has no snapshot v{v}")
+        return json.load(open(path))
+
+    def snapshots(self) -> list[dict]:
+        """All retained snapshot metas, oldest first (version, parent,
+        batches committed at that version) — the time-travel catalog."""
+        meta_dir = os.path.join(self.dir, "meta")
+        out = []
+        for fn in sorted(os.listdir(meta_dir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(json.load(open(os.path.join(meta_dir, fn))))
+        return out
 
     def committed_batches(self) -> dict[str, dict]:
         return self.snapshot()["batches"] if self.exists() else {}
@@ -205,13 +219,18 @@ class LakeTable:
         keep = list(self.config.pk_fields) + [c for c in META_COLS if c in df.columns]
         return align_to_schema(df, schema, keep)
 
-    def read(self, include_meta: bool = False) -> DataFrame:
-        """Current table state (pk + attrs + content_sha256).
+    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+        """Table state (pk + attrs + content_sha256), current or time-travel.
+
+        ``version`` reads the table AS OF that snapshot (Iceberg
+        ``VERSION AS OF``): snapshots are immutable and data files are only
+        deleted by ``vacuum``, so any un-vacuumed version reconstructs
+        exactly — a metadata-only operation, no data copied at commit time.
 
         Retained tombstones (``_deleted``) are filtered out unless
         ``include_meta`` — they exist so late/reordered full-row events
         converge, and are compactable after a retention window."""
-        snap = self.snapshot()
+        snap = self.snapshot(version)
         dirs = [d for ds in snap["buckets"].values() for d in ds]
         if not dirs:
             empty_schema = {**snap["schema"], SHA_COL: "string"}

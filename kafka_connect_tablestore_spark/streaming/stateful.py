@@ -76,3 +76,43 @@ def change_rate_monitor(events_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def windowed_change_counts(
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window change counts with a late-data watermark.
+
+    The built-in watermarked windowed aggregate (no custom state): per
+    ``(window, repo)`` event and delete counts over ``commit_ts`` event
+    time.  In append output mode a window row is emitted exactly once —
+    when the watermark passes its end — and events later than the
+    watermark are dropped, bounding state by (windows in flight × repos)
+    regardless of stream length.  This is the streaming twin of the batch
+    ``timeseries`` rollup and the standard Spark pattern for late CDC
+    telemetry (reference has no stream-native equivalent; SURVEY §2 S18).
+    """
+    from pyspark.sql import functions as F
+
+    ev = events_stream.select(
+        F.timestamp_millis(F.col("commit_ts")).alias("event_time"),
+        "repo",
+        "op",
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("repo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("op") == "DELETE", F.lit(1))).alias("n_deletes"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "repo",
+            "n_events",
+            "n_deletes",
+        )
+    )

@@ -1,0 +1,106 @@
+"""Snapshot time-travel reads + watermarked event-time windowed aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.config import DeleteMode, SinkConfig
+from kafka_connect_tablestore_spark.engine import CdcEngine
+from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+from kafka_connect_tablestore_spark.streaming.stateful import windowed_change_counts
+
+
+def test_time_travel_reads_each_version(spark, tmp_path):
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 2000, seed=7).cache()
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(events, n_batches=2)
+
+    v = eng.table.current_version()
+    assert v == 2
+    # v1 == replaying only the first offset slice into a fresh lake
+    ref = CdcEngine(spark, cfg, str(tmp_path / "lake_ref"))
+    lo, hi = events.select(F.min("offset"), F.max("offset")).first()
+    span = (hi - lo + 1 + 1) // 2
+    ref.replay(events.where(F.col("offset") < lo + span))
+    key = lambda df: {(r["repo"], r["path"], r["content_sha256"]) for r in df.collect()}
+    assert key(eng.state(version=1)) == key(ref.state())
+    # v2 == the full replay; the default read is the latest version
+    assert key(eng.state(version=2)) == key(eng.state())
+    assert key(eng.state(version=1)) != key(eng.state(version=2))
+    # snapshots() catalogs every retained version
+    assert [s["version"] for s in eng.table.snapshots()] == [0, 1, 2]
+    # un-vacuumed old versions survive compaction
+    eng.table.compact()
+    assert key(eng.state(version=1)) == key(ref.state())
+
+
+def test_time_travel_missing_version_raises(spark, tmp_path):
+    eng = CdcEngine(spark, SinkConfig(), str(tmp_path / "lake"))
+    eng.replay(synth_changelog(spark, 100, seed=7))
+    try:
+        eng.state(version=99)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def test_windowed_change_counts_drops_late_and_finalizes(spark, tmp_path):
+    """Append-mode watermark semantics: a window is emitted once its end is
+    behind the watermark, and events arriving later than the watermark are
+    dropped — the bounded-state contract for late CDC telemetry."""
+    minute = 60_000
+    schema = "commit_ts long, repo string, op string"
+    batches = (
+        [(0 * minute + 1, "r1", "PUT"), (0 * minute + 2, "r1", "DELETE")],
+        # advances the watermark to 8 min — but the new watermark only takes
+        # effect from the NEXT batch (Spark computes batch N's watermark
+        # from data through batch N-1)
+        [(10 * minute, "r2", "PUT")],
+        # watermark now 8 min ⇒ window [0,1min) is evicted+emitted here
+        [(10 * minute + 1, "r2", "PUT")],
+        # late beyond the watermark, state already evicted ⇒ dropped
+        [(0 * minute + 3, "r1", "PUT")],
+    )
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        d = os.path.join(src, f"f{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        # the file source orders micro-batches by modification time; writes
+        # land within the same timestamp tick, so pin strictly increasing
+        # mtimes to make batch order (and thus watermark progression)
+        # deterministic
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        windowed_change_counts(stream, window="1 minute", watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["repo"], r["window_start"].minute, r["n_events"], r["n_deletes"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # window 0 finalized exactly once with the two on-time events ONLY (the
+    # final batch's late event was dropped by the watermark); window 10 is
+    # still open, not emitted
+    assert got == {("r1", 0, 2, 1)}
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
