@@ -244,3 +244,65 @@ def test_key_value_absent_pk_field_is_null(spark):
     out = parse_key_value(df, SinkConfig(pk_mode=PrimaryKeyMode.RECORD_KEY))
     row = out.first().asDict()
     assert row["repo"] == "r1" and row["path"] is None
+
+
+# ------------------------------------------- MapSchemaTest PK-type matrix
+def test_map_payload_pk_type_matrix(spark):
+    """Port of ``functiontest/MapSchemaTest.java`` (testNullSchema*Pk /
+    testMapSchema*Pk): every scalar payload shape used as the primary key
+    under each declared PK type.  TableStore PKs are string/integer/binary
+    only; the reference parses the map value into the declared type and
+    throws on an unparseable value — here the declared cast yields the typed
+    PK column, with TYPE_MISMATCH feeding the S14 gate instead of a throw."""
+    rows = [
+        # (id, payload-value)               reference source-type analogue
+        (1, "test"),        # string
+        (2, "1"),           # byte/short/int/long (schemaless JSON: one shape)
+        (3, "1.5"),         # float/double
+        (4, "true"),        # boolean
+        (5, "-7"),          # negative integer
+    ]
+    df = spark.createDataFrame(
+        [(i, {"pk": v, "other": "x"}) for i, v in rows],
+        "event_id long, value_map map<string,string>",
+    )
+
+    def parsed(decl):
+        return {
+            r["event_id"]: (r["pk"], r["error_info"])
+            for r in parse_map_payload(df, SinkConfig(), {"pk": decl}).collect()
+        }
+
+    # declared string: every scalar shape round-trips as its string form
+    got = parsed("string")
+    assert got == {
+        1: ("test", None), 2: ("1", None), 3: ("1.5", None),
+        4: ("true", None), 5: ("-7", None),
+    }
+
+    # declared integer (long lattice): integral strings parse; float/bool/
+    # free text are the reference's NumberFormatException -> errant
+    got = parsed("long")
+    assert got[2] == (1, None) and got[5] == (-7, None)
+    for bad in (1, 3, 4):
+        assert got[bad][0] is None and got[bad][1] == "TYPE_MISMATCH:pk"
+
+    # declared binary: any string payload has a byte form (utf8), never errant
+    got = parsed("binary")
+    assert got[1] == (bytearray(b"test"), None)
+    assert all(err is None for (_, err) in got.values())
+
+
+def test_map_payload_multi_pk(spark):
+    """MapSchemaTest.testMapSchemaMultiPk: two PK fields pulled from one map
+    payload, independently typed, both feeding the fold key."""
+    df = spark.createDataFrame(
+        [(1, {"r": "repo_a", "n": "42", "attr": "v"})],
+        "event_id long, value_map map<string,string>",
+    )
+    out = parse_map_payload(
+        df, SinkConfig(), {"r": "string", "n": "long", "attr": "string"}
+    ).first()
+    assert (out["r"], out["n"], out["attr"], out["error_info"]) == (
+        "repo_a", 42, "v", None,
+    )
