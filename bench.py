@@ -9,7 +9,7 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
 
 The CDC ingest input is the deterministic synthetic change log
-(``$SPARK_GRAFT_BENCH_EVENTS`` events, default 4,000,000), pre-materialized
+(``$SPARK_GRAFT_BENCH_EVENTS`` events, default 8,000,000), pre-materialized
 to parquet untimed so the timed section is exactly: read log → validate →
 fold/MERGE → snapshot commit.
 """
@@ -111,7 +111,7 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
