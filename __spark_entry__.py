@@ -224,6 +224,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "_measurement", "_datasource", "_tags_str", "_time_us", "value", "event_id"
         )
 
+    def cdc_windowed_counts(spark, sf):
+        """Tumbling 1-minute event-time change counts — the batch twin of the
+        streaming windowed aggregate (streaming/stateful.py::
+        windowed_change_counts; withWatermark is a no-op in batch mode, so
+        the SAME function serves both).  Window bounds exported as epoch ms
+        (timezone-free, engine-portable)."""
+        from kafka_connect_tablestore_spark.streaming.stateful import (
+            windowed_change_counts,
+        )
+
+        w = windowed_change_counts(_log(spark, sf), window="1 minute")
+        return w.select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            F.unix_millis("window_end").alias("window_end_ms"),
+            "repo",
+            "n_events",
+            "n_deletes",
+        )
+
     # ---- schemaless MAP / raw STRING payload shapes (SURVEY §1.1 2+3) -----
     def _map_events(spark, sf):
         """Deterministic map<string,string> payload derived from ``events``:
@@ -415,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_type_cast=cdc_type_cast,
         cdc_projection_whitelist=cdc_projection_whitelist,
         cdc_timeseries_transform=cdc_timeseries_transform,
+        cdc_windowed_counts=cdc_windowed_counts,
         cdc_map_payload=cdc_map_payload,
         cdc_map_payload_dynamic=cdc_map_payload_dynamic,
         cdc_string_payload=cdc_string_payload,
@@ -849,6 +869,14 @@ def oracle_sql() -> dict[str, str]:
             "'event_type=' || event_type AS _tags_str, "
             "epoch_ms(ts) * 1000 AS _time_us, "
             "value, event_id FROM events"
+        ),
+        "cdc_windowed_counts": (
+            f"WITH {LOG} "
+            "SELECT (commit_ts // 60000) * 60000 AS window_start_ms, "
+            "(commit_ts // 60000) * 60000 + 60000 AS window_end_ms, "
+            "repo, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(*) FILTER (WHERE op = 'DELETE') AS BIGINT) AS n_deletes "
+            "FROM log GROUP BY 1, 2, 3"
         ),
         "cdc_map_payload": _MAP_PAYLOAD_SQL,
         "cdc_map_payload_dynamic": _MAP_DYNAMIC_SQL,
