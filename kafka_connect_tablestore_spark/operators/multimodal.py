@@ -114,6 +114,93 @@ def decode_and_featurize(df: DataFrame, *, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def image_dims_from_header(raw: bytes) -> tuple[int, int] | None:
+    """REAL (stdlib-only) image dimension extraction from container headers:
+    PNG / GIF / BMP / JPEG.  A training pipeline filters by resolution long
+    before it can afford a pixel decode — header parsing needs ~30 bytes of
+    the blob and no codec library.  Returns ``None`` for unrecognized or
+    truncated payloads (caller routes those to the errant path)."""
+    import struct
+
+    if len(raw) >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", raw[16:24])
+        return int(w), int(h)
+    if len(raw) >= 10 and raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", raw[6:10])
+        return int(w), int(h)
+    if len(raw) >= 26 and raw[:2] == b"BM":
+        w, h = struct.unpack("<ii", raw[18:26])
+        return int(w), int(abs(h))  # negative height = top-down DIB
+    if len(raw) >= 4 and raw[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(raw):
+            if raw[i] != 0xFF:
+                return None
+            marker = raw[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+            # SOF0/1/2 (baseline/extended/progressive): height, width
+            if marker in (0xC0, 0xC1, 0xC2):
+                h, w = struct.unpack(">HH", raw[i + 5 : i + 9])
+                return int(w), int(h)
+            i += 2 + seg_len
+    return None
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_image_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header parse over the blob column: format sniff +
+    dimensions, no codec library and no full decode (reads the first bytes
+    of each payload; parquet row-group pruning keeps untouched columns
+    unread).  Unrecognized payloads yield nulls — the S14-style errant
+    contract for media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct  # noqa: F401  (ships by value with closure)
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmt = "png"
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt = "gif"
+                elif raw[:2] == b"BM":
+                    fmt = "bmp"
+                elif raw[:2] == b"\xff\xd8":
+                    fmt = "jpeg"
+                else:
+                    fmt = None
+                dims = image_dims_from_header(raw)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "format": fmt,
+                        "width": dims[0] if dims else None,
+                        "height": dims[1] if dims else None,
+                        "n_bytes": len(raw),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: the distributed shape (explode frame
     indices per blob, then per-frame decode) with the codec stubbed — frame
