@@ -347,6 +347,103 @@ def ann_ivf_topk(
     )
 
 
+# ------------------------------------------------ persisted IVF inverted file
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "kmeans",
+) -> list[list[float]]:
+    """Materialize the IVF inverted file: corpus partitioned BY CELL on disk.
+
+    This is the 100-TB shape ``ann_ivf_topk`` only simulates: cell
+    assignment runs ONCE over the corpus (map-only) and the result is
+    parquet ``partitionBy(cell)`` — every later query probes nprobe cells
+    and Spark's partition pruning means only those directories are ever
+    listed or read (~nprobe/n_cells of the corpus per query batch, enforced
+    by ``tests/test_plan_audit.py``).  Norms are precomputed into the index
+    so a probe pays one dot product per candidate.
+
+    Returns the trained centroids — persist them next to the index (they are
+    the query-side contract)."""
+    if train == "kmeans":
+        centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    vd = F.col(vec_col).cast("array<double>")
+    (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            vd.alias("cv"),
+            _norm(vd).alias("cn"),
+            ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ann_ivf_indexed_topk(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted inverted file (``build_ivf_index``).
+
+    The probed cell list is pushed as a partition filter on the index scan —
+    ``.explain`` shows ``PartitionFilters: [cell IN (...)]`` and only the
+    probed directories are read.  Query side is broadcast (small)."""
+    from pyspark.sql import Window
+
+    corpus = spark.read.parquet(index_path)
+    vd = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vd.alias("qv"),
+        _norm(vd).alias("qn"),
+        ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
+    )
+    qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
+    # partition-pruning filter: the union of all queries' probed cells.
+    # Config-bounded driver collect (≤ n_queries × nprobe ints) — at scale
+    # the query batch is small by construction.
+    probed = sorted(
+        {r["cell"] for r in qp.select("cell").distinct().collect()}
+    )
+    scored = (
+        corpus.where(F.col("cell").isin(probed))
+        .join(F.broadcast(qp), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -142,3 +142,32 @@ def test_ivf_kmeans_trainer_deterministic_and_effective(spark):
     # first-n quantizer at the same probe budget (measured 0.58 vs 0.32)
     assert max_cell_share(c1) < 0.45
     assert run("kmeans") > run("first")
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted inverted file (build_ivf_index + ann_ivf_indexed_topk)
+    returns exactly the in-memory ann_ivf_topk results, and the index scan
+    is partition-pruned to the probed cells only."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_indexed_topk,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    df = _emb(spark)
+    queries = df.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(df, idx, n_cells=8, train="first")
+
+    got = ann_ivf_indexed_topk(spark, idx, cents, queries, k=5, nprobe=2)
+    want = ann_ivf_topk(df, queries, k=5, nprobe=2, n_cells=8, train="first")
+    key = lambda d: {(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"]) for r in d.collect()}
+    assert key(got) == key(want) and len(key(got)) > 0
+
+    # partition pruning: the scan lists only the probed cell directories
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and ("cell" in m.group(0)) and ("isnotnull" in m.group(0) or "IN" in m.group(0).upper())
