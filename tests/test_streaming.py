@@ -30,7 +30,7 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
     q = start_cdc_stream(stream, eng, str(tmp_path / "ckpt"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     ref = CdcEngine(spark, cfg, str(tmp_path / "lake_ref"))
     ref.replay(events)
@@ -45,5 +45,5 @@ def test_stream_matches_batch(spark, tmp_path):
         eng,
         str(tmp_path / "ckpt"),
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination(300)
     assert eng.table.current_version() == v
