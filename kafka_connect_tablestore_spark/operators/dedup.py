@@ -251,3 +251,129 @@ def ngram_jaccard_pairs(
         # twice per pair for a vacuous check
         out = out.where(F.col("jaccard") >= threshold)
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ---------------------------------------------- persisted incremental index
+def _banded_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Banded signature rows ``(id, band, band_key, h0..h{n-1})`` — the LSH
+    index row format shared by the batch join and the persisted index."""
+    r = n_hashes // bands
+    sig = minhash_signatures(
+        df.where(F.size(words(text_col)) >= 3), text_col, id_col, n_hashes
+    ).persist()
+    sig.count()
+    parts = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"h{b * r + i}") for i in range(r)])
+        parts.append(
+            sig.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"),
+                *[F.col(f"h{j}") for j in range(n_hashes)],
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Materialize the MinHash-LSH index: banded signature rows persisted as
+    parquet ``partitionBy(band)``.
+
+    The incremental-dedup shape a daily 100-TB ingest needs: corpus
+    signatures are computed ONCE (map-only) and re-probed forever after —
+    a day's new documents join against the index instead of re-hashing the
+    corpus.  ~(bands × 80) bytes per doc, tiny next to the text."""
+    _banded_rows(df, text_col, id_col, n_hashes, bands).repartition(
+        "band"
+    ).write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def append_to_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Append a new batch's banded rows to an existing index (after its
+    pairs were emitted) — ids must be disjoint from the indexed corpus."""
+    _banded_rows(df, text_col, id_col, n_hashes, bands).repartition(
+        "band"
+    ).write.mode("append").partitionBy("band").parquet(path)
+
+
+def incremental_lsh_pairs(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW document batch against a persisted
+    index, plus pairs within the new batch itself — together exactly the
+    pairs ``minhash_lsh_pairs(corpus ∪ new)`` would emit that involve a new
+    doc, without touching the corpus text.
+
+    Scale shape: the new batch is small (a day's ingest), so its banded rows
+    broadcast; the index side streams — one scan of the (signature-sized)
+    index, zero scans of the corpus."""
+    new_rows = _banded_rows(new_docs, text_col, id_col, n_hashes, bands)
+    idx = spark.read.parquet(index_path)
+    h = [f"h{j}" for j in range(n_hashes)]
+
+    def score(a, b):
+        return sum(
+            F.when(F.col(f"{a}.h{j}") == F.col(f"{b}.h{j}"), 1).otherwise(0)
+            for j in range(n_hashes)
+        ).alias("n_match")
+
+    # new × corpus: orient (doc_a, doc_b) = (min, max) id for pair identity
+    vs_corpus = (
+        idx.alias("i")
+        .join(
+            F.broadcast(new_rows.alias("n")),
+            (F.col("i.band") == F.col("n.band"))
+            & (F.col("i.band_key") == F.col("n.band_key"))
+            & (F.col(f"i.{id_col}") != F.col(f"n.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"i.{id_col}"), F.col(f"n.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"i.{id_col}"), F.col(f"n.{id_col}")).alias("doc_b"),
+            score("i", "n"),
+        )
+    )
+    a, b = new_rows.alias("a"), new_rows.alias("b")
+    within_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            score("a", "b"),
+        )
+    )
+    return vs_corpus.unionByName(within_new).distinct()

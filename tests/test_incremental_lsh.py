@@ -1,0 +1,56 @@
+"""Persisted MinHash-LSH index: incremental near-dup candidates for a new
+batch must equal the full batch recompute's pairs that involve a new doc."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.operators.dedup import (
+    append_to_lsh_index,
+    build_lsh_index,
+    incremental_lsh_pairs,
+    minhash_lsh_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def pairs_set(df):
+    return {(r["doc_a"], r["doc_b"], r["n_match"]) for r in df.collect()}
+
+
+def test_incremental_equals_batch_restricted_to_new(spark, tmp_path):
+    docs = _docs(spark)
+    corpus = docs.where("doc_id < 400")
+    new = docs.where("doc_id >= 400")
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, idx)
+
+    got = pairs_set(incremental_lsh_pairs(spark, idx, new))
+
+    full = pairs_set(minhash_lsh_pairs(docs))
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == want and len(got) > 0
+
+
+def test_index_append_round(spark, tmp_path):
+    """Day-2 flow: append day-1's new docs to the index, then day-2 probes
+    see candidates against BOTH the original corpus and day-1 docs."""
+    docs = _docs(spark)
+    corpus = docs.where("doc_id < 300")
+    day1 = docs.where("doc_id >= 300 and doc_id < 400")
+    day2 = docs.where("doc_id >= 400")
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(corpus, idx)
+    append_to_lsh_index(day1, idx)
+
+    got = pairs_set(incremental_lsh_pairs(spark, idx, day2))
+    full = pairs_set(minhash_lsh_pairs(docs))
+    d2 = {r["doc_id"] for r in day2.select("doc_id").collect()}
+    want = {p for p in full if p[0] in d2 or p[1] in d2}
+    assert got == want and len(got) > 0
