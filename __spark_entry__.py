@@ -340,6 +340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_ngram_jaccard(spark, sf):
         return ngram_jaccard_pairs(_docs(spark, sf), k=3, n_hashes=8, bands=4)
 
+    def pipe_simhash_neardup(spark, sf):
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            simhash_neardup_pairs,
+        )
+
+        return simhash_neardup_pairs(_docs(spark, sf), max_hamming=3)
+
     def pipe_text_quality(spark, sf):
         d = _docs(spark, sf)
         return d.select(
@@ -443,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_minhash_signatures=pipe_minhash_signatures,
         pipe_lsh_pairs=pipe_lsh_pairs,
         pipe_simhash=pipe_simhash,
+        pipe_simhash_neardup=pipe_simhash_neardup,
         pipe_ngram_jaccard=pipe_ngram_jaccard,
         pipe_text_quality=pipe_text_quality,
         pipe_lang_id=pipe_lang_id,
@@ -545,6 +553,19 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 WHERE a.h0 IS NOT NULL
+"""
+
+_SIMHASH_NEARDUP_SQL_TMPL = """
+WITH sh AS ({sim}),
+banded AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_key
+  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, c.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
 """
 
 _SIMHASH_SQL = (
@@ -889,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_minhash_signatures": _SIG_SQL,
         "pipe_lsh_pairs": f"WITH {_LSH_PAIRS_CORE}",
         "pipe_simhash": _SIMHASH_SQL,
+        "pipe_simhash_neardup": _SIMHASH_NEARDUP_SQL_TMPL.format(sim=_SIMHASH_SQL),
         "pipe_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "pipe_text_quality": (
             f"SELECT doc_id, CAST(len({W}) AS BIGINT) AS n_tokens, "

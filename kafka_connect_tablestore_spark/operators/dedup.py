@@ -377,3 +377,51 @@ def incremental_lsh_pairs(
         )
     )
     return vs_corpus.unionByName(within_new).distinct()
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates collide on ANY of the 4 bytes of
+    the 32-bit simhash (pigeonhole: hamming ≤ 3 ⇒ at least one untouched
+    byte), verified by exact hamming distance.
+
+    The standard simhash dedup construction (Charikar / Manku et al.): a
+    band join per byte — never all-pairs — then ``bit_count(xor)`` on the
+    candidates only.  Map-only signature + one self-join shuffle at scale,
+    same shape as MinHash-LSH banding."""
+    sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    bands = []
+    for b in range(4):
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a, c = banded.alias("a"), banded.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"c.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

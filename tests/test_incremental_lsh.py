@@ -54,3 +54,34 @@ def test_index_append_round(spark, tmp_path):
     d2 = {r["doc_id"] for r in day2.select("doc_id").collect()}
     want = {p for p in full if p[0] in d2 or p[1] in d2}
     assert got == want and len(got) > 0
+
+
+def test_simhash_neardup_complete_within_pigeonhole_bound(spark):
+    """4 byte-bands guarantee a collision for hamming <= 3 (pigeonhole:
+    3 flipped bits can touch at most 3 of 4 bytes) — so at max_hamming=3
+    the banded join must find EXACTLY the brute-force pair set."""
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = _docs(spark).where("doc_id < 200")
+    got = pairs_set(
+        simhash_neardup_pairs(docs, max_hamming=3).withColumnRenamed(
+            "hamming", "n_match"
+        )
+    )
+    sig = simhash(docs)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("n_match"),
+        )
+        .where(F.col("n_match") <= 3)
+    )
+    assert got == pairs_set(brute) and len(got) > 0
