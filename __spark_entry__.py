@@ -340,6 +340,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_ngram_jaccard(spark, sf):
         return ngram_jaccard_pairs(_docs(spark, sf), k=3, n_hashes=8, bands=4)
 
+    def pipe_stratified_sample(spark, sf):
+        from kafka_connect_tablestore_spark.functions.text import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf).select("doc_id", "lang", "text"),
+            "lang",
+            {"en": 0.5, "de": 0.25, "fr": 0.1},
+            "doc_id",
+        )
+
     def pipe_simhash_neardup(spark, sf):
         from kafka_connect_tablestore_spark.operators.dedup import (
             simhash_neardup_pairs,
@@ -451,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_lsh_pairs=pipe_lsh_pairs,
         pipe_simhash=pipe_simhash,
         pipe_simhash_neardup=pipe_simhash_neardup,
+        pipe_stratified_sample=pipe_stratified_sample,
         pipe_ngram_jaccard=pipe_ngram_jaccard,
         pipe_text_quality=pipe_text_quality,
         pipe_lang_id=pipe_lang_id,
@@ -911,6 +922,12 @@ def oracle_sql() -> dict[str, str]:
         "pipe_lsh_pairs": f"WITH {_LSH_PAIRS_CORE}",
         "pipe_simhash": _SIMHASH_SQL,
         "pipe_simhash_neardup": _SIMHASH_NEARDUP_SQL_TMPL.format(sim=_SIMHASH_SQL),
+        "pipe_stratified_sample": (
+            "SELECT doc_id, lang, text FROM documents WHERE "
+            + H("CAST(doc_id AS VARCHAR)", "samp")
+            + " % 10000 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 "
+            "WHEN 'fr' THEN 1000 ELSE 0 END)"
+        ),
         "pipe_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "pipe_text_quality": (
             f"SELECT doc_id, CAST(len({W}) AS BIGINT) AS n_tokens, "

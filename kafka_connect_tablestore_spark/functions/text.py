@@ -99,3 +99,26 @@ def doc_fingerprint(col: Column | str) -> Column:
     the document-level analogue of the per-row sha256 invariant."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def stratified_sample(df, group_col: str, rates: dict[str, float], id_col: str):
+    """Deterministic per-group sampling: keep a row iff
+    ``hash64(id, 'samp') % 10000 < rate[group] * 10000``.
+
+    The reproducible data-mixing primitive a training corpus needs (e.g.
+    per-language quotas): unlike ``sampleBy`` (RNG seeded per partition —
+    resampling changes with partitioning), the hash gate is a pure per-row
+    expression, stable under repartitioning, engine-portable (DuckDB twin:
+    same md5 arithmetic), and map-only at any scale.  Groups absent from
+    ``rates`` are dropped (rate 0)."""
+    from pyspark.sql import functions as F
+
+    gate = F.lit(None).cast("long")
+    expr = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == g
+        thresh = F.lit(int(round(r * 10000)))
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    gate = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    h = hash64(F.col(id_col).cast("string"), "samp") % 10000
+    return df.where(h < gate)

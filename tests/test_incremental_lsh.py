@@ -85,3 +85,23 @@ def test_simhash_neardup_complete_within_pigeonhole_bound(spark):
         .where(F.col("n_match") <= 3)
     )
     assert got == pairs_set(brute) and len(got) > 0
+
+
+def test_stratified_sample_deterministic_and_partition_stable(spark):
+    """The hash-gate sample must be identical under any partitioning (the
+    property sampleBy lacks) and approximate the requested per-group rates."""
+    from kafka_connect_tablestore_spark.functions.text import stratified_sample
+
+    docs = _docs(spark).withColumn(
+        "lang", F.element_at(F.array(F.lit("en"), F.lit("de")), (F.col("doc_id") % 2 + 1).cast("int"))
+    )
+    rates = {"en": 0.5, "de": 0.2}
+    s1 = {r["doc_id"] for r in stratified_sample(docs, "lang", rates, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), "lang", rates, "doc_id").collect()
+    }
+    assert s1 == s2 and len(s1) > 0
+    n_en = docs.where("lang = 'en'").count()
+    got_en = len({d for d in s1 if d % 2 == 0})
+    assert abs(got_en / n_en - 0.5) < 0.15
