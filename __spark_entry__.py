@@ -340,6 +340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_ngram_jaccard(spark, sf):
         return ngram_jaccard_pairs(_docs(spark, sf), k=3, n_hashes=8, bands=4)
 
+    def pipe_word_entropy(spark, sf):
+        from kafka_connect_tablestore_spark.functions.text import doc_word_entropy
+
+        return doc_word_entropy(_docs(spark, sf))
+
     def pipe_stratified_sample(spark, sf):
         from kafka_connect_tablestore_spark.functions.text import stratified_sample
 
@@ -462,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_simhash=pipe_simhash,
         pipe_simhash_neardup=pipe_simhash_neardup,
         pipe_stratified_sample=pipe_stratified_sample,
+        pipe_word_entropy=pipe_word_entropy,
         pipe_ngram_jaccard=pipe_ngram_jaccard,
         pipe_text_quality=pipe_text_quality,
         pipe_lang_id=pipe_lang_id,
@@ -922,6 +928,13 @@ def oracle_sql() -> dict[str, str]:
         "pipe_lsh_pairs": f"WITH {_LSH_PAIRS_CORE}",
         "pipe_simhash": _SIMHASH_SQL,
         "pipe_simhash_neardup": _SIMHASH_NEARDUP_SQL_TMPL.format(sim=_SIMHASH_SQL),
+        "pipe_word_entropy": (
+            f"WITH wc AS (SELECT doc_id, w, count(*) AS n FROM "
+            f"(SELECT doc_id, unnest({W}) AS w FROM documents) GROUP BY doc_id, w) "
+            "SELECT doc_id, round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) "
+            "AS word_entropy, CAST(sum(n) AS BIGINT) AS n_words "
+            "FROM wc GROUP BY doc_id"
+        ),
         "pipe_stratified_sample": (
             "SELECT doc_id, lang, text FROM documents WHERE "
             + H("CAST(doc_id AS VARCHAR)", "samp")

@@ -122,3 +122,33 @@ def stratified_sample(df, group_col: str, rates: dict[str, float], id_col: str):
     gate = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
     h = hash64(F.col(id_col).cast("string"), "samp") % 10000
     return df.where(h < gate)
+
+
+def doc_word_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Shannon entropy (bits) of each document's word distribution — the
+    low-entropy filter that drops boilerplate/template/spam pages from a
+    training corpus (repeated-phrase pages score near 0, natural prose
+    scores ~log2(vocab)).
+
+    Relational form: explode → per-(doc, word) counts → per-doc
+    ``-Σ p·log2 p``.  Two key-local shuffles on ``id_col``; both aggregate
+    map-side first, so the wide explode never crosses the wire unreduced.
+    Rounded to 4 decimals for cross-engine comparison."""
+    from pyspark.sql import functions as F
+
+    wc = (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        wc.groupBy(id_col)
+        .agg(
+            F.round(
+                F.log2(F.sum("_n"))
+                - F.sum(F.col("_n") * F.log2("_n")) / F.sum("_n"),
+                4,
+            ).alias("word_entropy"),
+            F.sum("_n").cast("long").alias("n_words"),
+        )
+    )

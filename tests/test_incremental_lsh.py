@@ -105,3 +105,20 @@ def test_stratified_sample_deterministic_and_partition_stable(spark):
     n_en = docs.where("lang = 'en'").count()
     got_en = len({d for d in s1 if d % 2 == 0})
     assert abs(got_en / n_en - 0.5) < 0.15
+
+
+def test_word_entropy_known_values(spark):
+    from kafka_connect_tablestore_spark.functions.text import doc_word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word -> entropy 0
+            (2, "alpha beta gamma delta"),        # uniform over 4 -> 2.0 bits
+            (3, "aa aa bb bb"),                   # uniform over 2 -> 1.0 bit
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["word_entropy"], r["n_words"]) for r in doc_word_entropy(df).collect()}
+    assert got[1] == (0.0, 4)
+    assert got[2] == (2.0, 4)
+    assert got[3] == (1.0, 4)
