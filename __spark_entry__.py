@@ -636,7 +636,7 @@ m AS (
 )
 """
 
-_NUM_RE_SQL = "'^-?[0-9]+(\\.[0-9]+)?$'"
+_NUM_RE_SQL = "'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$'"
 
 _MAP_PAYLOAD_SQL = f"""
 WITH {_MAP_BASE}

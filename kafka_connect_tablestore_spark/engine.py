@@ -144,8 +144,15 @@ class CdcEngine:
 
             deadline = _time.time() + 10.0
             while _time.time() < deadline:
-                if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
-                    return dict(obs.get)
+                # ``obs._jo.getRowOrEmpty()`` is a PySpark-private JVM probe
+                # (verified on the pinned Spark 4.1.2); guard it so a Spark
+                # upgrade that removes it degrades to the direct-aggregate
+                # fallback instead of crashing inside before_commit.
+                try:
+                    if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                        return dict(obs.get)
+                except Exception:
+                    break
                 _time.sleep(0.05)
             row = classified.agg(
                 F.min(F.when(is_clean, F.col("offset"))).alias("start_offset"),

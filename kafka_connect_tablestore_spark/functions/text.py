@@ -113,7 +113,6 @@ def stratified_sample(df, group_col: str, rates: dict[str, float], id_col: str):
     ``rates`` are dropped (rate 0)."""
     from pyspark.sql import functions as F
 
-    gate = F.lit(None).cast("long")
     expr = None
     for g, r in sorted(rates.items()):
         cond = F.col(group_col) == g

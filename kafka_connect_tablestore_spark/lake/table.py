@@ -163,6 +163,37 @@ class LakeTable:
     def schema(self) -> dict[str, str]:
         return dict(self.snapshot()["schema"])
 
+    #: bounded wait-for-table-readiness schedule after auto-create, mirroring
+    #: the reference's 20 × 1 s describe-table poll
+    #: (``TableStoreSinkWriter.java:336-354``)
+    CREATE_READINESS_RETRIES = 20
+    CREATE_READINESS_INTERVAL_S = 1.0
+
+    #: readiness probe, overridable for catalog backends where a freshly
+    #: created table is not immediately readable (Iceberg/Glue-style
+    #: eventually-consistent catalogs).  Defaults to ``self.exists``.
+    readiness_probe = None
+
+    def _await_readiness(self, interval_s: float | None = None) -> None:
+        """Wait until the just-created table is visible, bounded
+        (``TableStoreSinkWriter.java:336-354``: 20 retries / 1 s awaiting
+        table readiness).  The local filesystem backend is atomically
+        visible so the first probe succeeds; an eventually-consistent
+        catalog backend plugs in via ``readiness_probe``."""
+        probe = self.readiness_probe or self.exists
+        interval = (
+            self.CREATE_READINESS_INTERVAL_S if interval_s is None else interval_s
+        )
+        for _ in range(self.CREATE_READINESS_RETRIES):
+            if probe():
+                return
+            time.sleep(interval)
+        raise TimeoutError(
+            f"table {self.name} not readable "
+            f"{self.CREATE_READINESS_RETRIES} probes after create "
+            "(TableStoreSinkWriter.java:336-354 readiness loop exhausted)"
+        )
+
     def create_if_absent(self, schema: dict[str, str] | None = None) -> None:
         """S17 validate-or-create (``TableStoreSinkWriter.java:280-354``)."""
         if self.exists():
@@ -188,6 +219,7 @@ class LakeTable:
             "n_buckets": self.config.n_buckets,
         }
         self._commit(meta)
+        self._await_readiness()
 
     def _commit(self, meta: dict) -> None:
         """Atomic commit: meta json then pointer, both via rename."""
@@ -232,6 +264,17 @@ class LakeTable:
         converge, and are compactable after a retention window."""
         snap = self.snapshot(version)
         dirs = [d for ds in snap["buckets"].values() for d in ds]
+        if version is not None:
+            # a vacuumed snapshot still has its meta file, but its data dirs
+            # are gone — fail with a clear error instead of a mid-scan
+            # path-not-found from Spark
+            gone = [d for d in dirs if not os.path.exists(d)]
+            if gone:
+                raise FileNotFoundError(
+                    f"table {self.name} version {snap['version']} has been "
+                    f"vacuumed ({len(gone)}/{len(dirs)} data dirs removed); "
+                    "time-travel to it is no longer possible"
+                )
         if not dirs:
             empty_schema = {**snap["schema"], SHA_COL: "string"}
             return align_to_schema(

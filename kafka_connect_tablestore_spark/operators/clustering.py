@@ -91,16 +91,21 @@ def dedup_neardup(
     jaccard_threshold: float = 0.7,
     n_hashes: int = 8,
     bands: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-level near-dup dedup: LSH candidates → exact-Jaccard verify →
     connected components → keep min id per cluster.
+
+    ``candidates``: optional precomputed LSH pair frame, forwarded to
+    ``ngram_jaccard_pairs`` so a pipeline that already ran candidate
+    generation doesn't pay the signature stage twice.
 
     Output: ``(doc_id, cluster_id, is_survivor)`` for every input doc."""
     from kafka_connect_tablestore_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, n_hashes=n_hashes, bands=bands,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, candidates=candidates,
     ).select("doc_a", "doc_b")
     comp = connected_components(df.select(id_col), pairs, id_col)
     survivors = comp.groupBy("cluster_id").agg(F.min(id_col).alias("_keep"))

@@ -182,31 +182,28 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash: bit b set iff sum over words of ±1 (sign of word-hash
-    bit b) is positive.  Per-row expression tree — map-only at scale."""
+    bit b) is positive.  Per-row expression tree — map-only at scale.
+
+    The 32 per-bit folds are emitted as ONE SQL expression string parsed
+    JVM-side in a single call: building the same tree with PySpark Column
+    operators costs ~0.8 s of py4j round-trips PER PLAN CONSTRUCTION
+    (measured at 32 bits — it dominated the query's steady-state wall time,
+    the r2→r3 ``pipe_simhash`` investigation), vs ~0.1 s for one parse.
+    Bit extraction is exact shiftright, not double division — a double
+    mantissa cannot hold the 60-bit hash; DuckDB twin: ``(h >> b) & 1``."""
     # materialize the hashed-word array once (see minhash_signatures note)
     df = df.select(
         F.col(id_col),
         F.transform(words(text_col), lambda x: hash64(x, "sh")).alias("_hw"),
     )
-    hashed = F.col("_hw")
-    total = F.lit(0).cast("long")
-
-    def bit_folder(b: int):
-        # exact bit extraction (shiftright, not double division — a double
-        # mantissa cannot hold the 60-bit hash); DuckDB twin: (h >> b) & 1.
-        # Two-arg lambda exactly (acc, h): extra default args change the
-        # higher-order function's perceived arity.
-        def fold(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return fold
-
-    for b in range(bits):
-        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), bit_folder(b))
-        total = total + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return df.select(F.col(id_col), total.alias("simhash"))
+    terms = " + ".join(
+        f"(CASE WHEN aggregate(_hw, CAST(0 AS BIGINT), (acc, h) -> acc + "
+        f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(-1 AS BIGINT) END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return df.select(F.col(id_col), F.expr(f"({terms})").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -217,14 +214,21 @@ def ngram_jaccard_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on LSH candidate pairs (verify stage of the
     near-dup pipeline): jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct
     k-shingle sets.  Only candidates are verified — the exact step never
-    sees the full N² space."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands).select(
-        "doc_a", "doc_b"
-    )
+    sees the full N² space.
+
+    ``candidates``: a precomputed ``(doc_a, doc_b)`` frame (e.g. the output
+    of ``minhash_lsh_pairs`` a composed pipeline already materialized) —
+    passing it avoids recomputing the whole signature + band-join stage
+    when candidate generation and verification run back-to-back.  Defaults
+    to an internal ``minhash_lsh_pairs`` call."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands)
+    cand = candidates.select("doc_a", "doc_b")
     sh = df.select(F.col(id_col), words(text_col).alias("_w")).select(
         F.col(id_col),
         F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("sh"),
@@ -385,25 +389,46 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates collide on ANY of the 4 bytes of
-    the 32-bit simhash (pigeonhole: hamming ≤ 3 ⇒ at least one untouched
-    byte), verified by exact hamming distance.
+    """SimHash near-dup pairs: candidates collide on ANY of
+    ``max_hamming + 1`` bit-bands of the 32-bit simhash (pigeonhole:
+    ``max_hamming`` flipped bits cannot touch all ``max_hamming + 1``
+    bands, so every qualifying pair shares at least one band untouched),
+    verified by exact hamming distance.
 
     The standard simhash dedup construction (Charikar / Manku et al.): a
-    band join per byte — never all-pairs — then ``bit_count(xor)`` on the
-    candidates only.  Map-only signature + one self-join shuffle at scale,
-    same shape as MinHash-LSH banding."""
+    band join per band — never all-pairs — then ``bit_count(xor)`` on the
+    candidates only.  The band count is DERIVED from ``max_hamming`` so the
+    pigeonhole completeness bound holds for any radius (at the default
+    ``max_hamming=3`` this is the classic 4×8-bit byte banding).  Map-only
+    signature + one self-join shuffle at scale, same shape as MinHash-LSH
+    banding."""
+    if not 0 <= max_hamming <= 15:
+        # > 15 would need bands of < 2 bits — candidate generation
+        # degenerates toward all-pairs; refuse rather than silently explode
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming} "
+            "(bands of >= 2 bits require max_hamming + 1 <= 16)"
+        )
+    n_bands = max_hamming + 1
+    # split 32 bits into n_bands contiguous bands, widths as equal as
+    # possible (remainder spread over the low bands)
+    base_w, extra = divmod(32, n_bands)
     sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     bands = []
-    for b in range(4):
+    bit = 0
+    for b in range(n_bands):
+        w = base_w + (1 if b < extra else 0)
         bands.append(
             sig.select(
                 F.col(id_col),
                 F.col("simhash"),
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+                F.shiftright(F.col("simhash"), bit)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_key"),
             )
         )
+        bit += w
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionByName(x)

@@ -72,11 +72,34 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_and_featurize(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode blobs and extract features via ``mapInPandas``.
 
-    Real decode requires PIL/ffmpeg (not in this container) — gate behind
-    ``fake`` so the distributed plumbing stays tested."""
+    Three paths, probed at plan-construction time (driver side — a missing
+    codec should fail the plan, not a mid-job executor task):
+
+    - ``fake=True``: deterministic stand-in decoder (dims/features from the
+      payload digest) — keeps the distributed plumbing tested where no
+      codec library exists.
+    - ``fake=False`` and PIL importable: REAL pixel decode — ``Image.open``
+      per blob, true dimensions, and an 8-bin normalized grayscale
+      histogram as the feature vector (deterministic for a given payload).
+      Undecodable payloads yield null dims/feature (errant contract).
+    - ``fake=False`` without PIL: ``NotImplementedError`` (audio/video
+      additionally need torchaudio/ffmpeg, not probed here).
+    """
+    if not fake and not _pil_available():
+        raise NotImplementedError(
+            "real media decode needs PIL (pixel path) / torchaudio / ffmpeg; "
+            "none importable — run with fake=True in this environment"
+        )
+    use_pil = not fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: no module-global references, so cloudpickle
@@ -84,31 +107,56 @@ def decode_and_featurize(df: DataFrame, *, fake: bool = False) -> DataFrame:
         # (required when the driver script runs outside the repo without
         # --py-files)
         import hashlib as _hl
+        import io as _io
 
         import pandas as _pd
 
+        if use_pil:
+            from PIL import Image as _Image
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode needs PIL/torchaudio/ffmpeg; "
-                    "run with fake=True in this environment"
-                )
             rows = []
             for media_id, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                raw = bytes(payload)
-                d = _hl.sha256(raw).digest()
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "kind": kind,
-                        "width": 32 + d[0] % 224,
-                        "height": 32 + d[1] % 224,
-                        "feature": [b / 255.0 for b in d[2:10]],
-                        "payload_sha256": _hl.sha256(raw).hexdigest(),
-                    }
-                )
+                raw = b"" if payload is None else bytes(payload)
+                sha = _hl.sha256(raw).hexdigest()
+                if use_pil:
+                    width = height = feature = None
+                    if kind == "image":
+                        try:
+                            img = _Image.open(_io.BytesIO(raw))
+                            width, height = img.size
+                            # 8-bin grayscale histogram, L1-normalized — a
+                            # real (if simple) content feature
+                            hist = img.convert("L").histogram()  # 256 bins
+                            coarse = [sum(hist[i * 32 : (i + 1) * 32]) for i in range(8)]
+                            total = max(1, sum(coarse))
+                            feature = [c / total for c in coarse]
+                        except Exception:
+                            width = height = feature = None  # errant → nulls
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "kind": kind,
+                            "width": width,
+                            "height": height,
+                            "feature": feature,
+                            "payload_sha256": sha,
+                        }
+                    )
+                else:
+                    d = _hl.sha256(raw).digest()
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "kind": kind,
+                            "width": 32 + d[0] % 224,
+                            "height": 32 + d[1] % 224,
+                            "feature": [b / 255.0 for b in d[2:10]],
+                            "payload_sha256": sha,
+                        }
+                    )
             yield _pd.DataFrame(rows)
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
@@ -175,6 +223,19 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL blob = unrecognized payload: null metadata, not a
+                    # job-failing TypeError (documented errant contract)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "n_bytes": 0,
+                        }
+                    )
+                    continue
                 raw = bytes(payload)
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     fmt = "png"

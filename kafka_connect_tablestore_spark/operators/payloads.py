@@ -42,8 +42,11 @@ from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
 
 #: string shapes the dynamic typer recognizes as numbers / booleans —
 #: the schemaless-JSON analogue of ``instanceof Number / Boolean`` in
-#: ``ColumnCoverterUtil.java:79-92``.
-_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?$"
+#: ``ColumnCoverterUtil.java:79-92``.  Covers every textual form a JSON
+#: parser would have materialized as a Number: optional sign (incl. leading
+#: '+', which lenient parsers accept), integer/decimal (``1``, ``1.5``,
+#: ``.5``, ``5.``), and scientific notation (``1e5``, ``-2.5E-3``).
+_NUM_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
 def parse_map_payload(

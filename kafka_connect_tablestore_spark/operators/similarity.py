@@ -229,6 +229,42 @@ def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
     return F.transform(ranked, lambda s: s["i"])
 
 
+def trainer_sample_plan(
+    df: DataFrame,
+    sample_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic bounded training sample as a DataFrame plan.
+
+    A hash-gate pre-filter (``hash64(id) % 2^20 < t``, the same map-only
+    primitive as ``stratified_sample``) thins the corpus to ~2×``sample_size``
+    expected rows with NO ordering pass over the corpus — the corpus-side
+    plan is Scan → Filter, never a per-partition top-k heap — then the
+    surviving handful is ranked by the full 60-bit hash (id tiebreak, so
+    collisions can't make the sample partitioning-dependent) and truncated
+    to exactly ``sample_size``.
+
+    The gate rate needs the corpus cardinality; a bare ``count()`` is a
+    count-star scan (no columns materialized) — far cheaper than the
+    TakeOrdered heap pass it replaces.  2× oversampling makes the
+    probability of gating below ``sample_size`` negligible (Chernoff), and
+    the exact-size truncation restores determinism of the sample SET."""
+    from kafka_connect_tablestore_spark.functions.text import hash64
+
+    n = df.count()
+    h = hash64(F.col(id_col).cast("string"), "ivf")
+    sample_df = df.select(
+        F.col(vec_col).cast("array<double>").alias("v"),
+        h.alias("_h"),
+        F.col(id_col).cast("string").alias("_id"),
+    )
+    if n > 2 * sample_size:
+        gate = int((1 << 20) * min(1.0, 2.0 * sample_size / n))
+        sample_df = sample_df.where(F.col("_h") % F.lit(1 << 20) < F.lit(gate))
+    return sample_df.orderBy("_h", "_id").limit(sample_size)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -239,21 +275,17 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Sampled Lloyd k-means coarse quantizer — the at-scale IVF trainer.
 
-    Deterministic by construction: the training sample is the first
-    ``sample_size`` vectors in md5(id) order (a seedless uniform sample that
-    any cluster size reproduces bit-identically), seeds are the first
-    ``n_cells`` of that sample, and ``iters`` full Lloyd rounds run
-    driver-side in numpy.  The collect is bounded by ``sample_size`` —
-    at 100 TB the corpus never moves; only ~2k vectors do.  Empty cells
-    keep their previous centroid (standard Lloyd degeneracy handling)."""
+    Deterministic by construction: the training sample comes from
+    ``trainer_sample_plan`` (hash-gate filter over the corpus, exact-size
+    hash-ranked truncation of the tiny remainder — no corpus-wide ordering
+    pass), seeds are the first ``n_cells`` of that sample, and ``iters``
+    full Lloyd rounds run driver-side in numpy.  The collect is bounded by
+    ``sample_size`` — at 100 TB the corpus never moves; only ~2k vectors
+    do.  Empty cells keep their previous centroid (standard Lloyd
+    degeneracy handling)."""
     import numpy as np
 
-    sample = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(sample_size)
-        .collect()
-    )
+    sample = trainer_sample_plan(df, sample_size, id_col, vec_col).collect()
     x = np.asarray([r["v"] for r in sample], dtype=np.float64)
     # spherical k-means: the ANN metric is cosine, so cluster DIRECTIONS —
     # train on unit vectors and re-normalize centroids each round.  Unit

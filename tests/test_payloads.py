@@ -50,6 +50,29 @@ def test_dynamic_map_typing_matrix(spark):
     assert out[(3, "a")][0] == "string" and out[(3, "a")][3] is None  # null value
 
 
+def test_dynamic_map_typing_number_forms(spark):
+    """The full textual Number surface a JSON parser produces
+    (``ColumnCoverterUtil.java:79-92`` sees the parsed object, so every
+    parse-able numeric literal must type as DOUBLE): scientific notation,
+    leading '+', bare '.5' / '5.' forms — and the near-misses stay STRING."""
+    numbers = {
+        "1e5": 1e5, "1E5": 1e5, "-2.5e-3": -2.5e-3, "+3": 3.0,
+        "+1.5E+2": 150.0, ".5": 0.5, "5.": 5.0, "-.25": -0.25, "007": 7.0,
+    }
+    strings = ["+", "-", ".", "e5", "1e", "1e+", "1.2.3", "NaN",
+               "Infinity", "0x1f", "1_000", " 1", "1 ", ""]
+    rows = [(i, {"v": s}) for i, s in enumerate([*numbers, *strings])]
+    df = spark.createDataFrame(rows, "event_id long, value_map map<string,string>")
+    got = {
+        rows[r["event_id"]][1]["v"]: (r["dyn_type"], r["v_double"], r["v_string"])
+        for r in explode_map_payload(df, ("event_id",)).collect()
+    }
+    for s, want in numbers.items():
+        assert got[s] == ("double", want, None), s
+    for s in strings:
+        assert got[s] == ("string", None, s), s
+
+
 # ------------------------------------------------------- declared (whitelist)
 def test_declared_map_types_and_mismatch(spark):
     out = {
