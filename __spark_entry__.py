@@ -430,6 +430,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_tokens", "alpha_ratio")
         )
 
+    def pipe_decontaminate(spark, sf):
+        """Train-test contamination check: per-doc fraction of distinct
+        3-shingles colliding with the benchmark set (a deterministic
+        ``doc_id % 31 == 0`` slice standing in for a held-out eval set)."""
+        from kafka_connect_tablestore_spark.operators.decontam import (
+            benchmark_overlap,
+        )
+
+        d = _docs(spark, sf)
+        bench = d.where(F.col("doc_id") % 31 == 0)
+        return benchmark_overlap(d, bench, k=3, threshold=0.5)
+
+    def pipe_repetition(spark, sf):
+        from kafka_connect_tablestore_spark.functions.text import repetition_scores
+
+        return repetition_scores(_docs(spark, sf))
+
+    def pipe_tfidf_topk(spark, sf):
+        from kafka_connect_tablestore_spark.functions.text import tfidf_topk
+
+        return tfidf_topk(_docs(spark, sf), k=3)
+
     def pipe_multimodal_features(spark, sf):  # mapInPandas plumbing (no SQL)
         d = _docs(spark, sf).select(
             F.col("doc_id").alias("media_id"),
@@ -478,6 +500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_neardup_clusters=pipe_neardup_clusters,
         pipe_embedding_neardup=pipe_embedding_neardup,
         pipe_clean_corpus=pipe_clean_corpus,
+        pipe_decontaminate=pipe_decontaminate,
+        pipe_repetition=pipe_repetition,
+        pipe_tfidf_topk=pipe_tfidf_topk,
         pipe_multimodal_features=pipe_multimodal_features,
     )
     return q
@@ -611,6 +636,54 @@ SELECT doc_a, doc_b,
     / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE,
   4) AS jaccard
 FROM cand JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
+"""
+
+_G2 = f"list_transform(generate_series(1, len({W}) - 1), i -> {W}[i] || ' ' || {W}[i+1])"
+
+_DECONTAM_SQL = f"""
+WITH csh AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLES})) AS s FROM documents
+),
+ch AS (SELECT doc_id, {H('s', 'dc')} AS h FROM csh),
+bh AS (SELECT DISTINCT {H('s', 'dc')} AS h FROM
+       (SELECT unnest({SHINGLES}) AS s FROM documents WHERE doc_id % 31 = 0)),
+agg AS (
+  SELECT ch.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+  FROM ch LEFT JOIN bh ON ch.h = bh.h GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+  round(COALESCE(n_shared / CAST(n_shingles AS DOUBLE), 0.0), 4) AS contamination,
+  COALESCE(n_shared / CAST(n_shingles AS DOUBLE) >= 0.5, FALSE) AS contaminated
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+_REPETITION_SQL = f"""
+SELECT doc_id,
+  CAST(len({W}) AS BIGINT) AS n_words,
+  round(1.0 - len(list_distinct({W})) / CAST(len({W}) AS DOUBLE), 4) AS dup_word_frac,
+  round(CASE WHEN len({W}) >= 2
+        THEN 1.0 - len(list_distinct({_G2})) / CAST(len({_G2}) AS DOUBLE)
+        ELSE 0.0 END, 4) AS dup_2gram_frac
+FROM documents
+"""
+
+_TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM
+  (SELECT doc_id, unnest({W}) AS word FROM documents) GROUP BY doc_id, word
+),
+df_ AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, CAST(row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY round(tf * ln(n.n / CAST(df_.df AS DOUBLE)), 4) DESC, word ASC
+  ) AS INT) AS rank, word,
+  round(tf * ln(n.n / CAST(df_.df AS DOUBLE)), 4) AS tfidf
+FROM tf JOIN df_ USING (word) CROSS JOIN n
+QUALIFY rank <= 3
 """
 
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
@@ -974,5 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_ann_ivf": _ann_ivf_sql(k=5, n_cells=16, nprobe=2),
         "pipe_embedding_neardup": _embedding_neardup_sql(threshold=0.35),
         "pipe_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+        "pipe_decontaminate": _DECONTAM_SQL,
+        "pipe_repetition": _REPETITION_SQL,
+        "pipe_tfidf_topk": _TFIDF_SQL,
         "pipe_multimodal_features": _MULTIMODAL_SQL,
     }

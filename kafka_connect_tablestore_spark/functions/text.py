@@ -123,6 +123,70 @@ def stratified_sample(df, group_col: str, rates: dict[str, float], id_col: str):
     return df.where(h < gate)
 
 
+def repetition_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (the Gopher/MassiveText-style
+    repetitious-content filters): duplicate-word fraction and duplicate
+    2-gram fraction — template/boilerplate/spam pages score high, natural
+    prose low.
+
+    Pure per-row expressions (distinct-count over the word / 2-gram arrays)
+    — map-only at any scale, fused into the scan by codegen.  Rounded to 4
+    decimals for cross-engine comparison."""
+    from pyspark.sql import functions as F
+
+    df = df.select(F.col(id_col), words(text_col).alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    g2 = shingles_from_words(w, 2)
+    dup_2gram = F.when(
+        n >= 2, F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(dup_word, 4).alias("dup_word_frac"),
+        F.round(dup_2gram, 4).alias("dup_2gram_frac"),
+    )
+
+
+def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Top-k characteristic terms per document by TF-IDF
+    (``tf × ln(N / df)``) — the keyword/topic-extraction primitive for
+    corpus exploration and cluster labeling.
+
+    Relational shape: explode → per-(doc, word) counts (shuffle 1, map-side
+    combined) → document frequency per word (shuffle 2 — output is
+    vocabulary-sized, tiny) → broadcast the vocabulary back onto the term
+    counts (zero corpus shuffle) → per-doc top-k window (shuffle 3, on the
+    doc key).  N is the corpus cardinality — one count-star job, the same
+    bounded driver scalar the IVF trainer uses.  Ties broken by word for
+    determinism; scores rounded to 4 decimals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_docs = df.count()
+    wc = (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = wc.join(F.broadcast(docfreq), "word").select(
+        F.col(id_col),
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "word", "tfidf")
+    )
+
+
 def doc_word_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
     """Shannon entropy (bits) of each document's word distribution — the
     low-entropy filter that drops boilerplate/template/spam pages from a

@@ -155,6 +155,66 @@ def test_image_metadata_null_payload_yields_null_row(spark):
     assert out[2]["format"] == "png" and (out[2]["width"], out[2]["height"]) == (64, 48)
 
 
+# ------------------------------------------------- new pipeline operators (r3)
+def test_benchmark_overlap_semantics(spark):
+    from kafka_connect_tablestore_spark.operators.decontam import benchmark_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    out = benchmark_overlap(docs, bench).cache()
+    assert out.count() == docs.count()  # every doc scored, even shingle-less
+    # a benchmark member's own shingles are all in the set → contamination 1.0
+    members = out.join(bench.select("doc_id"), "doc_id").where(F.col("n_shingles") > 0)
+    assert members.where(F.col("contamination") != 1.0).count() == 0
+    assert members.where(~F.col("contaminated")).count() == 0
+    # with a tiny shared vocabulary the rest of the corpus shows PARTIAL
+    # overlap — the operator is measuring something, not echoing a constant
+    partial = out.where((F.col("contamination") > 0) & (F.col("contamination") < 1))
+    assert partial.count() > 0
+    docs.unpersist()
+    out.unpersist()
+
+
+def test_benchmark_overlap_broadcasts_benchmark_side(spark):
+    from kafka_connect_tablestore_spark.operators.decontam import benchmark_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 31 == 0)
+    plan = benchmark_overlap(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the probe
+
+
+def test_repetition_scores_known_values(spark):
+    from kafka_connect_tablestore_spark.functions.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c"), (3, "x"), (4, "go go stop go")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == 0.75      # 1 distinct of 4
+    assert out[1]["dup_2gram_frac"] == round(1 - 1 / 3, 4)  # 'a a' ×3
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["n_words"] == 1 and out[3]["dup_2gram_frac"] == 0.0
+    assert out[4]["dup_word_frac"] == 0.5       # go×3 + stop → 2 distinct of 4
+
+
+def test_tfidf_topk_ranks_characteristic_terms(spark):
+    from kafka_connect_tablestore_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z"), (3, "z z z")], "doc_id long, text string"
+    )
+    top1 = {
+        r["doc_id"]: r["word"]
+        for r in tfidf_topk(df, k=1).collect()
+    }
+    # x is unique to d1 (df=1) and frequent there; ties (d2: y vs z, equal
+    # tf×idf) break alphabetically
+    assert top1 == {1: "x", 2: "y", 3: "z"}
+
+
 # ----------------------------------------------------- PIL-gated pixel decode
 def test_real_decode_raises_cleanly_without_pil(spark):
     pil = pytest.importorskip("importlib.util").find_spec("PIL")
