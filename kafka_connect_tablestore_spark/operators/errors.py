@@ -94,3 +94,52 @@ def kafka_dlq_records(
         ).alias("headers"),
         F.when(ts > 0, F.timestamp_millis(ts)).alias("timestamp"),
     )
+
+
+def kafka_connector_available(spark) -> bool:
+    """True iff the ``spark-sql-kafka`` connector is on the classpath (it is
+    a separate artifact, not bundled with a plain PySpark install)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_dlq_to_kafka(
+    records: DataFrame,
+    bootstrap_servers: str,
+    extra_options: dict[str, str] | None = None,
+) -> None:
+    """The actual producer call for a Kafka-layout DLQ
+    (``errors/KafkaReporter.java:61-112`` → Spark's Kafka batch sink).
+
+    ``records`` must be ``kafka_dlq_records``-shaped (``topic``/``key``/
+    ``value`` at minimum; ``headers``/``timestamp`` ride along — the sink
+    honors all five).  Requires the ``spark-sql-kafka`` connector jar and a
+    reachable broker; neither exists in this sandbox, so the executable
+    coverage here is the frame shape + the clean connector-absent error
+    (``test_dlq_roundtrip.py``), and this function is the one-line
+    integration point a real deployment calls."""
+    required = {"topic", "key", "value"}
+    missing = required - set(records.columns)
+    if missing:
+        raise ValueError(
+            f"DLQ frame is missing Kafka-sink columns {sorted(missing)}; "
+            "build it with kafka_dlq_records()"
+        )
+    if not kafka_connector_available(records.sparkSession):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath — add the "
+            "spark-sql-kafka-0-10 package to write the DLQ to a broker"
+        )
+    w = (
+        records.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("includeHeaders", "true")
+    )
+    for k, v in (extra_options or {}).items():
+        w = w.option(k, v)
+    w.save()

@@ -97,3 +97,32 @@ def test_kafka_dlq_records_shape_and_header(spark):
     (hdr,) = r["headers"]
     assert hdr["key"] == "ErrorInfo" and len(bytes(hdr["value"])) > 0
     assert r["timestamp"] is None  # non-positive record timestamp -> null (:94-96)
+
+
+def test_write_dlq_to_kafka_validates_and_probes_connector(spark):
+    """The producer call itself: a malformed frame is rejected driver-side;
+    with a well-formed frame it either reaches the Kafka sink (connector on
+    classpath) or raises the documented connector-absent error — never a raw
+    ClassNotFound from inside a job."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.errors import (
+        kafka_connector_available,
+        write_dlq_to_kafka,
+    )
+
+    bad = spark.range(1).select(F.lit("t").alias("topic"))  # no key/value
+    with _pytest.raises(ValueError, match="kafka_dlq_records"):
+        write_dlq_to_kafka(bad, "broker:9092")
+
+    good = spark.range(1).select(
+        F.lit("t").alias("topic"),
+        F.lit("k").cast("binary").alias("key"),
+        F.lit("v").cast("binary").alias("value"),
+    )
+    if kafka_connector_available(spark):
+        _pytest.skip("connector present; broker write not exercised in tests")
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        write_dlq_to_kafka(good, "broker:9092")
