@@ -44,6 +44,17 @@ from kafka_connect_tablestore_spark.operators.lww import (
     lww_dedup_salted,
     lww_dedup_window,
 )
+from kafka_connect_tablestore_spark.operators.changefeed import snapshot_diff
+from kafka_connect_tablestore_spark.operators.corpus import (
+    EMAIL_RE,
+    IPV4_RE,
+    LONGNUM_RE,
+    chunk_dedup,
+    global_shuffle,
+    mixture_sample,
+    pack_sequences,
+    redact_pii,
+)
 from kafka_connect_tablestore_spark.operators.multimodal import decode_and_featurize
 from kafka_connect_tablestore_spark.operators.routing import with_target_table
 from kafka_connect_tablestore_spark.operators.rowchange import (
@@ -464,6 +475,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "kind", "width", "height", "payload_sha256"
         )
 
+    def cdc_snapshot_diff(spark, sf):
+        """Changefeed leg: final state at offset ≤ 5000 vs full replay,
+        emitted as INSERT/UPDATE/DELETE row changes (Iceberg-changelog-style
+        incremental read, computed relationally)."""
+        log = _log(spark, sf)
+
+        def state(l):
+            clean, _ = split_errant(validate_and_classify(l, CFG, ATTRS), CFG)
+            return merge_into_state(None, clean, CFG, ATTRS).select(
+                "repo", "path", "commit", "lang", "content"
+            )
+
+        old = state(log.where(F.col("offset") <= 5000))
+        return snapshot_diff(old, state(log))
+
+    def pipe_pii_redact(spark, sf):
+        """PII redaction over text with deterministically synthesized PII
+        (the corpus itself carries none — an unmodified input would verify
+        nothing): every doc gains an email, every 3rd an IPv4, every 5th a
+        card number, then the redactor must strike exactly those."""
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" user"),
+                did.cast("string"),
+                F.lit("@mail.example.org"),
+                F.when(
+                    did % 3 == 0,
+                    F.concat(
+                        F.lit(" host 10."),
+                        (did % 256).cast("string"),
+                        F.lit(".0.1"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(did % 5 == 0, F.lit(" card 4111111111111111")).otherwise(
+                    F.lit("")
+                ),
+            ).alias("text"),
+        )
+        return redact_pii(aug)
+
+    def pipe_seq_pack(spark, sf):
+        return pack_sequences(_docs(spark, sf), budget=128, n_groups=8)
+
+    def pipe_mixture_sample(spark, sf):
+        return mixture_sample(
+            _docs(spark, sf), "lang", {"en": 50, "zh": 20, "de": 20, "fr": 10}
+        )
+
+    def pipe_chunk_dedup(spark, sf):
+        return chunk_dedup(_docs(spark, sf), chunk_words=4)
+
+    def pipe_global_shuffle(spark, sf):
+        return global_shuffle(_docs(spark, sf), n_shards=16)
+
     q.update(
         cdc_lww_window=cdc_lww_window,
         cdc_lww_maxby=cdc_lww_maxby,
@@ -504,6 +573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_repetition=pipe_repetition,
         pipe_tfidf_topk=pipe_tfidf_topk,
         pipe_multimodal_features=pipe_multimodal_features,
+        cdc_snapshot_diff=cdc_snapshot_diff,
+        pipe_pii_redact=pipe_pii_redact,
+        pipe_seq_pack=pipe_seq_pack,
+        pipe_mixture_sample=pipe_mixture_sample,
+        pipe_chunk_dedup=pipe_chunk_dedup,
+        pipe_global_shuffle=pipe_global_shuffle,
     )
     return q
 
@@ -531,14 +606,16 @@ QUALIFY row_number() OVER (
   PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1
 """
 
-# the fold (insert per-record op, delete.mode=row): see plans/merge.py
-_FINAL_STATE_SQL = f"""
-WITH {LOG}, o AS (
+# the fold (insert per-record op, delete.mode=row): see plans/merge.py.
+# Parameterized over the source CTE so the snapshot-diff oracle can fold two
+# log prefixes inside one query.
+def _fold_ctes(src: str, suf: str = "") -> str:
+    return f"""o{suf} AS (
   SELECT *, commit_ts * 1000000 + "offset" AS ord,
          CASE WHEN op <> 'UPDATE' THEN commit_ts * 1000000 + "offset" END AS bar_o,
          CASE WHEN op = 'UPDATE' THEN commit_ts * 1000000 + "offset" END AS upd_o
-  FROM log
-), g AS (
+  FROM {src}
+), g{suf} AS (
   SELECT repo, path,
     max(bar_o) AS bar_ord,
     arg_max(op, bar_o) AS bar_op,
@@ -552,19 +629,151 @@ WITH {LOG}, o AS (
     max(CASE WHEN op='UPDATE' AND lang IS NOT NULL THEN ord END) AS lnn_ord_lang,
     arg_max(content, CASE WHEN op='UPDATE' AND content IS NOT NULL THEN ord END) AS lnn_content,
     max(CASE WHEN op='UPDATE' AND content IS NOT NULL THEN ord END) AS lnn_ord_content
-  FROM o GROUP BY repo, path
-)
+  FROM o{suf} GROUP BY repo, path
+), state{suf} AS (
 SELECT repo, path,
   CASE WHEN lnn_ord_commit IS NOT NULL AND (bar_ord IS NULL OR lnn_ord_commit > bar_ord)
        THEN lnn_commit WHEN bar_op = 'PUT' THEN bar_commit END AS "commit",
   CASE WHEN lnn_ord_lang IS NOT NULL AND (bar_ord IS NULL OR lnn_ord_lang > bar_ord)
        THEN lnn_lang WHEN bar_op = 'PUT' THEN bar_lang END AS lang,
   CASE WHEN lnn_ord_content IS NOT NULL AND (bar_ord IS NULL OR lnn_ord_content > bar_ord)
-       THEN lnn_content WHEN bar_op = 'PUT' THEN bar_content END AS content,
-  sha256(CASE WHEN lnn_ord_content IS NOT NULL AND (bar_ord IS NULL OR lnn_ord_content > bar_ord)
-       THEN lnn_content WHEN bar_op = 'PUT' THEN bar_content END) AS content_sha256
-FROM g
+       THEN lnn_content WHEN bar_op = 'PUT' THEN bar_content END AS content
+FROM g{suf}
 WHERE bar_ord IS NULL OR bar_op = 'PUT' OR upd_ord > bar_ord
+)"""
+
+
+_FINAL_STATE_SQL = f"""
+WITH {LOG}, {_fold_ctes("log")}
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256
+FROM state
+"""
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH {LOG},
+old_log AS (SELECT * FROM log WHERE "offset" <= 5000),
+{_fold_ctes("old_log", "_old")},
+{_fold_ctes("log", "_new")}
+SELECT * FROM (
+  SELECT
+    COALESCE(n.repo, o.repo) AS repo,
+    COALESCE(n.path, o.path) AS path,
+    CASE WHEN o.repo IS NULL THEN 'INSERT'
+         WHEN n.repo IS NULL THEN 'DELETE'
+         WHEN (o."commit" IS DISTINCT FROM n."commit")
+           OR (o.lang IS DISTINCT FROM n.lang)
+           OR (o.content IS DISTINCT FROM n.content) THEN 'UPDATE' END AS change_op,
+    n."commit" AS "commit", n.lang AS lang, n.content AS content
+  FROM state_old o FULL OUTER JOIN state_new n
+    ON o.repo = n.repo AND o.path = n.path
+) WHERE change_op IS NOT NULL
+"""
+
+# corpus-assembly oracles (operators/corpus.py). PII: the same deterministic
+# augmentation as the Spark query, then the identical regex chain (patterns
+# restricted to the Java-regex ∩ RE2 common subset).
+_PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' card 4111111111111111' ELSE '' END
+      AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+    regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+    regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+  CAST(len(regexp_extract_all(t2, '{LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+  regexp_replace(t2, '{LONGNUM_RE}', '<NUM>', 'g') AS redacted
+FROM s2
+"""
+
+_SEQ_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST({H("CAST(doc_id AS VARCHAR)", "pack")} % 8 AS INT) AS pack_group,
+    CAST(len({W}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, pack_group, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, pack_group, n_tokens,
+  CAST(floor(start / 128) AS BIGINT) AS bin_id,
+  CAST(start % 128 AS BIGINT) AS start_offset
+FROM cum
+"""
+
+_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS grp_n,
+    CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50
+              WHEN 'fr' THEN 10 WHEN 'zh' THEN 20 END AS grp_pct
+  FROM documents WHERE lang IN ('en','zh','de','fr') GROUP BY lang
+), q AS (
+  SELECT lang, grp_n, grp_pct,
+    CAST(floor(grp_n * 100 / grp_pct) AS BIGINT) AS grp_t
+  FROM counts
+), plan AS (
+  SELECT lang, grp_n,
+    CAST(floor(grp_pct * (SELECT min(grp_t) FROM q) / 100) AS BIGINT) AS grp_k
+  FROM q
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN plan p ON d.lang = p.lang
+WHERE ({H("CAST(doc_id AS VARCHAR)", "mix")} % 1000000) * p.grp_n
+      < p.grp_k * 1000000
+"""
+
+_CHUNK_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {W} AS w FROM documents
+), ch AS (
+  SELECT doc_id,
+    CASE WHEN len(w) > 0 THEN
+      list_transform(generate_series(1, CAST(ceil(len(w) / 4.0) AS INT)),
+        i -> array_to_string(list_slice(w, (i-1)*4 + 1, least(i*4, len(w))), ' '))
+    ELSE [] END AS chunks
+  FROM base
+), ex AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+         unnest(chunks) AS chunk
+  FROM ch
+), marked AS (
+  SELECT doc_id, pos, chunk,
+    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) = 1 AS kept
+  FROM ex
+)
+SELECT doc_id,
+  CAST(count(chunk) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+    AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+_GLOBAL_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, {H("CAST(doc_id AS VARCHAR)", "shuf")} AS key FROM documents
+)
+SELECT doc_id, CAST(key % 16 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) AS BIGINT)
+    AS pos
+FROM k
 """
 
 _BANDS_SQL = " UNION ALL ".join(
@@ -1051,4 +1260,10 @@ def oracle_sql() -> dict[str, str]:
         "pipe_repetition": _REPETITION_SQL,
         "pipe_tfidf_topk": _TFIDF_SQL,
         "pipe_multimodal_features": _MULTIMODAL_SQL,
+        "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "pipe_pii_redact": _PII_REDACT_SQL,
+        "pipe_seq_pack": _SEQ_PACK_SQL,
+        "pipe_mixture_sample": _MIXTURE_SQL,
+        "pipe_chunk_dedup": _CHUNK_DEDUP_SQL,
+        "pipe_global_shuffle": _GLOBAL_SHUFFLE_SQL,
     }

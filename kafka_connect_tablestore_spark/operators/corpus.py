@@ -1,0 +1,267 @@
+"""Corpus-assembly operators for large-scale training-data pipelines:
+PII redaction, sequence packing, mixture sampling, span-level exact dedup,
+and deterministic global shuffle.
+
+These are the steps BETWEEN cleaning/dedup and the trainer: redact what must
+never be trained on, decide the source mixture, deduplicate repeated spans
+inside surviving documents, pack documents into fixed-token-budget bins, and
+shuffle the result reproducibly.  Everything is a pure Catalyst expression
+or a key-local window — no Python in the data path, no global sort, no
+driver-side collection — so each op is a map stage or a single key-local
+shuffle at any scale.
+
+All hash math is the shared md5-hex→int64 family (``functions.text.hash64``)
+so every operator has a bit-identical DuckDB oracle, and every sampling /
+shuffling decision is a pure per-row function of (id, seed) — stable under
+repartitioning, re-execution, and engine choice (unlike ``df.sample`` /
+``rand()``, which are seeded per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64, words
+
+#: Redaction patterns — the common Java-regex / RE2 subset so the Spark and
+#: DuckDB engines replace the exact same spans.  Order matters: emails are
+#: struck before IPs and digit runs so an address is never half-eaten.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+LONGNUM_RE = r"\d{9,}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Strike emails, IPv4 addresses, and long digit runs (card/account
+    numbers) from ``text_col``, emitting per-category hit counts and the
+    redacted text.
+
+    The privacy gate every web-scale corpus needs before training.  Pure
+    per-row ``regexp_replace`` / ``regexp_extract_all`` expressions — fused
+    into the scan by codegen, map-only at 100 TB.  Patterns are restricted
+    to the Java-regex ∩ RE2 subset so the DuckDB oracle replaces identical
+    spans (``regexp_replace(..., 'g')``).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    step1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(IPV4_RE), F.lit(0)))
+    step2 = F.regexp_replace(step1, IPV4_RE, "<IP>")
+    n_nums = F.size(F.regexp_extract_all(step2, F.lit(LONGNUM_RE), F.lit(0)))
+    step3 = F.regexp_replace(step2, LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_nums.cast("long").alias("n_longnums"),
+        step3.alias("redacted"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: assign each document a
+    (pack_group, bin, start_offset) so that concatenating a group's docs in
+    order and splitting every ``budget`` tokens yields the trainer's
+    fixed-length sequences.
+
+    ``pack_group = hash64(id) % n_groups`` spreads the corpus over
+    independent packing streams; within a group, a running token total
+    (window cumsum ordered by id — key-local shuffle, no global sort)
+    places each doc at ``start = cum - n_tokens``, in
+    ``bin = start / budget``.  All-integer math, so the DuckDB oracle is
+    bit-identical.  At 100 TB: n_groups scales with the cluster (one sorted
+    stream per group), and the window is the only shuffle.
+    """
+    if budget <= 0 or n_groups <= 0:
+        raise ValueError("budget and n_groups must be positive")
+    idc = F.col(id_col)
+    base = df.select(
+        idc,
+        F.pmod(hash64(idc.cast("string"), "pack"), F.lit(n_groups))
+        .cast("int")
+        .alias("pack_group"),
+        F.size(words(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "pack_group",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("start_offset"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    target_pct: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: downsample groups so the output
+    approaches the target composition ``target_pct`` (integer percents).
+
+    Where ``stratified_sample`` applies caller-given rates, this op derives
+    them FROM the data: the largest total ``T`` such that every group can
+    supply its share is ``min_g floor(count_g * 100 / pct_g)``; group g then
+    keeps ``k_g = floor(pct_g * T / 100)`` rows via the exact integer gate
+    ``(hash64(id) % 1_000_000) * count_g < k_g * 1_000_000`` — uniform,
+    reproducible under any partitioning, and identical in DuckDB (pure
+    BIGINT arithmetic, no float rates).  Groups absent from ``target_pct``
+    are dropped.
+
+    Scale shape: one map-side-combined count per group (output is
+    group-cardinality-sized, tiny), a one-row min() reduction, a broadcast
+    join of the per-group quotas back onto the corpus, then a map-only
+    filter — the corpus itself never shuffles.
+    """
+    if not target_pct or any(p <= 0 for p in target_pct.values()):
+        raise ValueError("target_pct must map groups to positive percents")
+    g = F.col(group_col)
+    counts = (
+        df.where(g.isin(*target_pct.keys()))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("grp_n"))
+    )
+    pct = F.create_map(
+        *[F.lit(x) for kv in sorted(target_pct.items()) for x in kv]
+    )
+    quotas = counts.select(
+        group_col,
+        "grp_n",
+        pct[g].cast("long").alias("grp_pct"),
+    ).select(
+        group_col,
+        "grp_n",
+        "grp_pct",
+        F.floor(F.col("grp_n") * 100 / F.col("grp_pct")).alias("grp_t"),
+    )
+    t_total = quotas.agg(F.min("grp_t").alias("t_total"))
+    plan = quotas.crossJoin(F.broadcast(t_total)).select(
+        group_col,
+        "grp_n",
+        F.floor(F.col("grp_pct") * F.col("t_total") / 100).alias("grp_k"),
+    )
+    gate = F.pmod(hash64(F.col(id_col).cast("string"), "mix"), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(plan), group_col)
+        .where(gate * F.col("grp_n") < F.col("grp_k") * F.lit(1_000_000))
+        .select(id_col, group_col)
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+) -> DataFrame:
+    """Span-level exact dedup: split each document into fixed
+    ``chunk_words``-word chunks, keep each distinct chunk only at its first
+    occurrence (ordered by (id, position)), and reassemble the surviving
+    text — the intra-corpus repeated-passage (boilerplate / licence header /
+    template) remover that document-level dedup cannot express.
+
+    Relational shape: chunk (map) → posexplode → first-occurrence
+    window over the chunk fingerprint (ONE shuffle, on the chunk key —
+    never all-pairs) → per-doc reassembly (shuffle on the doc key).
+    Emits per-doc chunk totals, survivors, and the md5 of the reassembled
+    text; docs whose chunks were all seen elsewhere survive with
+    ``n_kept = 0`` and the empty-text hash.
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be positive")
+    idc = F.col(id_col)
+    w = words(text_col)
+    base = df.select(idc, w.alias("_w")).select(
+        idc,
+        F.when(
+            F.size("_w") > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size("_w") / chunk_words).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_w", (i - 1) * chunk_words + 1, chunk_words)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("chunks"),
+    )
+    exploded = base.select(idc, F.posexplode_outer("chunks").alias("pos", "chunk"))
+    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "pos")
+    marked = exploded.withColumn(
+        "kept",
+        F.when(
+            F.col("chunk").isNotNull(), F.row_number().over(first) == 1
+        ).otherwise(F.lit(False)),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("chunk").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("pos", "chunk")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment: place
+    every row at a reproducible (shard, position) drawn from
+    ``hash64(id, seed)`` — re-running on re-partitioned, re-ordered, or
+    incrementally-grown input yields the same permutation for surviving
+    rows.
+
+    ``shard = key % n_shards`` then position by ``row_number`` ordered by
+    the key within the shard: shards sort independently (one key-local
+    shuffle, no global sort), so at 100 TB ``n_shards`` scales with the
+    cluster and each output shard is exactly one trainer input file.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = hash64(F.col(id_col).cast("string"), seed)
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
