@@ -53,14 +53,15 @@ def benchmark_overlap(
             F.col(id_col),
             F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("_sh"),
         )
-        .select(F.col(id_col), F.explode(F.col("_sh")).alias("_s"))
+        .select(F.col(id_col), F.explode_outer(F.col("_sh")).alias("_s"))
         .select(F.col(id_col), hash64(F.col("_s"), "dc").alias("_h"))
     )
     bench_sh = (
         benchmark.select(words(text_col).alias("_w"))
         .select(shingles_from_words(F.col("_w"), k).alias("_sh"))
-        .select(F.explode(F.col("_sh")).alias("_s"))
+        .select(F.explode_outer(F.col("_sh")).alias("_s"))
         .select(hash64(F.col("_s"), "dc").alias("_h"))
+        .where(F.col("_h").isNotNull())
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -68,11 +69,14 @@ def benchmark_overlap(
         corpus_sh.join(F.broadcast(bench_sh), "_h", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.col("_h")).alias("n_shingles"),
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_shared"),
         )
     )
-    ratio = F.col("n_shared") / F.col("n_shingles")
+    # try_divide, not `/`: zero-shingle docs now reach the division (the
+    # outer explode keeps them in per_doc with n_shingles=0) and ANSI mode
+    # would raise DIVIDE_BY_ZERO; null ratio then coalesces to clean.
+    ratio = F.try_divide(F.col("n_shared"), F.col("n_shingles"))
     return (
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")
@@ -80,10 +84,7 @@ def benchmark_overlap(
             F.col(id_col),
             F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-            F.round(
-                F.when(F.col("n_shingles").isNotNull(), ratio).otherwise(F.lit(0.0)),
-                4,
-            ).alias("contamination"),
+            F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("contamination"),
             F.coalesce(ratio >= threshold, F.lit(False)).alias("contaminated"),
         )
     )
