@@ -91,7 +91,7 @@ def bench_cdc_ingest(spark, n_events: int, workdir: str) -> tuple[float, float]:
     return n_events / best, best
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     """Times the WHOLE query: plan construction + execution.  Construction
     matters — operators with scoped persists (e.g. minhash_lsh_pairs) do
     eager work while building the DataFrame, and timing only the final

@@ -265,3 +265,178 @@ def global_shuffle(
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --------------------------------------------------- persisted chunk index
+#
+# The production shape of span-level dedup at 100 TB: the corpus's
+# first-occurrence chunk fingerprints are computed ONCE and persisted as a
+# bucketed parquet index; each day's new batch probes the index instead of
+# re-chunking the corpus (the same incremental pattern as the persisted
+# MinHash-LSH index in operators/dedup.py).
+
+def _chunk_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, pos, chunk, chunk_md5, bucket) rows — outer explode so the
+    optimizer never infers a scan-level filter that re-inlines the chunk
+    expression tree (see operators/decontam.py for the mechanism)."""
+    idc = F.col(id_col)
+    w = words(text_col)
+    base = df.select(idc, w.alias("_w")).select(
+        idc,
+        F.when(
+            F.size("_w") > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size("_w") / chunk_words).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_w", (i - 1) * chunk_words + 1, chunk_words)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("chunks"),
+    )
+    md5c = F.md5("chunk")
+    return (
+        base.select(idc, F.posexplode_outer("chunks").alias("pos", "chunk"))
+        .where(F.col("chunk").isNotNull())
+        .select(
+            idc,
+            "pos",
+            "chunk",
+            md5c.alias("chunk_md5"),
+            F.pmod(
+                F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+
+
+def build_chunk_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus's first-occurrence chunk fingerprints as a
+    parquet index ``partitionBy(bucket)`` — one row per DISTINCT chunk,
+    carrying the (id, pos) that owns it."""
+    rows = _chunk_rows(df, text_col, id_col, chunk_words, n_buckets)
+    first = Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
+    (
+        rows.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select("chunk_md5", id_col, "pos", "bucket")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def incremental_chunk_dedup(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedupe a NEW batch's chunks against the persisted corpus index plus
+    within-batch first occurrences — the rows ``chunk_dedup(corpus ∪ new)``
+    would emit for the new docs, without touching the corpus text.
+
+    Returns ``(per_doc, kept_rows)``: ``per_doc`` has chunk_dedup's schema
+    for every new doc; ``kept_rows`` are the surviving chunk fingerprints,
+    ready for :func:`append_to_chunk_index` once the batch commits.
+
+    Scale shape: the batch's hit-set is found by streaming ONLY the index
+    buckets the batch's fingerprints can land in (partition-pruned IN
+    filter, the same bounded driver collect the IVF probe uses) with the
+    small batch side broadcast; both remaining joins broadcast the
+    batch-sized side.  The corpus is never read."""
+    new_rows = _chunk_rows(
+        new_docs, text_col, id_col, chunk_words, n_buckets
+    ).localCheckpoint(eager=False)
+    probe_buckets = [
+        r[0] for r in new_rows.select("bucket").distinct().collect()
+    ]
+    idx = spark.read.parquet(index_path)
+    if probe_buckets:
+        idx = idx.where(F.col("bucket").isin(probe_buckets))
+    hits = (
+        idx.join(
+            F.broadcast(new_rows.select("chunk_md5").distinct()), "chunk_md5"
+        )
+        .select("chunk_md5")
+        .distinct()
+        .withColumn("_indexed", F.lit(True))
+    )
+    first = Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
+    marked = (
+        new_rows.withColumn("_rn", F.row_number().over(first))
+        .join(F.broadcast(hits), "chunk_md5", "left")
+        .withColumn(
+            "kept",
+            (F.col("_rn") == 1) & F.col("_indexed").isNull(),
+        )
+    )
+    all_ids = new_docs.select(F.col(id_col))
+    per_doc = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("chunk").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("kept"), F.struct("pos", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .join(all_ids, id_col, "right")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+    kept_rows = marked.where(F.col("kept")).select(
+        "chunk_md5", id_col, "pos", "bucket"
+    )
+    return per_doc, kept_rows
+
+
+def append_to_chunk_index(kept_rows: DataFrame, path: str) -> None:
+    """Append a committed batch's surviving chunk fingerprints to the index
+    — ids must be disjoint from the indexed corpus."""
+    (
+        kept_rows.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

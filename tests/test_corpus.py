@@ -246,3 +246,79 @@ def test_snapshot_diff_roundtrip_applies(spark):
     )
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
     assert deletes.count() == 1
+
+
+# ------------------------------------------------- incremental chunk index
+
+def test_incremental_chunk_dedup_matches_full_recompute(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.corpus import (
+        append_to_chunk_index,
+        build_chunk_index,
+        incremental_chunk_dedup,
+    )
+
+    boiler = "shared header one two three four"
+    corpus = _docs(
+        spark,
+        [(i, f"{boiler} corpus doc {i} filler words here") for i in range(10)],
+    )
+    batch1 = _docs(
+        spark,
+        [
+            (100, f"{boiler} fresh alpha beta gamma delta"),   # header struck
+            (101, "fresh alpha beta gamma delta entirely new"),
+            (102, "fresh alpha beta gamma delta entirely new"),  # dup of 101
+        ],
+    )
+    idx = str(tmp_path / "chunk_idx")
+    build_chunk_index(corpus, idx, chunk_words=3, n_buckets=8)
+
+    per_doc, kept = incremental_chunk_dedup(
+        spark, idx, batch1, chunk_words=3, n_buckets=8
+    )
+    got = {r["doc_id"]: r for r in per_doc.collect()}
+
+    full = {
+        r["doc_id"]: r
+        for r in chunk_dedup(
+            corpus.unionByName(batch1), chunk_words=3
+        ).collect()
+        if r["doc_id"] >= 100
+    }
+    assert set(got) == set(full) == {100, 101, 102}
+    for did in full:
+        assert (
+            got[did]["n_chunks"],
+            got[did]["n_kept"],
+            got[did]["clean_md5"],
+        ) == (
+            full[did]["n_chunks"],
+            full[did]["n_kept"],
+            full[did]["clean_md5"],
+        ), did
+
+    # append batch1's survivors; a replayed batch1 text in batch2 is fully struck
+    append_to_chunk_index(kept, idx)
+    batch2 = _docs(spark, [(200, "fresh alpha beta gamma delta entirely new")])
+    per_doc2, _ = incremental_chunk_dedup(
+        spark, idx, batch2, chunk_words=3, n_buckets=8
+    )
+    r = per_doc2.collect()[0]
+    assert r["n_kept"] == 0 and r["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_incremental_chunk_probe_prunes_partitions(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.corpus import (
+        build_chunk_index,
+        _chunk_rows,
+    )
+
+    corpus = _docs(spark, [(i, f"doc number {i} some words") for i in range(20)])
+    idx = str(tmp_path / "chunk_idx2")
+    build_chunk_index(corpus, idx, chunk_words=3, n_buckets=16)
+    batch = _docs(spark, [(100, "doc number 3 some words")])
+    rows = _chunk_rows(batch, "text", "doc_id", 3, 16)
+    buckets = sorted(r[0] for r in rows.select("bucket").distinct().collect())
+    probe = spark.read.parquet(idx).where(F.col("bucket").isin(buckets))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

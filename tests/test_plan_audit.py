@@ -135,3 +135,21 @@ def test_key_value_parse_prunes_struct_fields(spark, tmp_path):
     assert "note" in plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "content" not in read_schema[0] and "commit" not in read_schema[0]
+
+
+def test_shingle_explodes_never_reinlined_into_scan_filters(spark):
+    """Regression guard for InferFiltersFromGenerate + pushdown: an INNER
+    explode of a computed shingle/chunk array gets a `size(child) > 0`
+    filter inferred, and predicate pushdown substitutes the whole shingle
+    expression — word-split re-inlined per element_at reference — into a
+    scan-level filter (measured 10x on decontamination).  The shingle-family
+    operators use outer generates, so no optimized plan may contain a Filter
+    evaluating element_at/split below the Generate."""
+    import re
+
+    for name in ("pipe_decontaminate", "pipe_chunk_dedup"):
+        df = em.queries()[name](spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if re.match(r"\s*[+:]?-?\s*Filter ", line):
+                assert "element_at" not in line, f"{name}: shingle work re-inlined into a filter:\n{line[:400]}"
