@@ -116,3 +116,37 @@ def windowed_change_counts(
             "n_deletes",
         )
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first document carrying each
+    normalized-text fingerprint, across micro-batches.
+
+    The streaming leg of ``operators/dedup.py::dedup_exact`` for a live
+    ingest feed: ``dropDuplicatesWithinWatermark`` keys state on the md5
+    fingerprint (whitespace-normalized lowercased text — same canon as the
+    batch operator), and the event-time watermark bounds the state store —
+    a duplicate arriving later than the watermark is the caller's dedup-SLA
+    trade-off, exactly how production streaming dedup bounds memory at
+    10^10-event scale.  State is fingerprint-keyed, so it shuffles once on
+    the fingerprint and scales with DISTINCT in-window docs, not traffic.
+
+    Note: the streaming watermark treats rows at or before the CURRENT
+    watermark as late — a row whose event time equals the epoch-zero initial
+    watermark is dropped on arrival, so event times must be real
+    timestamps, not small offsets from epoch.
+    """
+    from ..functions.text import doc_fingerprint
+
+    return (
+        docs_stream.withColumn("_fp", doc_fingerprint(text_col))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
