@@ -79,17 +79,18 @@ def minhash_signatures(
     )
     base = F.transform(F.col("_sh"), lambda s: hash64(s, "mh") % MINHASH_P)
     tmp = shdf.select(F.col(id_col), base.alias("_hs"))
-    cols = [F.col(id_col)]
-
-    def perm(j: int):
-        # single-arg lambda: F.transform treats a 2-arg lambda as
-        # (element, index) — a default-arg closure would capture the index!
-        a, b = minhash_perm_coeffs(j)
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
+    # the 8 permuted minima as SQL strings parsed JVM-side in ONE selectExpr
+    # call: building the equivalent Column trees costs ~0.3 s of py4j
+    # round-trips per plan construction (the same driver-side tax the
+    # simhash fold paid before its single-parse rewrite)
+    cols = [f"`{id_col}`"]
     for j in range(n_hashes):
-        cols.append(F.array_min(F.transform(F.col("_hs"), perm(j))).alias(f"h{j}"))
-    return tmp.select(*cols)
+        a, b = minhash_perm_coeffs(j)
+        cols.append(
+            f"array_min(transform(_hs, h -> (h * {a}L + {b}L) % "
+            f"{MINHASH_P}L)) AS h{j}"
+        )
+    return tmp.selectExpr(*cols)
 
 
 def minhash_lsh_pairs(
