@@ -533,6 +533,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_global_shuffle(spark, sf):
         return global_shuffle(_docs(spark, sf), n_shards=16)
 
+    def cdc_offset_gaps(spark, sf):
+        """Continuity monitoring: re-number the log densely per partition,
+        punch out every 97th offset, and the gap detector must report
+        exactly those holes."""
+        from pyspark.sql import Window
+
+        from kafka_connect_tablestore_spark.operators.monitor import offset_gaps
+
+        log = _log(spark, sf)
+        w = Window.partitionBy("topic", "partition").orderBy("offset")
+        dense = log.select(
+            "topic",
+            "partition",
+            F.row_number().over(w).cast("long").alias("offset"),
+        )
+        return offset_gaps(dense.where(F.col("offset") % 97 != 0))
+
     q.update(
         cdc_lww_window=cdc_lww_window,
         cdc_lww_maxby=cdc_lww_maxby,
@@ -579,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_mixture_sample=pipe_mixture_sample,
         pipe_chunk_dedup=pipe_chunk_dedup,
         pipe_global_shuffle=pipe_global_shuffle,
+        cdc_offset_gaps=cdc_offset_gaps,
     )
     return q
 
@@ -764,6 +782,26 @@ SELECT doc_id,
   md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
     AS clean_md5
 FROM marked GROUP BY doc_id
+"""
+
+_OFFSET_GAPS_SQL = f"""
+WITH {LOG}, dense AS (
+  SELECT topic, "partition",
+    row_number() OVER (PARTITION BY topic, "partition" ORDER BY "offset")
+      AS "offset"
+  FROM log
+), holey AS (
+  SELECT * FROM dense WHERE "offset" % 97 <> 0
+), g AS (
+  SELECT topic, "partition", "offset",
+    lag("offset") OVER (PARTITION BY topic, "partition" ORDER BY "offset")
+      AS prev
+  FROM holey
+)
+SELECT topic, "partition",
+  prev + 1 AS gap_start, "offset" - 1 AS gap_end,
+  "offset" - prev - 1 AS missing
+FROM g WHERE prev IS NOT NULL AND "offset" > prev + 1
 """
 
 _GLOBAL_SHUFFLE_SQL = f"""
@@ -1266,4 +1304,5 @@ def oracle_sql() -> dict[str, str]:
         "pipe_mixture_sample": _MIXTURE_SQL,
         "pipe_chunk_dedup": _CHUNK_DEDUP_SQL,
         "pipe_global_shuffle": _GLOBAL_SHUFFLE_SQL,
+        "cdc_offset_gaps": _OFFSET_GAPS_SQL,
     }

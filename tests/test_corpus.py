@@ -322,3 +322,27 @@ def test_incremental_chunk_probe_prunes_partitions(spark, tmp_path):
     probe = spark.read.parquet(idx).where(F.col("bucket").isin(buckets))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+# ---------------------------------------------------------------- offset_gaps
+
+def test_offset_gaps_semantics(spark):
+    from kafka_connect_tablestore_spark.operators.monitor import offset_gaps
+
+    log = spark.createDataFrame(
+        [
+            # partition 0: starts at 5 (not a gap), dup 7 (not a gap),
+            # then 10..12 missing, then 13
+            ("t", 0, 5), ("t", 0, 6), ("t", 0, 7), ("t", 0, 7),
+            ("t", 0, 8), ("t", 0, 9), ("t", 0, 13),
+            # partition 1: dense — no gaps
+            ("t", 1, 0), ("t", 1, 1), ("t", 1, 2),
+        ],
+        "topic string, partition int, offset long",
+    )
+    out = offset_gaps(log).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g["partition"], g["gap_start"], g["gap_end"], g["missing"]) == (
+        0, 10, 12, 3,
+    )
