@@ -533,6 +533,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_global_shuffle(spark, sf):
         return global_shuffle(_docs(spark, sf), n_shards=16)
 
+    def pipe_winnowing(spark, sf):
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            winnowing_fingerprints,
+        )
+
+        return winnowing_fingerprints(_docs(spark, sf), k=3, window=4)
+
     def cdc_offset_gaps(spark, sf):
         """Continuity monitoring: re-number the log densely per partition,
         punch out every 97th offset, and the gap detector must report
@@ -597,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_chunk_dedup=pipe_chunk_dedup,
         pipe_global_shuffle=pipe_global_shuffle,
         cdc_offset_gaps=cdc_offset_gaps,
+        pipe_winnowing=pipe_winnowing,
     )
     return q
 
@@ -782,6 +790,22 @@ SELECT doc_id,
   md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
     AS clean_md5
 FROM marked GROUP BY doc_id
+"""
+
+_WINNOWING_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES} AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(sh, s -> {H("s", "win")}) AS hs FROM sh
+), wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))
+    WHEN len(hs) >= 1 THEN [list_min(hs)]
+    ELSE [] END AS w
+  FROM hs
+)
+SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
 """
 
 _OFFSET_GAPS_SQL = f"""
@@ -1305,4 +1329,5 @@ def oracle_sql() -> dict[str, str]:
         "pipe_chunk_dedup": _CHUNK_DEDUP_SQL,
         "pipe_global_shuffle": _GLOBAL_SHUFFLE_SQL,
         "cdc_offset_gaps": _OFFSET_GAPS_SQL,
+        "pipe_winnowing": _WINNOWING_SQL,
     }

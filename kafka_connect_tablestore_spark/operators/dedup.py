@@ -451,3 +451,53 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    local-fingerprint scheme): hash every ``k``-word shingle, slide a
+    ``window``-wide window over the hash sequence, select each window's
+    minimum, and emit the DISTINCT selected hashes as ``(id, fp)`` rows.
+
+    The guarantee MinHash cannot give: any shared run of at least
+    ``window + k - 1`` words between two documents produces at least one
+    IDENTICAL fingerprint in both — so a fingerprint-equality join finds
+    partially-overlapping documents (quotes, mirrored passages) with
+    bounded positional precision, not just globally-similar ones.
+
+    Docs with at least one shingle but fewer than ``window`` emit the
+    single global minimum; shingle-less docs emit nothing.  Pure per-row
+    expressions + one outer explode — map-only at any scale, and the
+    downstream equality join shuffles on the fingerprint key only.
+    """
+    if k <= 0 or window <= 0:
+        raise ValueError("k and window must be positive")
+    wdf = df.select(F.col(id_col), words(text_col).alias("_w"))
+    shdf = wdf.select(
+        F.col(id_col), shingles_from_words(F.col("_w"), k).alias("_sh")
+    )
+    hs = F.transform(F.col("_sh"), lambda s: hash64(s, "win"))
+    hdf = shdf.select(F.col(id_col), hs.alias("_hs"))
+    n = F.size("_hs")
+    wins = (
+        F.when(
+            n >= window,
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.array_min(F.slice("_hs", i, window)),
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min("_hs")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    fps = hdf.select(F.col(id_col), F.array_distinct(wins).alias("_fps"))
+    return (
+        fps.select(F.col(id_col), F.explode_outer("_fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )

@@ -346,3 +346,39 @@ def test_offset_gaps_semantics(spark):
     assert (g["partition"], g["gap_start"], g["gap_end"], g["missing"]) == (
         0, 10, 12, 3,
     )
+
+
+# ----------------------------------------------------------------- winnowing
+
+def test_winnowing_shared_run_guarantee(spark):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = window+k-1
+    d = _docs(
+        spark,
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "different lead in " + shared + " other ending"),
+            (3, "no overlap with anybody at all here"),
+        ],
+    )
+    fps = winnowing_fingerprints(d, k=3, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # any shared run of >= window+k-1 words yields >= 1 identical fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_doc_emits_global_min(spark):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    # 4 words -> 2 shingles at k=3 (< window) -> exactly one fp, the min
+    d = _docs(spark, [(1, "just four little words")])
+    fps = winnowing_fingerprints(d, k=3, window=4).collect()
+    assert len(fps) == 1
