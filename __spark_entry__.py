@@ -540,6 +540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return winnowing_fingerprints(_docs(spark, sf), k=3, window=4)
 
+    def pipe_winnowing_overlap(spark, sf):
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            winnowing_overlap_pairs,
+        )
+
+        return winnowing_overlap_pairs(
+            _docs(spark, sf), k=3, window=4, min_shared=3, max_df=20
+        )
+
     def cdc_offset_gaps(spark, sf):
         """Continuity monitoring: re-number the log densely per partition,
         punch out every 97th offset, and the gap detector must report
@@ -605,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_global_shuffle=pipe_global_shuffle,
         cdc_offset_gaps=cdc_offset_gaps,
         pipe_winnowing=pipe_winnowing,
+        pipe_winnowing_overlap=pipe_winnowing_overlap,
     )
     return q
 
@@ -806,6 +816,30 @@ WITH sh AS (
   FROM hs
 )
 SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+"""
+
+_WINNOWING_OVERLAP_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES} AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(sh, s -> {H("s", "win")}) AS hs FROM sh
+), wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN
+      list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))
+    WHEN len(hs) >= 1 THEN [list_min(hs)]
+    ELSE [] END AS w
+  FROM hs
+), fps AS (
+  SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+), capped AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 _OFFSET_GAPS_SQL = f"""
@@ -1330,4 +1364,5 @@ def oracle_sql() -> dict[str, str]:
         "pipe_global_shuffle": _GLOBAL_SHUFFLE_SQL,
         "cdc_offset_gaps": _OFFSET_GAPS_SQL,
         "pipe_winnowing": _WINNOWING_SQL,
+        "pipe_winnowing_overlap": _WINNOWING_OVERLAP_SQL,
     }

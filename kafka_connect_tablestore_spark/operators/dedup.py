@@ -501,3 +501,46 @@ def winnowing_fingerprints(
         fps.select(F.col(id_col), F.explode_outer("_fps").alias("fp"))
         .where(F.col("fp").isNotNull())
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Partially-overlapping document pairs by shared winnowing
+    fingerprints: ``(doc_a, doc_b, n_shared)`` for pairs sharing at least
+    ``min_shared`` fingerprints.
+
+    ``max_df`` drops fingerprints occurring in more than that many
+    documents before the join — the standard stop-fingerprint cap:
+    boilerplate shared by thousands of docs would otherwise make its
+    bucket quadratic (the same hot-bucket hazard as LSH bands, solved the
+    same way).  Shape: fingerprint document-frequency (one key-local
+    map-side-combined count), then a fingerprint-key self-join — never
+    all-pairs."""
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window)
+    if max_df is not None:
+        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        fps = (
+            fps.join(df_counts.where(F.col("_df") <= max_df), "fp")
+            .select(id_col, "fp")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -382,3 +382,24 @@ def test_winnowing_short_doc_emits_global_min(spark):
     d = _docs(spark, [(1, "just four little words")])
     fps = winnowing_fingerprints(d, k=3, window=4).collect()
     assert len(fps) == 1
+
+
+def test_winnowing_overlap_pairs_and_hot_fp_cap(spark):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "common footer words repeated on every single page"
+    rows = [(1, shared + " first unique tail"), (2, shared + " second other tail")]
+    # docs 10..29 share only boilerplate
+    rows += [(10 + i, boiler + f" page number {i}") for i in range(20)]
+    d = _docs(spark, rows)
+    out = winnowing_overlap_pairs(d, min_shared=1, max_df=5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    # the genuinely-overlapping pair survives; the 20-doc boilerplate
+    # fingerprints exceed max_df and produce no pairs
+    assert (1, 2) in pairs
+    assert not any(a >= 10 for a, _ in pairs)
+    uncapped = winnowing_overlap_pairs(d, min_shared=1, max_df=None)
+    assert uncapped.where("doc_a >= 10").count() > 0
