@@ -549,6 +549,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), k=3, window=4, min_shared=3, max_df=20
         )
 
+    def pipe_url_domains(spark, sf):
+        """Domain stats over deterministically synthesized URLs (the
+        corpus text carries none): every doc gains one URL on a subdomain
+        of one of 13 sites; every 4th doc a second URL on a shared CDN
+        host.  The operator must normalize subdomains away and count
+        distinct docs per registrable domain."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            url_domain_stats,
+        )
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://sub"),
+                (did % 7).cast("string"),
+                F.lit(".site"),
+                (did % 13).cast("string"),
+                F.lit(".com/p/"),
+                did.cast("string"),
+                F.when(
+                    did % 4 == 0, F.lit(" and http://cdn.shared.net/x")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return url_domain_stats(aug)
+
     def cdc_offset_gaps(spark, sf):
         """Continuity monitoring: re-number the log densely per partition,
         punch out every 97th offset, and the gap detector must report
@@ -615,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_offset_gaps=cdc_offset_gaps,
         pipe_winnowing=pipe_winnowing,
         pipe_winnowing_overlap=pipe_winnowing_overlap,
+        pipe_url_domains=pipe_url_domains,
     )
     return q
 
@@ -840,6 +870,30 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+_URL_DOMAINS_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+    text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+         || '.site' || CAST(doc_id % 13 AS VARCHAR)
+         || '.com/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN ' and http://cdn.shared.net/x'
+                 ELSE '' END AS text
+  FROM documents
+), ex AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1))
+      AS host
+  FROM aug
+), dom AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(string_split(host, '.')) >= 2
+         THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+         ELSE host END AS domain
+  FROM ex WHERE host IS NOT NULL
+)
+SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain
 """
 
 _OFFSET_GAPS_SQL = f"""
@@ -1365,4 +1419,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_offset_gaps": _OFFSET_GAPS_SQL,
         "pipe_winnowing": _WINNOWING_SQL,
         "pipe_winnowing_overlap": _WINNOWING_OVERLAP_SQL,
+        "pipe_url_domains": _URL_DOMAINS_SQL,
     }

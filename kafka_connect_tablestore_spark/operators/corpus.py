@@ -440,3 +440,39 @@ def append_to_chunk_index(kept_rows: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+#: URL pattern — Java-regex ∩ RE2 subset; host captured for domain work.
+URL_RE = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
+
+
+def url_domain_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registrable-domain document counts over the URLs embedded in a
+    corpus — the input to domain-level filtering (blocklists, per-domain
+    caps, source diversity stats) every web-scale pipeline applies.
+
+    Extracts every URL host, normalizes to the registrable domain (last
+    two dot-labels — a deterministic stand-in for a public-suffix-list
+    lookup, which would ship as a broadcast table in production), and
+    counts DISTINCT documents per domain.  Shape: map-only extract +
+    outer explode + one map-side-combined groupBy on the domain key.
+    """
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(hosts).alias("host")
+    ).where(F.col("host").isNotNull())
+    parts = F.split(F.col("host"), r"\.")
+    domain = F.when(
+        F.size(parts) >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(F.col("host"))
+    return (
+        exploded.select(domain.alias("domain"), F.col(id_col))
+        .distinct()
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -403,3 +403,24 @@ def test_winnowing_overlap_pairs_and_hot_fp_cap(spark):
     assert not any(a >= 10 for a, _ in pairs)
     uncapped = winnowing_overlap_pairs(d, min_shared=1, max_df=None)
     assert uncapped.where("doc_a >= 10").count() > 0
+
+
+# ------------------------------------------------------------ url_domain_stats
+
+def test_url_domain_stats_normalizes_and_counts_distinct_docs(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import url_domain_stats
+
+    d = _docs(
+        spark,
+        [
+            (1, "x https://a.b.example.com/p and https://c.example.com/q y"),
+            (2, "see http://example.com/root"),
+            (3, "bare host http://localhost/x and nothing else"),
+            (4, "no urls at all in this one"),
+        ],
+    )
+    out = {r["domain"]: r["n_docs"] for r in url_domain_stats(d).collect()}
+    # doc 1's two subdomains collapse to one registrable domain → counted once
+    assert out["example.com"] == 2
+    assert out["localhost"] == 1
+    assert "b.example.com" not in out and len(out) == 2
