@@ -297,6 +297,29 @@ class LakeTable:
             return out
         return out.where(~F.col("_deleted")).drop(*META_COLS)
 
+    def changefeed(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """INSERT/UPDATE/DELETE rows transforming snapshot ``from_version``
+        into ``to_version`` (default: current) — an Iceberg-changelog-style
+        incremental read computed relationally from two time-travel reads
+        (``operators/changefeed.py::snapshot_diff``).  Both sides come from
+        the same bucket layout, so the full-outer PK join co-partitions;
+        downstream consumers get "changes since version X" without log
+        replay."""
+        from kafka_connect_tablestore_spark.operators.changefeed import (
+            snapshot_diff,
+        )
+
+        schema = self.snapshot(to_version)["schema"]
+        attrs = sorted(schema)
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        for c in attrs:  # from_version may predate later ADD COLUMNs
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(schema[c]))
+        return snapshot_diff(
+            old, new, tuple(self.config.pk_fields), tuple(attrs)
+        )
+
     # --------------------------------------------------------------- merge
     def merge_batch(
         self,

@@ -104,3 +104,30 @@ def test_windowed_change_counts_drops_late_and_finalizes(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_changefeed_between_versions_applies_cleanly(spark, tmp_path):
+    """table.changefeed(v1): applying the emitted row changes onto the v1
+    state reproduces the current state exactly — the feed is a faithful
+    version-to-version changelog."""
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 3000, seed=21).cache()
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(events, n_batches=3)
+
+    feed = eng.table.changefeed(1).cache()
+    ops = {r["change_op"] for r in feed.select("change_op").distinct().collect()}
+    assert ops and ops <= {"INSERT", "UPDATE", "DELETE"}
+
+    attrs = sorted(eng.table.snapshot()["schema"])
+    old = eng.table.read(version=1).select("repo", "path", *attrs)
+    new = eng.table.read().select("repo", "path", *attrs)
+    upserts = feed.where(F.col("change_op") != "DELETE").drop("change_op")
+    applied = (
+        old.join(feed.select("repo", "path"), ["repo", "path"], "left_anti")
+        .unionByName(upserts)
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(applied) == key(new)
+    # no-op feed: current vs current is empty
+    assert eng.table.changefeed(eng.table.current_version()).count() == 0
