@@ -872,7 +872,7 @@ FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
-_URL_DOMAINS_SQL = """
+_URL_DOMAINS_SQL = r"""
 WITH aug AS (
   SELECT doc_id,
     text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
