@@ -153,3 +153,30 @@ def test_shingle_explodes_never_reinlined_into_scan_filters(spark):
         for line in opt.splitlines():
             if re.match(r"\s*[+:]?-?\s*Filter ", line):
                 assert "element_at" not in line, f"{name}: shingle work re-inlined into a filter:\n{line[:400]}"
+
+
+def test_mixture_sample_broadcasts_quotas(spark):
+    """The corpus side must never shuffle: quota plan joins in as a
+    BroadcastHashJoin, no SortMergeJoin anywhere."""
+    df = em.queries()["pipe_mixture_sample"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_map_only_ops_have_no_shuffle(spark):
+    """PII redaction and stratified sampling are pure per-row expressions —
+    a shuffle in their plans means a regression."""
+    for name in ("pipe_pii_redact", "pipe_stratified_sample"):
+        plan = physical_plan(em.queries()[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:500]}"
+
+
+def test_seq_pack_and_shuffle_use_one_keylocal_exchange(spark):
+    """Packing and global shuffle each need exactly one hash exchange (the
+    group/shard window) — a second exchange or a global sort is a
+    regression."""
+    for name in ("pipe_seq_pack", "pipe_global_shuffle"):
+        plan = physical_plan(em.queries()[name](spark, SF_DIR))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "rangepartitioning" not in plan, f"{name} global-sorts"
