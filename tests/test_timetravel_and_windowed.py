@@ -131,3 +131,42 @@ def test_changefeed_between_versions_applies_cleanly(spark, tmp_path):
     assert key(applied) == key(new)
     # no-op feed: current vs current is empty
     assert eng.table.changefeed(eng.table.current_version()).count() == 0
+
+
+def test_changefeed_across_schema_evolution(spark, tmp_path):
+    """changefeed(from) where from_version predates an ADD COLUMN: the old
+    side is null-padded with the registry type, so pre-evolution rows whose
+    only change is the new column read as UPDATEs, untouched rows as none."""
+    base = ("commit", "lang", "content")
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 2000, seed=13).cache()
+    lo, hi = events.select(F.min("offset"), F.max("offset")).first()
+    mid = lo + (hi - lo + 1) // 2
+
+    eng = CdcEngine(spark, cfg, str(tmp_path), attr_fields=base)
+    eng.apply_batch(events.where(F.col("offset") < mid), "b0")
+    ev2 = events.where(F.col("offset") >= mid).withColumn(
+        "stars", (F.col("offset") % 50).cast("int")
+    )
+    eng2 = CdcEngine(spark, cfg, str(tmp_path), attr_fields=base + ("stars",))
+    m = eng2.apply_batch(ev2, "b1")
+    assert m["schema_changes"] == ["ADD COLUMN stars int"]
+
+    feed = eng2.table.changefeed(1).cache()
+    assert "stars" in feed.columns
+    ops = {r[0] for r in feed.select("change_op").distinct().collect()}
+    assert "INSERT" in ops
+    # applying the feed onto the null-padded old state reproduces current
+    attrs = sorted(eng2.table.snapshot()["schema"])
+    old = eng2.table.read(version=1)
+    for c in attrs:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast("int"))
+    old = old.select("repo", "path", *attrs)
+    new = eng2.table.read().select("repo", "path", *attrs)
+    upserts = feed.where(F.col("change_op") != "DELETE").drop("change_op")
+    applied = (
+        old.join(feed.select("repo", "path"), ["repo", "path"], "left_anti")
+        .unionByName(upserts)
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
