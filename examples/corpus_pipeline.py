@@ -15,8 +15,12 @@ family, in dependency order:
   5. PII redaction          (operators/corpus.py::redact_pii)
   6. mixture sampling       (operators/corpus.py::mixture_sample)
   7. sequence packing       (operators/corpus.py::pack_sequences)
-  8. deterministic shuffle  (operators/corpus.py::global_shuffle)
-  9. write one parquet file per shard, rows ordered by pack position
+  8. deterministic shuffle  (operators/corpus.py::global_shuffle over BIN
+                             keys — whole packed bins move, so sequence
+                             geometry survives the permutation)
+  9. write one parquet file per shard; each bin's rows are contiguous and
+     start_offset-ordered, so a trainer streams fixed-length sequences
+     straight off the file
 
 Each step is a pure DataFrame transformation, so Catalyst fuses the gates
 into single stages and the only shuffles are the ones the operators
@@ -50,13 +54,15 @@ def main() -> None:
     p.add_argument("--mixture", default="", help="lang=pct comma list, e.g. en=60,de=25,fr=15")
     args = p.parse_args()
 
-    from kafka_connect_tablestore_spark.functions.text import repetition_scores, token_count
+    from kafka_connect_tablestore_spark.functions.text import token_count
     from kafka_connect_tablestore_spark.operators.clustering import dedup_neardup
     from kafka_connect_tablestore_spark.operators.corpus import (
+        EMAIL_RE,
+        IPV4_RE,
+        LONGNUM_RE,
         global_shuffle,
         mixture_sample,
         pack_sequences,
-        redact_pii,
     )
     from kafka_connect_tablestore_spark.operators.decontam import benchmark_overlap
     from kafka_connect_tablestore_spark.operators.dedup import dedup_exact
@@ -67,7 +73,9 @@ def main() -> None:
     # 1-2: survivors of exact dedup, then near-dup clustering (keep minima)
     keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
     docs = docs.join(keep, "doc_id")
-    keep_nd = dedup_neardup(docs).select("doc_id")
+    keep_nd = (
+        dedup_neardup(docs).where(F.col("is_survivor")).select("doc_id")
+    )
     docs = docs.join(keep_nd, "doc_id")
 
     # 3: strike benchmark-contaminated docs
@@ -76,20 +84,31 @@ def main() -> None:
         clean = benchmark_overlap(docs, bench).where(~F.col("contaminated"))
         docs = docs.join(clean.select("doc_id"), "doc_id")
 
-    # 4: quality gates — all pure per-row expressions, fused into one stage
-    rep = repetition_scores(docs)
-    docs = (
-        docs.join(rep.select("doc_id", "dup_word_frac"), "doc_id")
-        .where(
-            (token_count("text") >= args.min_tokens)
-            & (F.col("dup_word_frac") <= args.max_dup_word_frac)
-        )
-        .drop("dup_word_frac")
+    # 4: quality gates — pure per-row expressions applied INLINE (no
+    # join-back: re-joining per-row metrics would shuffle the whole corpus
+    # twice for values the scan can compute in place)
+    from kafka_connect_tablestore_spark.functions.text import words as _words
+
+    w = _words("text")
+    n = F.size(w)
+    dup_word_frac = F.lit(1.0) - F.size(F.array_distinct(w)) / n
+    docs = docs.where(
+        (token_count("text") >= args.min_tokens)
+        & (dup_word_frac <= args.max_dup_word_frac)
     )
 
-    # 5: redact PII in place
-    docs = docs.drop("text").join(
-        redact_pii(docs).withColumnRenamed("redacted", "text"), "doc_id"
+    # 5: redact PII in place — same inline principle
+    docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+                IPV4_RE,
+                "<IP>",
+            ),
+            LONGNUM_RE,
+            "<NUM>",
+        ),
     )
 
     # 6: optional mixture targeting
@@ -100,17 +119,27 @@ def main() -> None:
         }
         docs = docs.join(mixture_sample(docs, "lang", pct).select("doc_id"), "doc_id")
 
-    # 7-8: pack into token budgets, then assign the training order
+    # 7-8: pack into token budgets, then shuffle BINS (not docs): packing
+    # geometry assumes a group's docs concatenate in id order, so the
+    # training-order permutation must move whole bins — a bin's rows land
+    # on one shard contiguously, ordered by start_offset, and a trainer
+    # streams fixed-length sequences straight off the file
     packed = pack_sequences(docs, budget=args.budget, n_groups=args.shards)
-    order = global_shuffle(docs, n_shards=args.shards)
+    packed = packed.withColumn(
+        "bin_key",
+        F.col("pack_group").cast("long") * F.lit(1_000_000_000)
+        + F.col("bin_id"),
+    )
+    bins = packed.select("bin_key").distinct()
+    order = global_shuffle(bins, id_col="bin_key", n_shards=args.shards)
     out = (
         docs.join(packed, "doc_id")
-        .join(order, "doc_id")
+        .join(order, "bin_key")
         .repartition(args.shards, "shard")
-        .sortWithinPartitions("shard", "pos")
+        .sortWithinPartitions("shard", "pos", "start_offset")
     )
 
-    # 9: one file per shard, readable in training order
+    # 9: one file per shard; bins contiguous, sequences reconstructable
     out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"corpus written: {n} docs in {args.shards} shards at {args.out}")

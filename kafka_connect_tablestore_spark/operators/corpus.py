@@ -133,11 +133,21 @@ def mixture_sample(
     if not target_pct or any(p <= 0 for p in target_pct.values()):
         raise ValueError("target_pct must map groups to positive percents")
     g = F.col(group_col)
-    counts = (
+    # counts over ALL targeted groups, absent ones at 0: a group the data
+    # cannot supply forces T = 0 (empty output, per the documented "every
+    # group can supply its share") instead of silently renormalizing the
+    # mixture over whichever groups happen to exist — e.g. a typo'd group
+    # key must not yield a full-volume single-group "mixture".
+    targets = df.sparkSession.createDataFrame(
+        [(k,) for k in sorted(target_pct)], f"{group_col} string"
+    )
+    counts = targets.join(
         df.where(g.isin(*target_pct.keys()))
         .groupBy(group_col)
-        .agg(F.count("*").alias("grp_n"))
-    )
+        .agg(F.count("*").alias("grp_n")),
+        group_col,
+        "left",
+    ).select(group_col, F.coalesce("grp_n", F.lit(0)).alias("grp_n"))
     pct = F.create_map(
         *[F.lit(x) for kv in sorted(target_pct.items()) for x in kv]
     )
@@ -186,34 +196,10 @@ def chunk_dedup(
     """
     if chunk_words <= 0:
         raise ValueError("chunk_words must be positive")
-    idc = F.col(id_col)
-    w = words(text_col)
-    base = df.select(idc, w.alias("_w")).select(
-        idc,
-        F.when(
-            F.size("_w") > 0,
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.ceil(F.size("_w") / chunk_words).cast("int"),
-                ),
-                lambda i: F.concat_ws(
-                    " ", F.slice("_w", (i - 1) * chunk_words + 1, chunk_words)
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("chunks"),
-    )
-    exploded = base.select(idc, F.posexplode_outer("chunks").alias("pos", "chunk"))
-    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "pos")
-    marked = exploded.withColumn(
-        "kept",
-        F.when(
-            F.col("chunk").isNotNull(), F.row_number().over(first) == 1
-        ).otherwise(F.lit(False)),
-    )
-    return marked.groupBy(id_col).agg(
+    rows = _chunk_rows(df, text_col, id_col, chunk_words)
+    first = Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
+    marked = rows.withColumn("kept", F.row_number().over(first) == 1)
+    agg = marked.groupBy(id_col).agg(
         F.count("chunk").cast("long").alias("n_chunks"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
         F.md5(
@@ -231,6 +217,13 @@ def chunk_dedup(
                 ),
             )
         ).alias("clean_md5"),
+    )
+    # docs whose text produced no chunks (null text) re-enter with zeros
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
 
 
@@ -280,11 +273,14 @@ def _chunk_rows(
     text_col: str,
     id_col: str,
     chunk_words: int,
-    n_buckets: int,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """(id, pos, chunk, chunk_md5, bucket) rows — outer explode so the
-    optimizer never infers a scan-level filter that re-inlines the chunk
-    expression tree (see operators/decontam.py for the mechanism)."""
+    """(id, pos, chunk, chunk_md5[, bucket]) rows — the single source of
+    chunk-boundary truth for both :func:`chunk_dedup` and the persisted
+    index (they must agree or incremental results diverge from the batch
+    operator).  Outer explode so the optimizer never infers a scan-level
+    filter that re-inlines the chunk expression tree (see
+    operators/decontam.py for the mechanism)."""
     idc = F.col(id_col)
     w = words(text_col)
     base = df.select(idc, w.alias("_w")).select(
@@ -305,21 +301,20 @@ def _chunk_rows(
         .alias("chunks"),
     )
     md5c = F.md5("chunk")
-    return (
-        base.select(idc, F.posexplode_outer("chunks").alias("pos", "chunk"))
-        .where(F.col("chunk").isNotNull())
-        .select(
-            idc,
-            "pos",
-            "chunk",
-            md5c.alias("chunk_md5"),
+    cols = [idc, F.col("pos"), F.col("chunk"), md5c.alias("chunk_md5")]
+    if n_buckets is not None:
+        cols.append(
             F.pmod(
                 F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long"),
                 F.lit(n_buckets),
             )
             .cast("int")
-            .alias("bucket"),
+            .alias("bucket")
         )
+    return (
+        base.select(idc, F.posexplode_outer("chunks").alias("pos", "chunk"))
+        .where(F.col("chunk").isNotNull())
+        .select(*cols)
     )
 
 

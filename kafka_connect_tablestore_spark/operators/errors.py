@@ -98,9 +98,15 @@ def kafka_dlq_records(
 
 def kafka_connector_available(spark) -> bool:
     """True iff the ``spark-sql-kafka`` connector is on the classpath (it is
-    a separate artifact, not bundled with a plain PySpark install)."""
+    a separate artifact, not bundled with a plain PySpark install).
+
+    Resolution must go through SPARK'S classloader, not the system one:
+    jars pulled in with ``spark-submit --packages`` live in Spark's
+    MutableURLClassLoader, which single-arg ``Class.forName`` via the py4j
+    gateway cannot see — that probe would refuse on a correctly configured
+    cluster."""
     try:
-        spark._jvm.java.lang.Class.forName(
+        spark._jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader().loadClass(
             "org.apache.spark.sql.kafka010.KafkaSourceProvider"
         )
         return True

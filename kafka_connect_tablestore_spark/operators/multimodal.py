@@ -112,7 +112,18 @@ def decode_and_featurize(df: DataFrame, *, fake: bool = False) -> DataFrame:
         import pandas as _pd
 
         if use_pil:
-            from PIL import Image as _Image
+            # re-probed EXECUTOR-side: the driver's plan-time probe only
+            # proves PIL exists in the driver venv; on a heterogeneous
+            # cluster the executor image may lack it, and a bare import
+            # here would fail the job through opaque task retries
+            try:
+                from PIL import Image as _Image
+            except ImportError as e:
+                raise RuntimeError(
+                    "PIL is importable on the driver but not on this "
+                    "executor — install Pillow in the executor image or "
+                    "call decode_and_featurize(fake=True)"
+                ) from e
 
         for pdf in batches:
             rows = []

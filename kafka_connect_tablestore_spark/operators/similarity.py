@@ -260,8 +260,13 @@ def trainer_sample_plan(
         F.col(id_col).cast("string").alias("_id"),
     )
     if n > 2 * sample_size:
-        gate = int((1 << 20) * min(1.0, 2.0 * sample_size / n))
-        sample_df = sample_df.where(F.col("_h") % F.lit(1 << 20) < F.lit(gate))
+        # 2^40 gate resolution: at 2^20 the integer rate truncates to ZERO
+        # once n > 2^21 * sample_size (~4×10^9 rows at the default 2048 —
+        # i.e. exactly the 10^10-row scale this plan exists for), silently
+        # emptying the training sample.  max(1, ...) guards the residual
+        # truncation edge; the 60-bit hash has headroom for a 2^40 modulus.
+        gate = max(1, int((1 << 40) * min(1.0, 2.0 * sample_size / n)))
+        sample_df = sample_df.where(F.col("_h") % F.lit(1 << 40) < F.lit(gate))
     return sample_df.orderBy("_h", "_id").limit(sample_size)
 
 

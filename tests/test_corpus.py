@@ -424,3 +424,14 @@ def test_url_domain_stats_normalizes_and_counts_distinct_docs(spark):
     assert out["example.com"] == 2
     assert out["localhost"] == 1
     assert "b.example.com" not in out and len(out) == 2
+
+
+def test_mixture_sample_missing_group_yields_empty_not_renormalized(spark):
+    """A targeted group absent from the data forces T=0 (nothing can hit the
+    documented composition), not a silent full-volume single-group output."""
+    d = spark.createDataFrame(
+        [(i, "t", "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    out = mixture_sample(d, "lang", {"en": 50, "xx": 50})
+    assert out.count() == 0
