@@ -416,6 +416,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
+    def pipe_semantic_dedup(spark, sf):
+        """SemDeDup-style: IVF-quantize the embedding space, drop vectors
+        with a smaller-id cell-mate at cosine >= 0.3 (threshold tuned to the
+        synthetic embeddings so the dominated set is non-empty)."""
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        return semantic_dedup(_emb(spark, sf), threshold=0.3, n_cells=16)
+
     def pipe_neardup_clusters(spark, sf):
         from kafka_connect_tablestore_spark.operators.clustering import dedup_neardup
 
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_winnowing=pipe_winnowing,
         pipe_winnowing_overlap=pipe_winnowing_overlap,
         pipe_url_domains=pipe_url_domains,
+        pipe_semantic_dedup=pipe_semantic_dedup,
     )
     return q
 
@@ -894,6 +905,36 @@ WITH aug AS (
   FROM ex WHERE host IS NOT NULL
 )
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain
+"""
+
+# SemDeDup twin: same centroid/assign CTEs as the IVF oracle, then the
+# smaller-id-dominance rule within each cell.
+_SEMANTIC_DEDUP_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_idx, v AS c
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id, cell_idx,
+    (list_dot_product(v, v) - (2.0 * list_dot_product(v, c))) + list_dot_product(c, c) AS dist
+  FROM base CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, cell_idx AS cell FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_idx) = 1
+),
+av AS (
+  SELECT base.vec_id, v, sqrt(list_dot_product(v, v)) AS n, cell
+  FROM base JOIN cells USING (vec_id)
+),
+dominated AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.3
+)
+SELECT av.vec_id, cell, d.vec_id IS NULL AS is_survivor
+FROM av LEFT JOIN dominated d ON av.vec_id = d.vec_id
 """
 
 _OFFSET_GAPS_SQL = f"""
@@ -1420,4 +1461,5 @@ def oracle_sql() -> dict[str, str]:
         "pipe_winnowing": _WINNOWING_SQL,
         "pipe_winnowing_overlap": _WINNOWING_OVERLAP_SQL,
         "pipe_url_domains": _URL_DOMAINS_SQL,
+        "pipe_semantic_dedup": _SEMANTIC_DEDUP_SQL,
     }

@@ -541,3 +541,67 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: quantize the embedding space
+    into ``n_cells`` cells, then within each cell drop every vector that
+    has a SMALLER-id neighbor at cosine ≥ ``threshold`` (first-seen wins —
+    the deterministic relational form of the greedy keep-scan).
+
+    Output: ``(id_col, cell, is_survivor)`` for every input vector.
+
+    The cluster-then-dedup decomposition is what makes semantic dedup
+    feasible at corpus scale: the cosine self-join runs CELL-LOCALLY (one
+    shuffle on the cell key, candidate volume bounded by cell size), never
+    all-pairs — at the cost of missing near-dup pairs the quantizer splits
+    across cells, the documented SemDeDup trade-off.  ``train`` as in
+    :func:`ann_ivf_topk`: ``'first'`` is SQL-expressible (the oracle twin),
+    ``'kmeans'`` the balanced production quantizer.
+    """
+    if train == "kmeans":
+        centroids = train_ivf_centroids(
+            df, n_cells, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    vd = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col),
+        vd.alias("v"),
+        _norm(vd).alias("n"),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dominated", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("_dominated").isNull().alias("is_survivor"),
+        )
+    )

@@ -171,3 +171,44 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert m and ("cell" in m.group(0)) and ("isnotnull" in m.group(0) or "IN" in m.group(0).upper())
+
+
+def test_semantic_dedup_first_seen_wins(spark):
+    from kafka_connect_tablestore_spark.operators.similarity import semantic_dedup
+
+    # ids 1-2 are the (orthogonal) centroid seeds; 3-4 are a near-dup pair
+    # in cell 0 (each ~0.91 cosine to the seed — below threshold, ~0.9998
+    # to each other); 5 sits alone in cell 1 at ~0.92 to its seed
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.70, 0.30, 0.0, 0.0]),
+        (4, [0.69, 0.31, 0.0, 0.0]),
+        (5, [0.35, 0.80, 0.0, 0.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_survivor"]
+        for r in semantic_dedup(d, threshold=0.95, n_cells=2).collect()
+    }
+    assert out[3] is True           # first of the near-dup pair survives
+    assert out[4] is False          # dominated by 3 (same cell, cos ~1)
+    assert out[1] is True and out[2] is True and out[5] is True
+    assert len(out) == 5            # every vector classified
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from kafka_connect_tablestore_spark.operators.similarity import semantic_dedup
+
+    a = sorted(map(tuple, semantic_dedup(d, threshold=0.8, n_cells=4).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(d.repartition(7), threshold=0.8, n_cells=4).collect())
+    )
+    assert a == b
