@@ -345,6 +345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_a", "doc_b", F.col("n_match").cast("long").alias("n_match")
         )
 
+    def pipe_lsh_pairs_capped(spark, sf):
+        """Hot-bucket-capped LSH candidates: (band, band_key) buckets larger
+        than 2 docs are dropped before the self-join (the 100-TB
+        boilerplate guard; at sf0.01 this prunes the size-3 buckets, so
+        the pair set is a strict subset of pipe_lsh_pairs)."""
+        return minhash_lsh_pairs(
+            _docs(spark, sf), n_hashes=8, bands=4, max_bucket=2
+        ).select("doc_a", "doc_b", F.col("n_match").cast("long").alias("n_match"))
+
     def pipe_simhash(spark, sf):
         return simhash(_docs(spark, sf), bits=32)
 
@@ -563,8 +572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Domain stats over deterministically synthesized URLs (the
         corpus text carries none): every doc gains one URL on a subdomain
         of one of 13 sites; every 4th doc a second URL on a shared CDN
-        host.  The operator must normalize subdomains away and count
-        distinct docs per registrable domain."""
+        host; every 5th doc a URL under a ccTLD public suffix (.co.uk).
+        The operator must normalize subdomains away per the embedded
+        public-suffix table — ``store0.co.uk``..``store10.co.uk`` stay
+        DISTINCT registrable domains (a naive last-two-label rule would
+        merge them all into one bogus ``co.uk`` row)."""
         from kafka_connect_tablestore_spark.operators.corpus import (
             url_domain_stats,
         )
@@ -583,6 +595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 did.cast("string"),
                 F.when(
                     did % 4 == 0, F.lit(" and http://cdn.shared.net/x")
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 5 == 0,
+                    F.concat(
+                        F.lit(" or https://shop"),
+                        (did % 3).cast("string"),
+                        F.lit(".store"),
+                        (did % 11).cast("string"),
+                        F.lit(".co.uk/y"),
+                    ),
                 ).otherwise(F.lit("")),
             ).alias("text"),
         )
@@ -627,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_dedup_exact=pipe_dedup_exact,
         pipe_minhash_signatures=pipe_minhash_signatures,
         pipe_lsh_pairs=pipe_lsh_pairs,
+        pipe_lsh_pairs_capped=pipe_lsh_pairs_capped,
         pipe_simhash=pipe_simhash,
         pipe_simhash_neardup=pipe_simhash_neardup,
         pipe_stratified_sample=pipe_stratified_sample,
@@ -796,11 +819,18 @@ FROM cum
 """
 
 _MIXTURE_SQL = f"""
-WITH counts AS (
-  SELECT lang, count(*) AS grp_n,
-    CASE lang WHEN 'de' THEN 20 WHEN 'en' THEN 50
-              WHEN 'fr' THEN 10 WHEN 'zh' THEN 20 END AS grp_pct
-  FROM documents WHERE lang IN ('en','zh','de','fr') GROUP BY lang
+WITH targets AS (
+  SELECT * FROM (VALUES ('de', 20), ('en', 50), ('fr', 10), ('zh', 20))
+    t(lang, grp_pct)
+), counts AS (
+  -- seeded from the FULL target list (absent group ⇒ grp_n = 0 ⇒ T = 0),
+  -- mirroring the Spark operator's targets-left-join — a dataset missing a
+  -- targeted lang must empty the mixture, not renormalize it
+  SELECT t.lang, coalesce(c.grp_n, 0) AS grp_n, t.grp_pct
+  FROM targets t LEFT JOIN (
+    SELECT lang, count(*) AS grp_n FROM documents
+    WHERE lang IN ('en','zh','de','fr') GROUP BY lang
+  ) c ON t.lang = c.lang
 ), q AS (
   SELECT lang, grp_n, grp_pct,
     CAST(floor(grp_n * 100 / grp_pct) AS BIGINT) AS grp_t
@@ -834,13 +864,22 @@ WITH base AS (
   SELECT doc_id, pos, chunk,
     row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) = 1 AS kept
   FROM ex
+), agg AS (
+  SELECT doc_id,
+    CAST(count(chunk) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
+      AS clean_md5
+  FROM marked GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(count(chunk) AS BIGINT) AS n_chunks,
-  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  md5(coalesce(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY pos), ''))
-    AS clean_md5
-FROM marked GROUP BY doc_id
+-- chunk-less docs (null/empty text ⇒ unnest([]) emits no rows) re-enter
+-- with zeros and md5('') — mirrors the Spark operator's final left join,
+-- so a future dataset with empty docs can't fake a mismatch
+SELECT d.doc_id,
+  coalesce(a.n_chunks, 0) AS n_chunks,
+  coalesce(a.n_kept, 0) AS n_kept,
+  coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 _WINNOWING_SQL = f"""
@@ -883,13 +922,26 @@ FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
-_URL_DOMAINS_SQL = r"""
+from kafka_connect_tablestore_spark.operators.corpus import (  # noqa: E402
+    PUBLIC_SUFFIXES_2LABEL,
+)
+
+#: one suffix table, two engines: the IN-list below is generated from the
+#: same PUBLIC_SUFFIXES_2LABEL tuple the Spark expression embeds.
+_PSL_IN = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2LABEL)
+
+_URL_DOMAINS_SQL = (
+    r"""
 WITH aug AS (
   SELECT doc_id,
     text || ' see https://sub' || CAST(doc_id % 7 AS VARCHAR)
          || '.site' || CAST(doc_id % 13 AS VARCHAR)
          || '.com/p/' || CAST(doc_id AS VARCHAR)
          || CASE WHEN doc_id % 4 = 0 THEN ' and http://cdn.shared.net/x'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' or https://shop' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.store' || CAST(doc_id % 11 AS VARCHAR) || '.co.uk/y'
                  ELSE '' END AS text
   FROM documents
 ), ex AS (
@@ -897,20 +949,30 @@ WITH aug AS (
     unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1))
       AS host
   FROM aug
+), parts AS (
+  SELECT doc_id, host, string_split(host, '.') AS p FROM ex
+  WHERE host IS NOT NULL
 ), dom AS (
   SELECT DISTINCT doc_id,
-    CASE WHEN len(string_split(host, '.')) >= 2
-         THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+    CASE WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ("""
+    + _PSL_IN
+    + r""")
+         THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+         WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
          ELSE host END AS domain
-  FROM ex WHERE host IS NOT NULL
+  FROM parts
 )
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain
 """
+)
 
 # SemDeDup twin: same centroid/assign CTEs as the IVF oracle, then the
-# smaller-id-dominance rule within each cell.
+# GREEDY keep-scan within each cell — a recursive CTE walks each cell's
+# vectors in id order, carrying the survivor-id list, and admits a vector
+# iff none of its smaller-id ≥-threshold neighbors is a CURRENT survivor
+# (the survivor-restricted rule; a chain a–b–c keeps {a, c}).
 _SEMANTIC_DEDUP_SQL = """
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_idx, v AS c
   FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)
@@ -928,13 +990,33 @@ av AS (
   SELECT base.vec_id, v, sqrt(list_dot_product(v, v)) AS n, cell
   FROM base JOIN cells USING (vec_id)
 ),
-dominated AS (
-  SELECT DISTINCT b.vec_id
+doms AS (
+  SELECT b.vec_id, list(a.vec_id ORDER BY a.vec_id) AS dom_ids
   FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= 0.3
+  GROUP BY b.vec_id
+),
+ordered AS (
+  SELECT av.vec_id, cell,
+    row_number() OVER (PARTITION BY cell ORDER BY av.vec_id) AS rn,
+    coalesce(d.dom_ids, CAST([] AS BIGINT[])) AS dom_ids
+  FROM av LEFT JOIN doms d ON av.vec_id = d.vec_id
+),
+scan(cell, rn, survivors) AS (
+  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+  FROM (SELECT DISTINCT cell FROM ordered)
+  UNION ALL
+  SELECT o.cell, o.rn,
+    CASE WHEN len(list_intersect(o.dom_ids, s.survivors)) = 0
+         THEN list_append(s.survivors, o.vec_id) ELSE s.survivors END
+  FROM scan s JOIN ordered o ON o.cell = s.cell AND o.rn = s.rn + 1
+),
+final_scan AS (
+  SELECT cell, survivors FROM scan
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY rn DESC) = 1
 )
-SELECT av.vec_id, cell, d.vec_id IS NULL AS is_survivor
-FROM av LEFT JOIN dominated d ON av.vec_id = d.vec_id
+SELECT o.vec_id, o.cell, list_contains(f.survivors, o.vec_id) AS is_survivor
+FROM ordered o JOIN final_scan f ON o.cell = f.cell
 """
 
 _OFFSET_GAPS_SQL = f"""
@@ -995,6 +1077,21 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 WHERE a.h0 IS NOT NULL
+"""
+
+#: capped twin of _LSH_PAIRS_CORE: buckets > max_bucket rows are excluded
+#: BEFORE the self-join (the signature-less docs are excluded before the
+#: count, exactly as the Spark side filters its input before signatures).
+_LSH_PAIRS_CAPPED_SQL = f"""
+WITH sig AS ({_SIG_SQL}), banded AS ({_BANDS_SQL}),
+capped AS (
+  SELECT * FROM banded WHERE h0 IS NOT NULL
+  QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST({' + '.join(f'(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)' for j in range(8))} AS BIGINT) AS n_match
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
 _SIMHASH_NEARDUP_SQL_TMPL = """
@@ -1399,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_minhash_signatures": _SIG_SQL,
         "pipe_lsh_pairs": f"WITH {_LSH_PAIRS_CORE}",
+        "pipe_lsh_pairs_capped": _LSH_PAIRS_CAPPED_SQL,
         "pipe_simhash": _SIMHASH_SQL,
         "pipe_simhash_neardup": _SIMHASH_NEARDUP_SQL_TMPL.format(sim=_SIMHASH_SQL),
         "pipe_word_entropy": (

@@ -15,12 +15,14 @@ family, in dependency order:
   5. PII redaction          (operators/corpus.py::redact_pii)
   6. mixture sampling       (operators/corpus.py::mixture_sample)
   7. sequence packing       (operators/corpus.py::pack_sequences)
-  8. deterministic shuffle  (operators/corpus.py::global_shuffle over BIN
-                             keys — whole packed bins move, so sequence
-                             geometry survives the permutation)
-  9. write one parquet file per shard; each bin's rows are contiguous and
-     start_offset-ordered, so a trainer streams fixed-length sequences
-     straight off the file
+  8. deterministic shuffle  (operators/corpus.py::global_shuffle over PACK
+                             GROUP keys — whole concatenation streams move,
+                             so sequence geometry survives the permutation;
+                             single bins are not self-contained because a
+                             boundary-spanning doc lives in its start bin)
+  9. write one parquet file per shard; each group's rows are contiguous in
+     packing order, so a trainer streams fixed-length sequences straight
+     off the file, splitting every `budget` tokens
 
 Each step is a pure DataFrame transformation, so Catalyst fuses the gates
 into single stages and the only shuffles are the ones the operators
@@ -119,27 +121,30 @@ def main() -> None:
         }
         docs = docs.join(mixture_sample(docs, "lang", pct).select("doc_id"), "doc_id")
 
-    # 7-8: pack into token budgets, then shuffle BINS (not docs): packing
-    # geometry assumes a group's docs concatenate in id order, so the
-    # training-order permutation must move whole bins — a bin's rows land
-    # on one shard contiguously, ordered by start_offset, and a trainer
-    # streams fixed-length sequences straight off the file
+    # 7-8: pack into token budgets, then shuffle whole PACK GROUPS (not
+    # bins, and not docs): a doc's row lives only in its START bin, so a
+    # doc spanning a bin boundary leaves bin N+1's head tokens inside a
+    # row assigned to bin N — individual bins are NOT self-contained
+    # sequences.  The pack GROUP is: concatenating a group's docs in id
+    # order reproduces its full token stream, every boundary included.
+    # Shuffling at group granularity therefore keeps the reconstruction
+    # guarantee — a group's rows land on one shard contiguously in
+    # packing order, and a trainer streams fixed-length sequences
+    # straight off the file, splitting every `budget` tokens.
     packed = pack_sequences(docs, budget=args.budget, n_groups=args.shards)
-    packed = packed.withColumn(
-        "bin_key",
-        F.col("pack_group").cast("long") * F.lit(1_000_000_000)
-        + F.col("bin_id"),
-    )
-    bins = packed.select("bin_key").distinct()
-    order = global_shuffle(bins, id_col="bin_key", n_shards=args.shards)
+    groups = packed.select("pack_group").distinct()
+    order = global_shuffle(groups, id_col="pack_group", n_shards=args.shards)
     out = (
         docs.join(packed, "doc_id")
-        .join(order, "bin_key")
+        .join(order, "pack_group")
         .repartition(args.shards, "shard")
-        .sortWithinPartitions("shard", "pos", "start_offset")
+        # (bin_id, start_offset) is monotone in doc id within a group
+        # (window cumsum), so this sort IS packing order; doc_id breaks
+        # the tie a zero-token doc shares with its successor
+        .sortWithinPartitions("shard", "pos", "bin_id", "start_offset", "doc_id")
     )
 
-    # 9: one file per shard; bins contiguous, sequences reconstructable
+    # 9: one file per shard; groups contiguous, sequences reconstructable
     out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"corpus written: {n} docs in {args.shards} shards at {args.out}")

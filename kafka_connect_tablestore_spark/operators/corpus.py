@@ -61,12 +61,22 @@ def redact_pii(
     )
 
 
+def _default_parallelism(df: DataFrame) -> int:
+    """Cluster-derived default for per-group/per-shard operators: one sorted
+    stream per core.  ``defaultParallelism`` tracks total executor cores on
+    a real cluster (and local[N]'s N), so the per-task window workload
+    shrinks as the cluster grows instead of being pinned at a toy constant
+    — at 100 TB a fixed n_groups=8 would put ~12 TB through each window
+    task."""
+    return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     budget: int = 256,
-    n_groups: int = 8,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing: assign each document a
     (pack_group, bin, start_offset) so that concatenating a group's docs in
@@ -78,9 +88,15 @@ def pack_sequences(
     (window cumsum ordered by id — key-local shuffle, no global sort)
     places each doc at ``start = cum - n_tokens``, in
     ``bin = start / budget``.  All-integer math, so the DuckDB oracle is
-    bit-identical.  At 100 TB: n_groups scales with the cluster (one sorted
-    stream per group), and the window is the only shuffle.
+    bit-identical.  At 100 TB: ``n_groups`` defaults to the session's
+    ``defaultParallelism`` (one sorted stream per core), and the window is
+    the only shuffle.  Pass ``n_groups`` explicitly when the grouping must
+    be reproducible across differently-sized clusters (the oracle queries
+    do) — the derived default trades that for scale-proportional
+    parallelism.
     """
+    if n_groups is None:
+        n_groups = _default_parallelism(df)
     if budget <= 0 or n_groups <= 0:
         raise ValueError("budget and n_groups must be positive")
     idc = F.col(id_col)
@@ -230,20 +246,27 @@ def chunk_dedup(
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
-    n_shards: int = 16,
+    n_shards: int | None = None,
     seed: str = "shuf",
 ) -> DataFrame:
     """Deterministic global shuffle for training-order assignment: place
     every row at a reproducible (shard, position) drawn from
-    ``hash64(id, seed)`` — re-running on re-partitioned, re-ordered, or
-    incrementally-grown input yields the same permutation for surviving
-    rows.
+    ``hash64(id, seed)``.  Re-running on re-partitioned or re-ordered
+    input yields the same permutation; under incremental GROWTH the shard
+    assignment of surviving rows is stable, but positions are stable only
+    for a fixed input set (a new row hashing before an existing one shifts
+    the later positions within its shard — exactly what
+    ``test_global_shuffle_stable_and_incremental`` asserts).
 
     ``shard = key % n_shards`` then position by ``row_number`` ordered by
     the key within the shard: shards sort independently (one key-local
-    shuffle, no global sort), so at 100 TB ``n_shards`` scales with the
-    cluster and each output shard is exactly one trainer input file.
+    shuffle, no global sort).  ``n_shards`` defaults to the session's
+    ``defaultParallelism`` so each shard is one core-sized sorted stream /
+    trainer input file at any cluster size; pass it explicitly when shard
+    layout must be reproducible across clusters (the oracle queries do).
     """
+    if n_shards is None:
+        n_shards = _default_parallelism(df)
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     key = hash64(F.col(id_col).cast("string"), seed)
@@ -352,8 +375,16 @@ def incremental_chunk_dedup(
     n_buckets: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedupe a NEW batch's chunks against the persisted corpus index plus
-    within-batch first occurrences — the rows ``chunk_dedup(corpus ∪ new)``
-    would emit for the new docs, without touching the corpus text.
+    within-batch first occurrences, without touching the corpus text.
+
+    Precondition: batch ids must sort AFTER every indexed id (the natural
+    shape of append-only daily ingest with monotone ids).  Under that
+    ordering the result is exactly the rows ``chunk_dedup(corpus ∪ new)``
+    would emit for the new docs.  With interleaved ids the semantics are
+    INDEX-PRECEDENCE instead: a chunk already in the index keeps its
+    indexed owner even when a new doc's id sorts before it (the batch
+    operator would flip first-occurrence to the new doc) — the two paths
+    deliberately diverge there, and the equality tests use monotone ids.
 
     Returns ``(per_doc, kept_rows)``: ``per_doc`` has chunk_dedup's schema
     for every new doc; ``kept_rows`` are the surviving chunk fingerprints,
@@ -440,6 +471,66 @@ def append_to_chunk_index(kept_rows: DataFrame, path: str) -> None:
 #: URL pattern — Java-regex ∩ RE2 subset; host captured for domain work.
 URL_RE = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
 
+#: Embedded two-label public suffixes (the common ccTLD second-level
+#: registries from the Mozilla Public Suffix List — publicsuffix.org).
+#: A host whose last two labels are one of these registers at the THIRD
+#: label (``shop.example.co.uk`` → ``example.co.uk``); anything else
+#: registers at the second (``sub.example.com`` → ``example.com``).
+#: Deliberately a small curated subset: the full PSL (~10k rules incl.
+#: wildcards/exceptions) would ship as a broadcast table the same way —
+#: this covers the registries that actually dominate web-crawl URL volume.
+PUBLIC_SUFFIXES_2LABEL: tuple[str, ...] = (
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "org.uk",
+    "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "gov.in", "edu.in", "res.in",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "co.id", "net.id", "or.id", "web.id", "ac.id", "go.id", "sch.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "co.th", "in.th", "or.th", "ac.th", "go.th", "net.th",
+)
+
+
+def registrable_domain(host_col):
+    """Registrable-domain expression over a host column: PSL-aware last-two
+    vs last-three label split.  The suffix set ships as ONE array literal
+    (``array_contains`` — constant-folded, no join, no Python); hosts with
+    a single label pass through unchanged."""
+    host = host_col if not isinstance(host_col, str) else F.col(host_col)
+    parts = F.split(host, r"\.")
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    suffixes = F.lit(list(PUBLIC_SUFFIXES_2LABEL))
+    return (
+        F.when(
+            (F.size(parts) >= 3) & F.array_contains(suffixes, last2),
+            F.concat_ws(".", F.element_at(parts, -3), last2),
+        )
+        .when(F.size(parts) >= 2, last2)
+        .otherwise(host)
+    )
+
 
 def url_domain_stats(
     df: DataFrame,
@@ -450,23 +541,19 @@ def url_domain_stats(
     corpus — the input to domain-level filtering (blocklists, per-domain
     caps, source diversity stats) every web-scale pipeline applies.
 
-    Extracts every URL host, normalizes to the registrable domain (last
-    two dot-labels — a deterministic stand-in for a public-suffix-list
-    lookup, which would ship as a broadcast table in production), and
-    counts DISTINCT documents per domain.  Shape: map-only extract +
-    outer explode + one map-side-combined groupBy on the domain key.
+    Extracts every URL host, normalizes to the registrable domain via
+    :func:`registrable_domain` (embedded public-suffix subset, so
+    ``a.co.uk`` and ``b.co.uk`` are DISTINCT domains while
+    ``x.example.com`` and ``y.example.com`` merge), and counts DISTINCT
+    documents per domain.  Shape: map-only extract + outer explode + one
+    map-side-combined groupBy on the domain key.
     """
     hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
     exploded = df.select(
         F.col(id_col), F.explode_outer(hosts).alias("host")
     ).where(F.col("host").isNotNull())
-    parts = F.split(F.col("host"), r"\.")
-    domain = F.when(
-        F.size(parts) >= 2,
-        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
-    ).otherwise(F.col("host"))
     return (
-        exploded.select(domain.alias("domain"), F.col(id_col))
+        exploded.select(registrable_domain("host").alias("domain"), F.col(id_col))
         .distinct()
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -100,14 +100,26 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     eager: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band value become a candidate
     pair, scored by the number of matching minhashes (est. Jaccard ≈ n/8).
 
     Scale shape: the only shuffle is the self-join on (band_idx, band_key) —
-    bucket sizes are bounded by collision rate, never O(N²).  A hot bucket
-    (e.g. boilerplate docs) can be capped with a per-bucket limit upstream.
+    bucket sizes are bounded by collision rate, never O(N²) *per bucket
+    distribution*.  ``max_bucket`` closes the residual hazard: one
+    boilerplate-heavy band value (thousands of near-identical docs) turns
+    its bucket quadratic AND serializes it into a single join task.  With
+    ``max_bucket=m``, buckets holding more than ``m`` rows are dropped
+    before the join (one extra map-side-combined count on the same key the
+    join shuffles on) — the standard stop-bucket cap, mirroring
+    ``winnowing_overlap_pairs``' ``max_df``.  A pair is lost only when
+    EVERY band it collides in is over-capped — i.e. boilerplate groups
+    larger than ``max_bucket``, which is the point: identical-content
+    groups belong to ``dedup_exact`` (one fingerprint shuffle), not to a
+    quadratic near-dup join.  Default ``None`` = uncapped (exact candidate
+    semantics).
 
     Cache lifecycle: with ``eager=True`` (default) the candidate pairs are
     materialized inside this call (``localCheckpoint``) and the signature
@@ -152,6 +164,13 @@ def minhash_lsh_pairs(
     banded = band_rows[0]
     for x in band_rows[1:]:
         banded = banded.unionByName(x)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        banded = banded.join(
+            sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_key"]
+        ).drop("_bsz")
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -389,12 +408,19 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates collide on ANY of
     ``max_hamming + 1`` bit-bands of the 32-bit simhash (pigeonhole:
     ``max_hamming`` flipped bits cannot touch all ``max_hamming + 1``
     bands, so every qualifying pair shares at least one band untouched),
     verified by exact hamming distance.
+
+    ``max_bucket`` drops (band, band_key) buckets holding more than that
+    many docs before the self-join — the same hot-bucket cap as
+    ``minhash_lsh_pairs``; the pigeonhole completeness bound then holds
+    only for pairs whose shared band is under the cap (boilerplate groups
+    above it are deliberately excluded — they belong to exact dedup).
 
     The standard simhash dedup construction (Charikar / Manku et al.): a
     band join per band — never all-pairs — then ``bit_count(xor)`` on the
@@ -433,6 +459,13 @@ def simhash_neardup_pairs(
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionByName(x)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        banded = banded.join(
+            sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_key"]
+        ).drop("_bsz")
     a, c = banded.alias("a"), banded.alias("c")
     return (
         a.join(

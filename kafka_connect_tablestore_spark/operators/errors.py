@@ -15,6 +15,8 @@ re-apply them — the Spark analogue of replaying a dead-letter topic.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -118,17 +120,23 @@ def write_dlq_to_kafka(
     records: DataFrame,
     bootstrap_servers: str,
     extra_options: dict[str, str] | None = None,
+    sink: Callable[[DataFrame], None] | None = None,
 ) -> None:
     """The actual producer call for a Kafka-layout DLQ
     (``errors/KafkaReporter.java:61-112`` → Spark's Kafka batch sink).
 
     ``records`` must be ``kafka_dlq_records``-shaped (``topic``/``key``/
     ``value`` at minimum; ``headers``/``timestamp`` ride along — the sink
-    honors all five).  Requires the ``spark-sql-kafka`` connector jar and a
-    reachable broker; neither exists in this sandbox, so the executable
-    coverage here is the frame shape + the clean connector-absent error
-    (``test_dlq_roundtrip.py``), and this function is the one-line
-    integration point a real deployment calls."""
+    honors all five).  The default sink is ``format("kafka")`` — it needs
+    the ``spark-sql-kafka`` connector jar and a reachable broker, neither
+    of which exists in this sandbox.
+
+    ``sink`` injects the writer for the validated frame: tests drive the
+    EXACT producer frame through a parquet/memory sink and round-trip it
+    (``test_dlq_roundtrip.py``), and a deployment can substitute e.g. a
+    transactional producer wrapper.  Frame validation runs either way, so
+    the injected path exercises everything but the wire protocol —
+    broker integration remains the one sandbox-blocked seam."""
     required = {"topic", "key", "value"}
     missing = required - set(records.columns)
     if missing:
@@ -136,6 +144,9 @@ def write_dlq_to_kafka(
             f"DLQ frame is missing Kafka-sink columns {sorted(missing)}; "
             "build it with kafka_dlq_records()"
         )
+    if sink is not None:
+        sink(records)
+        return
     if not kafka_connector_available(records.sparkSession):
         raise RuntimeError(
             "spark-sql-kafka connector not on the classpath — add the "

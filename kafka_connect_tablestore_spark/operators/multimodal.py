@@ -273,6 +273,170 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+def wav_metadata_from_header(raw: bytes) -> dict | None:
+    """REAL (stdlib-only) WAV metadata from the RIFF container: walks the
+    chunk list for ``fmt `` (codec, channels, sample rate, bit depth) and
+    ``data`` (payload size → duration).  The audio analogue of
+    :func:`image_dims_from_header` — a pipeline filters by sample rate /
+    duration long before it can afford a codec decode.  Returns ``None``
+    for non-RIFF/WAVE or truncated payloads."""
+    import struct
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    meta: dict = {}
+    i = 12
+    while i + 8 <= len(raw):
+        cid = raw[i : i + 4]
+        (size,) = struct.unpack("<I", raw[i + 4 : i + 8])
+        body = raw[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt, ch, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            meta.update(
+                audio_format=fmt,
+                channels=ch,
+                sample_rate=rate,
+                bits_per_sample=bits,
+            )
+        elif cid == b"data":
+            meta["data_bytes"] = size
+        i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if "sample_rate" not in meta:
+        return None
+    if "data_bytes" in meta and meta["channels"] and meta["bits_per_sample"]:
+        bytes_per_s = (
+            meta["sample_rate"] * meta["channels"] * meta["bits_per_sample"] // 8
+        )
+        if bytes_per_s:
+            meta["duration_s"] = meta["data_bytes"] / bytes_per_s
+    return meta
+
+
+def mp4_metadata_from_header(raw: bytes) -> dict | None:
+    """REAL (stdlib-only) MP4/ISO-BMFF metadata: walks the top-level box
+    tree for ``moov`` → ``mvhd`` (timescale + duration) and every
+    ``trak`` → ``tkhd`` (16.16 fixed-point width/height — the video track
+    carries nonzero dims).  Returns ``None`` unless a valid ``ftyp`` box
+    leads and a ``moov``/``mvhd`` is present."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            btype = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                hdr = 16
+            else:
+                hdr = 8
+            if size < hdr or i + size > end:
+                return
+            yield btype, i + hdr, i + size
+            i += size
+
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    meta: dict = {}
+    for btype, b0, b1 in boxes(raw, 0, len(raw)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in boxes(raw, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                version = raw[c0]
+                if version == 1 and c1 - c0 >= 28:
+                    (tscale,) = struct.unpack(">I", raw[c0 + 12 : c0 + 16])
+                    (dur,) = struct.unpack(">Q", raw[c0 + 16 : c0 + 24])
+                else:
+                    tscale, dur = struct.unpack(">II", raw[c0 + 12 : c0 + 20])
+                meta["timescale"] = tscale
+                if tscale:
+                    meta["duration_s"] = dur / tscale
+            elif ctype == b"trak":
+                for ttype, t0, t1 in boxes(raw, c0, c1):
+                    if ttype == b"tkhd" and t1 - t0 >= 84:
+                        # width/height are the LAST 8 bytes of tkhd,
+                        # 16.16 fixed point (same offset for v0/v1)
+                        w, h = struct.unpack(">II", raw[t1 - 8 : t1])
+                        if w and h:
+                            meta["width"] = w >> 16
+                            meta["height"] = h >> 16
+    return meta if "timescale" in meta else None
+
+
+AV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),      # wav | mp4 | null
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_av_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header parse for audio/video blobs (WAV + MP4),
+    closing the metadata tier the image-header parse covers for stills:
+    sample rate / channels / bit depth / duration for WAV, track dims /
+    duration for MP4 — no codec library, first-bytes-only reads.
+    Unrecognized payloads yield nulls (the S14 errant contract); the
+    actual sample/frame DECODE stays gated on torchaudio/ffmpeg
+    (absent in this container — see :func:`decode_and_featurize`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # references the module-level parsers (same distribution contract
+        # as extract_image_metadata: package importable on executors —
+        # --py-files on a cluster, sys.path locally)
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = b"" if payload is None else bytes(payload)
+                base = {
+                    "media_id": media_id,
+                    "format": None,
+                    "sample_rate": None,
+                    "channels": None,
+                    "bits_per_sample": None,
+                    "width": None,
+                    "height": None,
+                    "duration_s": None,
+                    "n_bytes": len(raw),
+                }
+                wav = wav_metadata_from_header(raw)
+                if wav is not None:
+                    base.update(
+                        format="wav",
+                        sample_rate=wav.get("sample_rate"),
+                        channels=wav.get("channels"),
+                        bits_per_sample=wav.get("bits_per_sample"),
+                        duration_s=wav.get("duration_s"),
+                    )
+                else:
+                    mp4 = mp4_metadata_from_header(raw)
+                    if mp4 is not None:
+                        base.update(
+                            format="mp4",
+                            width=mp4.get("width"),
+                            height=mp4.get("height"),
+                            duration_s=mp4.get("duration_s"),
+                        )
+                rows.append(base)
+            yield _pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, AV_META_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: the distributed shape (explode frame
     indices per blob, then per-frame decode) with the codec stubbed — frame

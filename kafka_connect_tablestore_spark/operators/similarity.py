@@ -237,8 +237,10 @@ def trainer_sample_plan(
 ) -> DataFrame:
     """Deterministic bounded training sample as a DataFrame plan.
 
-    A hash-gate pre-filter (``hash64(id) % 2^20 < t``, the same map-only
-    primitive as ``stratified_sample``) thins the corpus to ~2×``sample_size``
+    A hash-gate pre-filter (``hash64(id) % 2^40 < t``, the same map-only
+    primitive as ``stratified_sample`` at a resolution that survives
+    10^10-row corpora — see the gate-rate comment below) thins the corpus
+    to ~2×``sample_size``
     expected rows with NO ordering pass over the corpus — the corpus-side
     plan is Scan → Filter, never a per-partition top-k heap — then the
     surviving handful is ranked by the full 60-bit hash (id tiebreak, so
@@ -283,11 +285,22 @@ def train_ivf_centroids(
     Deterministic by construction: the training sample comes from
     ``trainer_sample_plan`` (hash-gate filter over the corpus, exact-size
     hash-ranked truncation of the tiny remainder — no corpus-wide ordering
-    pass), seeds are the first ``n_cells`` of that sample, and ``iters``
-    full Lloyd rounds run driver-side in numpy.  The collect is bounded by
+    pass), seeds come from a deterministic farthest-first traversal of
+    that sample (the k-means++ maximin variant), and ``iters`` full Lloyd
+    rounds run driver-side in numpy.  The collect is bounded by
     ``sample_size`` — at 100 TB the corpus never moves; only ~2k vectors
     do.  Empty cells keep their previous centroid (standard Lloyd
-    degeneracy handling)."""
+    degeneracy handling).
+
+    Seeding: ``first n_cells sample rows`` (the pre-round-4 rule) collapses
+    cells when the corpus is clustered — hash-ranked sampling is uniform
+    over rows, so several seeds land inside one dominant blob and whole
+    blobs share a cell while other cells converge onto duplicates.
+    Farthest-first spreads the seeds across the occupied space (each next
+    seed = the sample point at maximum min-cosine-distance from the chosen
+    set, ties → lowest sample index), is O(sample × n_cells) driver-side,
+    and — unlike textbook k-means++'s random proportional draw — is fully
+    deterministic, preserving the run-to-run reproducibility contract."""
     import numpy as np
 
     sample = trainer_sample_plan(df, sample_size, id_col, vec_col).collect()
@@ -299,7 +312,17 @@ def train_ivf_centroids(
     # is maximized.
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)
-    cents = x[:n_cells].copy()
+    n_seeds = min(n_cells, len(x))
+    cents = x[:n_seeds].copy()
+    if n_seeds > 1:
+        # farthest-first traversal on the unit sphere (cosine distance);
+        # np.argmax's first-max rule IS the lowest-index tie-break
+        cents[0] = x[0]
+        mind = 1.0 - x @ cents[0]
+        for c in range(1, n_seeds):
+            i = int(np.argmax(mind))
+            cents[c] = x[i]
+            mind = np.minimum(mind, 1.0 - x @ cents[c])
     for _ in range(iters):
         assign = (x @ cents.T).argmax(axis=1)
         for c in range(n_cells):
@@ -428,6 +451,35 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch's vectors to an existing inverted file using the
+    INDEX'S centroids (the query-side contract fixed at build time) — the
+    daily-ingest path: assign cells map-only over the batch, append into
+    the same ``partitionBy(cell)`` layout.  Ids must be disjoint from the
+    indexed corpus.  Centroids are deliberately NOT retrained here; when
+    drift accumulates, rebuild with :func:`build_ivf_index` (the standard
+    IVF re-index cadence)."""
+    vd = F.col(vec_col).cast("array<double>")
+    (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            vd.alias("cv"),
+            _norm(vd).alias("cn"),
+            ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ann_ivf_indexed_topk(
     spark,
     index_path: str,
@@ -489,9 +541,17 @@ def embedding_neardup_pairs(
     n_planes: int = 6,
     dim: int = 16,
     n_tables: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within LSH buckets (bucket-local
     self-join — never all-pairs).
+
+    ``max_bucket`` drops (table, bucket) buckets holding more than that
+    many vectors before the self-join — the hot-bucket cap
+    (``minhash_lsh_pairs`` has the same knob): a degenerate bucket (e.g.
+    a mass of near-zero or template embeddings hashing identically in
+    one table) would otherwise serialize into one quadratic join task.
+    A pair is lost only if over-capped in EVERY table it collides in.
 
     OR-amplified over ``n_tables`` independent hash tables (seeds
     ``lsh``, ``lsh1``, ...): a pair is a candidate if it collides in ANY
@@ -523,6 +583,11 @@ def embedding_neardup_pairs(
         _norm(vd).alias("n"),
         F.posexplode(buckets).alias("t", "bucket"),
     )
+    if max_bucket is not None:
+        sizes = b.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        b = b.join(
+            sizes.where(F.col("_bsz") <= max_bucket), ["t", "bucket"]
+        ).drop("_bsz")
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(
@@ -550,13 +615,35 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "first",
+    mode: str = "greedy",
+    max_iter: int = 50,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: quantize the embedding space
-    into ``n_cells`` cells, then within each cell drop every vector that
-    has a SMALLER-id neighbor at cosine ≥ ``threshold`` (first-seen wins —
-    the deterministic relational form of the greedy keep-scan).
+    into ``n_cells`` cells, then within each cell run the greedy keep-scan
+    in id order — a vector survives iff it has no SURVIVING smaller-id
+    neighbor at cosine ≥ ``threshold`` (first-seen wins).
 
     Output: ``(id_col, cell, is_survivor)`` for every input vector.
+
+    ``mode`` selects the dedup rule:
+
+    - ``'greedy'`` (default): survivor-restricted dominance, the exact
+      relational form of the sequential keep-scan.  On a chain a–b–c
+      (cos(a,b) ≥ t, cos(b,c) ≥ t, cos(a,c) < t) it keeps {a, c}: b is
+      dropped by a, so b cannot drop c.  Computed as a source-elimination
+      fixpoint over the cell-local dominance edges: each round confirms
+      the remaining vectors with no remaining in-neighbor (the DAG's
+      sources — guaranteed nonempty, so the loop strictly shrinks), kills
+      everything a newly confirmed survivor dominates, and repeats.
+      Rounds = O(longest dominance chain), each round a handful of
+      edge-set-sized joins (the cell-local edge set is materialized ONCE;
+      the corpus is never re-scanned).  ``max_iter`` bounds the loop like
+      ``connected_components`` (raises ``ConvergenceError`` beyond it).
+    - ``'dominance'``: single-pass neighbor-dominance — drop every vector
+      with ANY smaller-id neighbor at cosine ≥ threshold, including
+      neighbors that were themselves dropped.  OVER-deletes on chains
+      (keeps {a} only in the example above); conservative for dedup, and
+      one shuffle cheaper when chains are rare.
 
     The cluster-then-dedup decomposition is what makes semantic dedup
     feasible at corpus scale: the cosine self-join runs CELL-LOCALLY (one
@@ -566,6 +653,8 @@ def semantic_dedup(
     :func:`ann_ivf_topk`: ``'first'`` is SQL-expressible (the oracle twin),
     ``'kmeans'`` the balanced production quantizer.
     """
+    if mode not in ("greedy", "dominance"):
+        raise ValueError(f"mode must be 'greedy' or 'dominance', got {mode!r}")
     if train == "kmeans":
         centroids = train_ivf_centroids(
             df, n_cells, id_col=id_col, vec_col=vec_col
@@ -583,7 +672,7 @@ def semantic_dedup(
         ivf_assign(F.col(vec_col), centroids).alias("cell"),
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    dominated = (
+    edges = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
@@ -593,15 +682,80 @@ def semantic_dedup(
             _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
             >= threshold
         )
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_dominated", F.lit(True))
-    )
-    return (
-        assigned.join(dominated, id_col, "left")
         .select(
-            id_col,
-            "cell",
-            F.col("_dominated").isNull().alias("is_survivor"),
+            F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
         )
+        .distinct()
+    )
+    cells = assigned.select(id_col, "cell")
+    if mode == "dominance":
+        dominated = edges.select(F.col("dst").alias(id_col)).distinct().withColumn(
+            "_dominated", F.lit(True)
+        )
+        return cells.join(dominated, id_col, "left").select(
+            id_col, "cell", F.col("_dominated").isNull().alias("is_survivor")
+        )
+
+    from kafka_connect_tablestore_spark.operators.clustering import (
+        ConvergenceError,
+    )
+
+    # greedy: source-elimination fixpoint over the (materialized) edge DAG.
+    # Invariant: every vertex ends either CONFIRMED (it became a source —
+    # no in-edge among the then-remaining) or KILLED (dominated by a
+    # confirmed source), so survivors = all ∖ ∪killed and the loop only
+    # tracks the remaining frontier + per-round kill sets.  Per round:
+    # vertices still dominated stay (semi-join on the in-edge set), kills
+    # are the dsts of source-rooted edges.  localCheckpoint truncates the
+    # per-round lineage so round k's plan does not replay rounds 1..k-1
+    # (the connected_components guard); checkpointed frames are id-only —
+    # tiny at any scale, and the eager-job count is 3 per round.
+    edges = edges.localCheckpoint(eager=True)
+    remaining = cells.select(id_col).localCheckpoint(eager=True)
+    killed_rounds: list[DataFrame] = []
+    done = remaining.isEmpty()
+    for _ in range(max_iter):
+        if done:
+            break
+        active = (
+            edges.join(remaining, edges["src"] == remaining[id_col], "left_semi")
+            .join(remaining, edges["dst"] == remaining[id_col], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        has_in = active.select(F.col("dst").alias(id_col)).distinct()
+        # sources = remaining ∖ has_in are confirmed survivors; what they
+        # dominate dies: kills = dst of edges whose src has no in-edge
+        killed = (
+            active.join(
+                has_in.withColumnRenamed(id_col, "_in"),
+                active["src"] == F.col("_in"),
+                "left_anti",
+            )
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+        )
+        killed_rounds.append(killed)
+        # next frontier = still-dominated vertices minus the newly killed
+        remaining = (
+            remaining.join(has_in, id_col, "left_semi")
+            .join(killed, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        done = remaining.isEmpty()
+    if not done:
+        raise ConvergenceError(
+            f"semantic_dedup(mode='greedy') did not converge within "
+            f"max_iter={max_iter} (dominance-chain depth exceeds the round "
+            "budget; raise max_iter)"
+        )
+    killed_all = (
+        killed_rounds[0]
+        if killed_rounds
+        else cells.select(id_col).limit(0)
+    )
+    for k in killed_rounds[1:]:
+        killed_all = killed_all.unionByName(k)
+    killed_all = killed_all.distinct().withColumn("_killed", F.lit(True))
+    return cells.join(killed_all, id_col, "left").select(
+        id_col, "cell", F.col("_killed").isNull().alias("is_survivor")
     )

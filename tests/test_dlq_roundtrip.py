@@ -126,3 +126,71 @@ def test_write_dlq_to_kafka_validates_and_probes_connector(spark):
         _pytest.skip("connector present; broker write not exercised in tests")
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         write_dlq_to_kafka(good, "broker:9092")
+
+
+def test_write_dlq_through_injected_sink_roundtrips(spark, tmp_path):
+    """Round-4 directive 8: the injected-sink seam drives the EXACT Kafka
+    producer frame through a parquet sink and round-trips it — original
+    key/value bytes, ErrorInfo header, and replayability via reparse_dlq —
+    so everything but the wire protocol is executable in-sandbox."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.config import SinkConfig
+    from kafka_connect_tablestore_spark.operators.errors import (
+        kafka_dlq_records,
+        write_dlq_to_kafka,
+    )
+    from kafka_connect_tablestore_spark.operators.rowchange import (
+        split_errant,
+        validate_and_classify,
+    )
+
+    events = spark.createDataFrame(
+        [
+            ("t", 0, 1, 1000, "PUT", "r1", "a", "c1", "py", "x"),
+            ("t", 0, 2, 2000, "PUT", "r1", None, "c2", "py", "y"),
+            ("t", 1, 3, 3000, "PUT", None, "c", "c3", "go", "z"),
+        ],
+        "topic string, partition int, offset long, commit_ts long, op string, "
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = SinkConfig()
+    _, errant = split_errant(
+        validate_and_classify(events, cfg, ("commit", "lang", "content")), cfg
+    )
+    frame = kafka_dlq_records(errant, cfg.pk_fields, topic="dlq-topic")
+
+    out = str(tmp_path / "dlq_sink")
+    write_dlq_to_kafka(
+        frame, "unused:9092", sink=lambda df: df.write.parquet(out)
+    )
+
+    back = spark.read.parquet(out)
+    # byte-identical frame round-trip (headers incl.)
+    key = lambda df: sorted(
+        (
+            r["topic"],
+            bytes(r["key"]),
+            bytes(r["value"]),
+            tuple((h["key"], bytes(h["value"])) for h in r["headers"]),
+        )
+        for r in df.collect()
+    )
+    assert key(back) == key(frame) and back.count() == 2
+
+    # and the sink payload is REPLAYABLE: value JSON reconstructs the events
+    replayed = {
+        json.loads(bytes(r["value"]).decode())["content"] for r in back.collect()
+    }
+    assert replayed == {"y", "z"}
+
+    # malformed frames are rejected BEFORE reaching any sink
+    import pytest as _pytest
+
+    called = []
+    bad = spark.range(1).select(F.lit("t").alias("topic"))
+    with _pytest.raises(ValueError, match="kafka_dlq_records"):
+        write_dlq_to_kafka(bad, "unused:9092", sink=lambda df: called.append(1))
+    assert not called

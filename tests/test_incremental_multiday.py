@@ -1,0 +1,129 @@
+"""Round-4 directive 7: every persisted incremental index (MinHash-LSH,
+chunk, IVF) driven through THREE sequential append/probe cycles, asserting
+equality with the full batch recompute after each cycle — the daily-ingest
+contract, not just the single-append case the round-3 tests covered."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+#: day-0 corpus + three daily batches (monotone ids — the documented
+#: incremental precondition)
+SLICES = [(0, 200), (200, 300), (300, 400), (400, 500)]
+
+
+def _docs(spark, lo, hi):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .where(f"doc_id >= {lo} and doc_id < {hi}")
+    )
+
+
+def test_lsh_index_three_day_cycle(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_lsh_index,
+        build_lsh_index,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    idx = str(tmp_path / "lsh")
+    corpus = _docs(spark, *SLICES[0])
+    build_lsh_index(corpus, idx)
+    seen = corpus
+    any_pairs = False
+    for lo, hi in SLICES[1:]:
+        day = _docs(spark, lo, hi)
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_match"])
+            for r in incremental_lsh_pairs(spark, idx, day).collect()
+        }
+        union = seen.unionByName(day)
+        day_ids = set(range(lo, hi))
+        want = {
+            (r["doc_a"], r["doc_b"], r["n_match"])
+            for r in minhash_lsh_pairs(union).collect()
+            if r["doc_a"] in day_ids or r["doc_b"] in day_ids
+        }
+        assert got == want
+        any_pairs = any_pairs or bool(got)
+        append_to_lsh_index(day, idx)
+        seen = union
+    assert any_pairs  # the cycle exercised real candidates, not vacuity
+
+
+def test_chunk_index_three_day_cycle(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.corpus import (
+        append_to_chunk_index,
+        build_chunk_index,
+        chunk_dedup,
+        incremental_chunk_dedup,
+    )
+
+    idx = str(tmp_path / "chunks")
+    corpus = _docs(spark, *SLICES[0])
+    build_chunk_index(corpus, idx, chunk_words=3, n_buckets=8)
+    seen = corpus
+    for lo, hi in SLICES[1:]:
+        day = _docs(spark, lo, hi)
+        per_doc, kept = incremental_chunk_dedup(
+            spark, idx, day, chunk_words=3, n_buckets=8
+        )
+        got = {
+            (r["doc_id"], r["n_chunks"], r["n_kept"], r["clean_md5"])
+            for r in per_doc.collect()
+        }
+        union = seen.unionByName(day)
+        want = {
+            (r["doc_id"], r["n_chunks"], r["n_kept"], r["clean_md5"])
+            for r in chunk_dedup(union, chunk_words=3).collect()
+            if lo <= r["doc_id"] < hi
+        }
+        assert got == want and len(got) == hi - lo
+        append_to_chunk_index(kept, idx)
+        seen = union
+
+
+def test_ivf_index_three_day_cycle(spark, tmp_path):
+    """Appends reuse the index's build-time centroids; with train='first'
+    and monotone ids the full-rebuild centroids of every union equal the
+    day-0 centroids, so indexed top-k must match the in-memory operator on
+    the union after every cycle."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_indexed_topk,
+        ann_ivf_topk,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    def _emb(lo, hi):
+        return (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .where(f"vec_id >= {lo} and vec_id < {hi}")
+        )
+
+    idx = str(tmp_path / "ivf")
+    corpus = _emb(*SLICES[0])
+    cents = build_ivf_index(corpus, idx, n_cells=8, train="first")
+    queries = corpus.where("vec_id < 5")
+    seen = corpus
+    for lo, hi in SLICES[1:]:
+        day = _emb(lo, hi)
+        append_to_ivf_index(day, idx, cents)
+        seen = seen.unionByName(day)
+        got = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ann_ivf_indexed_topk(
+                spark, idx, cents, queries, k=5, nprobe=2
+            ).collect()
+        }
+        want = {
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ann_ivf_topk(
+                seen, queries, k=5, nprobe=2, n_cells=8, train="first"
+            ).collect()
+        }
+        assert got == want and len(got) > 0

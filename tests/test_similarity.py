@@ -144,6 +144,49 @@ def test_ivf_kmeans_trainer_deterministic_and_effective(spark):
     assert run("kmeans") > run("first")
 
 
+def test_kmeans_seeding_separates_clustered_blobs(spark):
+    """Round-4 directive 5: farthest-first (k-means++-style) seeding must
+    not collapse cells on clustered data.  Four tight directional blobs,
+    sample-ordered so naive first-n seeding would draw every seed from
+    blob 0; the trainer must still give each blob its own cell (balanced
+    populations), deterministically."""
+    import random
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(9)
+    axes = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(400):
+        a = axes[i % 4]
+        rows.append(
+            (i, [c + rng.uniform(-0.05, 0.05) for c in a])
+        )
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = train_ivf_centroids(d, n_cells=4, sample_size=128, iters=3)
+    c2 = train_ivf_centroids(d, n_cells=4, sample_size=128, iters=3)
+    assert c1 == c2  # deterministic
+    counts = [
+        r["n"]
+        for r in d.select(ivf_assign(F.col("embedding"), c1).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    # every blob gets a cell; populations balanced (exactly 100 each up to
+    # boundary noise — ratio bound leaves slack)
+    assert len(counts) == 4
+    assert max(counts) / min(counts) < 1.5
+
+
 def test_ivf_indexed_matches_inmemory_and_prunes(spark, tmp_path):
     """The persisted inverted file (build_ivf_index + ann_ivf_indexed_topk)
     returns exactly the in-memory ann_ivf_topk results, and the index scan
@@ -195,6 +238,50 @@ def test_semantic_dedup_first_seen_wins(spark):
     assert out[4] is False          # dominated by 3 (same cell, cos ~1)
     assert out[1] is True and out[2] is True and out[5] is True
     assert len(out) == 5            # every vector classified
+
+
+def test_semantic_dedup_greedy_chain_keeps_endpoints(spark):
+    """The chain contract (round-3 verdict): a–b–c with cos(a,b) ≥ t,
+    cos(b,c) ≥ t, cos(a,c) < t.  Greedy (survivor-restricted) keeps {a, c}
+    — b is dropped by a, so a dropped b cannot drop c.  One-shot
+    neighbor-dominance over-deletes to {a} only."""
+    from kafka_connect_tablestore_spark.operators.similarity import semantic_dedup
+
+    deg = math.pi / 180.0
+    vec = lambda th: [math.cos(th * deg), math.sin(th * deg)]
+    # cos(25°) ≈ 0.906 ≥ 0.9 between neighbors; cos(50°) ≈ 0.643 < 0.9
+    rows = [(1, vec(0.0)), (2, vec(25.0)), (3, vec(50.0))]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    greedy = {
+        r["vec_id"]: r["is_survivor"]
+        for r in semantic_dedup(d, threshold=0.9, n_cells=1).collect()
+    }
+    assert greedy == {1: True, 2: False, 3: True}
+
+    dom = {
+        r["vec_id"]: r["is_survivor"]
+        for r in semantic_dedup(
+            d, threshold=0.9, n_cells=1, mode="dominance"
+        ).collect()
+    }
+    assert dom == {1: True, 2: False, 3: False}
+
+
+def test_semantic_dedup_greedy_deep_chain_alternates(spark):
+    """A 6-deep dominance chain (each link ≥ t, skips < t) must alternate
+    keep/drop — exercises multiple fixpoint rounds, not just one."""
+    from kafka_connect_tablestore_spark.operators.similarity import semantic_dedup
+
+    deg = math.pi / 180.0
+    vec = lambda th: [math.cos(th * deg), math.sin(th * deg)]
+    rows = [(i, vec(25.0 * i)) for i in range(6)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["is_survivor"]
+        for r in semantic_dedup(d, threshold=0.9, n_cells=1).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: False, 4: True, 5: False}
 
 
 def test_semantic_dedup_deterministic_under_repartition(spark):
