@@ -415,6 +415,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
+    def pipe_ann_lsh_probe(spark, sf):
+        """Multi-probe LSH ANN: each query probes its own bucket plus the
+        two 1-bit-flip neighbors in the first two sign planes — recall up,
+        corpus side untouched."""
+        emb = _emb(spark, sf)
+        return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, probe_bits=2)
+
     def pipe_embedding_neardup(spark, sf):
         # threshold tuned to the synthetic embeddings (max pairwise cosine
         # ≈ 0.51): 0.35 yields a non-empty, oracle-verified pair set —
@@ -481,6 +488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_tablestore_spark.functions.text import tfidf_topk
 
         return tfidf_topk(_docs(spark, sf), k=3)
+
+    def pipe_unigram_ppl(spark, sf):
+        from kafka_connect_tablestore_spark.functions.text import (
+            unigram_perplexity,
+        )
+
+        return unigram_perplexity(_docs(spark, sf))
 
     def pipe_multimodal_features(spark, sf):  # mapInPandas plumbing (no SQL)
         d = _docs(spark, sf).select(
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_fingerprint=pipe_fingerprint,
         pipe_ann_brute=pipe_ann_brute,
         pipe_ann_lsh=pipe_ann_lsh,
+        pipe_ann_lsh_probe=pipe_ann_lsh_probe,
         pipe_ann_ivf=pipe_ann_ivf,
         pipe_neardup_clusters=pipe_neardup_clusters,
         pipe_embedding_neardup=pipe_embedding_neardup,
@@ -667,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_decontaminate=pipe_decontaminate,
         pipe_repetition=pipe_repetition,
         pipe_tfidf_topk=pipe_tfidf_topk,
+        pipe_unigram_ppl=pipe_unigram_ppl,
         pipe_multimodal_features=pipe_multimodal_features,
         cdc_snapshot_diff=cdc_snapshot_diff,
         pipe_pii_redact=pipe_pii_redact,
@@ -1183,6 +1199,20 @@ FROM tf JOIN df_ USING (word) CROSS JOIN n
 QUALIFY rank <= 3
 """
 
+_UNIGRAM_PPL_SQL = f"""
+WITH wc AS (
+  SELECT doc_id, w AS word, count(*) AS tf
+  FROM (SELECT doc_id, unnest({W}) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+model AS (SELECT word, sum(tf) AS cf FROM wc GROUP BY word),
+tot AS (SELECT sum(cf) AS n_total FROM model)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+  round(exp(-sum(tf * ln(cf / n_total)) / sum(tf)), 4) AS unigram_ppl
+FROM wc JOIN model USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
 _LANG_CASES = {
     lang: f"len(list_filter({W}, w -> list_contains([{', '.join(repr(s) for s in sws)}], w)))"
@@ -1291,6 +1321,34 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
   FROM b c JOIN b q ON c.bucket = q.bucket AND q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, cos_sim
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+def _ann_lsh_probe_sql(
+    k: int = 5, n_planes: int = 6, dim: int = 16, probe_bits: int = 2
+) -> str:
+    # multi-probe twin: the query side explodes to its bucket plus the
+    # 1-bit-flip neighbors in the first probe_bits planes; DISTINCT dedups
+    # a neighbor reached via several probes (identical cos_sim).
+    b = _bucket_sql("v", n_planes, dim)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(probe_bits)]
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {b} AS bucket FROM base),
+qp AS (
+  SELECT vec_id, v, unnest([{probes}]) AS bucket FROM b WHERE vec_id < 5
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_sim
+  FROM b c JOIN qp q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id
 )
 SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, cos_sim
 FROM scored
@@ -1542,12 +1600,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipe_ann_brute": _ANN_BRUTE_SQL,
         "pipe_ann_lsh": _ann_lsh_sql(k=5, n_planes=6, dim=16),
+        "pipe_ann_lsh_probe": _ann_lsh_probe_sql(k=5, n_planes=6, dim=16, probe_bits=2),
         "pipe_ann_ivf": _ann_ivf_sql(k=5, n_cells=16, nprobe=2),
         "pipe_embedding_neardup": _embedding_neardup_sql(threshold=0.35),
         "pipe_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "pipe_decontaminate": _DECONTAM_SQL,
         "pipe_repetition": _REPETITION_SQL,
         "pipe_tfidf_topk": _TFIDF_SQL,
+        "pipe_unigram_ppl": _UNIGRAM_PPL_SQL,
         "pipe_multimodal_features": _MULTIMODAL_SQL,
         "cdc_snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "pipe_pii_redact": _PII_REDACT_SQL,

@@ -215,3 +215,51 @@ def doc_word_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
             F.sum("_n").cast("long").alias("n_words"),
         )
     )
+
+
+def unigram_perplexity(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document perplexity under the corpus's own unigram language
+    model — the CCNet-style LM quality filter: pages whose word
+    distribution diverges from the corpus (gibberish, foreign-language
+    fragments, token soup) score high; typical prose scores near the
+    corpus-wide perplexity.  (CCNet uses a 5-gram KenLM trained on
+    Wikipedia; the unigram-over-self form keeps the engine dependency-free
+    while preserving the relational shape a bigger LM would use — swap the
+    model table, keep the plan.)
+
+    ``ppl(d) = exp(-(1/|d|) Σ_w ln(count(w)/N))`` with N = total corpus
+    tokens.  Relational shape: explode → per-(doc, word) counts (shuffle
+    1, map-side combined) → corpus word counts (shuffle 2 — output is
+    vocabulary-sized) → join the model back onto the term counts on the
+    word key → per-doc aggregation (shuffle 3, on the doc key).  The model
+    table is joined, not broadcast by force: at 100 TB the vocabulary can
+    exceed broadcast limits, and AQE picks broadcast automatically when it
+    fits.  Every input word is in-vocabulary by construction (the model IS
+    the corpus), so no smoothing term is needed; docs with no words are
+    omitted (no distribution to score).  Rounded to 4 decimals."""
+    from pyspark.sql import functions as F
+
+    wc = (
+        df.select(F.col(id_col), F.explode(words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = wc.groupBy("word").agg(F.sum("tf").alias("cf"))
+    total = model.agg(F.sum("cf").alias("n_total"))
+    scored = wc.join(model, "word").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.round(
+                F.exp(
+                    -F.sum(
+                        F.col("tf")
+                        * F.log(F.col("cf") / F.col("n_total"))
+                    )
+                    / F.sum("tf")
+                ),
+                4,
+            ).alias("unigram_ppl"),
+        )
+    )

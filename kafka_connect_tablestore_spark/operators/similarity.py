@@ -142,24 +142,41 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 16,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors in the query's bucket,
     then exact cosine rank within candidates.  Recall/speed traded via
-    ``n_planes`` (more planes = smaller buckets).  At scale, corpus buckets
-    are computed once (map-only) and bucketed-written, so each query reads
-    one bucket — the IVF pattern."""
+    ``n_planes`` (more planes = smaller buckets) and ``probe_bits``
+    (multi-probe LSH: each query additionally probes the buckets at
+    Hamming distance 1 in its first ``probe_bits`` sign bits — the planes
+    a borderline vector most plausibly flipped — lifting recall without
+    touching the corpus side).  ``probe_bits=0`` is classic single-probe.
+
+    At scale, corpus buckets are computed once (map-only) and
+    bucketed-written, so each query reads ``1 + probe_bits`` buckets — the
+    IVF pattern; the probe fan-out is on the (small) query side only, and a
+    neighbor found via several probes dedups before ranking (identical
+    cos_sim, so the rank is probe-order-independent)."""
+    if not 0 <= probe_bits <= n_planes:
+        raise ValueError(
+            f"probe_bits must be in [0, n_planes={n_planes}], got {probe_bits}"
+        )
     vd = F.col(vec_col).cast("array<double>")
+    base_bucket = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    probes = F.array(
+        base_bucket, *[base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(probe_bits)]
+    )
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         vd.alias("qv"),
         _norm(vd).alias("qn"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.explode(probes).alias("bucket"),
     )
     bc = df.select(
         F.col(id_col).alias("neighbor_id"),
         vd.alias("cv"),
         _norm(vd).alias("cn"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        base_bucket.alias("bucket"),
     )
     scored = (
         bc.join(F.broadcast(bq), ["bucket"])
@@ -172,6 +189,8 @@ def ann_lsh_topk(
             ).alias("cos_sim"),
         )
     )
+    if probe_bits > 0:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -709,7 +728,14 @@ def semantic_dedup(
     # are the dsts of source-rooted edges.  localCheckpoint truncates the
     # per-round lineage so round k's plan does not replay rounds 1..k-1
     # (the connected_components guard); checkpointed frames are id-only —
-    # tiny at any scale, and the eager-job count is 3 per round.
+    # tiny at any scale, and each round costs ONE eager job (the frontier
+    # checkpoint) plus a first-nonempty-partition isEmpty probe.
+    # no per-round distinct(): has_in/killed feed only semi/anti joins and
+    # a final distinct, where duplicate rows are harmless — each dropped
+    # distinct was a per-round shuffle.  Only `remaining` materializes per
+    # round (ONE eager job + a first-nonempty-partition isEmpty probe);
+    # active/has_in/killed recompute lazily from checkpointed inputs, a
+    # two-join chain that is cheaper than eagerly persisting it.
     edges = edges.localCheckpoint(eager=True)
     remaining = cells.select(id_col).localCheckpoint(eager=True)
     killed_rounds: list[DataFrame] = []
@@ -717,23 +743,17 @@ def semantic_dedup(
     for _ in range(max_iter):
         if done:
             break
-        active = (
-            edges.join(remaining, edges["src"] == remaining[id_col], "left_semi")
-            .join(remaining, edges["dst"] == remaining[id_col], "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        has_in = active.select(F.col("dst").alias(id_col)).distinct()
+        active = edges.join(
+            remaining, edges["src"] == remaining[id_col], "left_semi"
+        ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
+        has_in = active.select(F.col("dst").alias(id_col))
         # sources = remaining ∖ has_in are confirmed survivors; what they
         # dominate dies: kills = dst of edges whose src has no in-edge
-        killed = (
-            active.join(
-                has_in.withColumnRenamed(id_col, "_in"),
-                active["src"] == F.col("_in"),
-                "left_anti",
-            )
-            .select(F.col("dst").alias(id_col))
-            .distinct()
-        )
+        killed = active.join(
+            has_in.withColumnRenamed(id_col, "_in"),
+            active["src"] == F.col("_in"),
+            "left_anti",
+        ).select(F.col("dst").alias(id_col))
         killed_rounds.append(killed)
         # next frontier = still-dominated vertices minus the newly killed
         remaining = (

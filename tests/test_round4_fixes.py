@@ -129,3 +129,22 @@ def test_registrable_domain_psl(spark):
         "localhost": 1,
         "site.com.au": 1,
     }
+
+
+def test_unigram_perplexity_known_values(spark):
+    from kafka_connect_tablestore_spark.functions.text import unigram_perplexity
+
+    # corpus model: x:3, y:1, N=4
+    d = spark.createDataFrame(
+        [(1, "x x"), (2, "x y"), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_perplexity(d).collect()}
+    # doc1: exp(-ln(3/4)) = 4/3; doc2: exp(-(ln .75 + ln .25)/2) = sqrt(16/3)
+    assert got[1]["unigram_ppl"] == round(4 / 3, 4)
+    assert got[2]["unigram_ppl"] == round((16 / 3) ** 0.5, 4)
+    assert got[1]["n_words"] == 2 and got[2]["n_words"] == 2
+    assert 3 not in got  # wordless docs have no distribution to score
+
+    # uniform self-corpus: ppl == vocabulary size
+    u = spark.createDataFrame([(1, "a a b b")], "doc_id long, text string")
+    assert unigram_perplexity(u).collect()[0]["unigram_ppl"] == 2.0

@@ -299,3 +299,31 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
         map(tuple, semantic_dedup(d.repartition(7), threshold=0.8, n_cells=4).collect())
     )
     assert a == b
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe LSH (probe_bits>0) must be a candidate-superset of
+    single-probe on the same plane family — its recall vs exact top-k can
+    only improve — and stay well-formed (dense ranks, <=k per query)."""
+    df = _emb(spark)
+    queries = df.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 115))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def run(probe_bits):
+        rows = ann_lsh_topk(df, queries, k=5, probe_bits=probe_bits).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        return len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact) / len(exact)
+
+    r0, r2 = run(0), run(2)
+    assert r2 >= r0  # superset candidates can only help
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probe_bits"):
+        ann_lsh_topk(df, queries, k=5, probe_bits=7)
