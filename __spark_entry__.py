@@ -624,6 +624,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return url_domain_stats(aug)
 
+    def pipe_domain_cap(spark, sf):
+        """Per-domain document caps over the same synthesized URLs as
+        pipe_url_domains: each ~38-doc site domain and the ~125-doc shared
+        CDN host get capped at 20 docs (hash-order selection), the ~9-doc
+        .co.uk domains pass uncapped."""
+        from kafka_connect_tablestore_spark.operators.corpus import cap_per_domain
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("see https://sub"),
+                (did % 7).cast("string"),
+                F.lit(".site"),
+                (did % 13).cast("string"),
+                F.lit(".com/p/"),
+                did.cast("string"),
+            ).alias("text"),
+        )
+        return cap_per_domain(aug, max_docs=20)
+
     def cdc_offset_gaps(spark, sf):
         """Continuity monitoring: re-number the log densely per partition,
         punch out every 97th offset, and the gap detector must report
@@ -694,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_winnowing=pipe_winnowing,
         pipe_winnowing_overlap=pipe_winnowing_overlap,
         pipe_url_domains=pipe_url_domains,
+        pipe_domain_cap=pipe_domain_cap,
         pipe_semantic_dedup=pipe_semantic_dedup,
     )
     return q
@@ -1034,6 +1057,40 @@ final_scan AS (
 SELECT o.vec_id, o.cell, list_contains(f.survivors, o.vec_id) AS is_survivor
 FROM ordered o JOIN final_scan f ON o.cell = f.cell
 """
+
+_DOMAIN_CAP_SQL = (
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+    'see https://sub' || CAST(doc_id % 7 AS VARCHAR)
+      || '.site' || CAST(doc_id % 13 AS VARCHAR)
+      || '.com/p/' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    regexp_extract(text, 'https?://([A-Za-z0-9.-]+)(/[^\s]*)?', 1) AS host,
+    """
+    + H("CAST(doc_id AS VARCHAR)", "domcap")
+    + r""" AS h
+  FROM aug
+), dom AS (
+  SELECT doc_id, h,
+    CASE WHEN host = '' THEN NULL
+         WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ("""
+    + _PSL_IN
+    + r""")
+         THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+         WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
+         ELSE host END AS domain
+  FROM (SELECT doc_id, h, host, string_split(host, '.') AS p FROM base)
+)
+SELECT doc_id, domain,
+  CASE WHEN domain IS NULL THEN TRUE
+       ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) <= 20
+  END AS kept
+FROM dom
+"""
+)
 
 _OFFSET_GAPS_SQL = f"""
 WITH {LOG}, dense AS (
@@ -1619,5 +1676,6 @@ def oracle_sql() -> dict[str, str]:
         "pipe_winnowing": _WINNOWING_SQL,
         "pipe_winnowing_overlap": _WINNOWING_OVERLAP_SQL,
         "pipe_url_domains": _URL_DOMAINS_SQL,
+        "pipe_domain_cap": _DOMAIN_CAP_SQL,
         "pipe_semantic_dedup": _SEMANTIC_DEDUP_SQL,
     }

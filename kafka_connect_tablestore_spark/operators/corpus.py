@@ -532,6 +532,55 @@ def registrable_domain(host_col):
     )
 
 
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registrable-domain document cap — the source-diversity guard
+    every web-scale pipeline applies after :func:`url_domain_stats` shows
+    a few domains dominating the crawl: keep at most ``max_docs``
+    documents per domain, selected by the deterministic hash order
+    ``hash64(id, 'domcap')`` (uniform within the domain, reproducible
+    under any partitioning — NOT first-crawled order, which over-selects
+    whatever the crawler visited early).
+
+    A document's domain is the registrable domain of its FIRST embedded
+    URL (the canonical source attribution); documents with no URL carry no
+    source and pass uncapped.  Emits ``(id_col, domain, kept)`` for every
+    input document — callers filter on ``kept`` and join survivors back.
+
+    Shape: map-only extract (``regexp_extract`` of the first URL, no
+    explode) + one rank window keyed on the domain (key-local shuffle;
+    within-domain volume is exactly what the cap bounds downstream).  The
+    URL-less branch never enters the window — at web scale "no URL" can be
+    a large fraction of the corpus, and ranking it would funnel all of it
+    into a single NULL-key window task.
+    """
+    if max_docs <= 0:
+        raise ValueError("max_docs must be positive")
+    host = F.regexp_extract(F.col(text_col), URL_RE, 1)
+    base = df.select(
+        F.col(id_col),
+        F.when(host != "", registrable_domain(host)).alias("domain"),
+        hash64(F.col(id_col).cast("string"), "domcap").alias("_h"),
+    )
+    w = Window.partitionBy("domain").orderBy("_h", id_col)
+    with_dom = (
+        base.where(F.col("domain").isNotNull())
+        .select(
+            id_col,
+            "domain",
+            (F.row_number().over(w) <= max_docs).alias("kept"),
+        )
+    )
+    no_dom = base.where(F.col("domain").isNull()).select(
+        id_col, "domain", F.lit(True).alias("kept")
+    )
+    return with_dom.unionByName(no_dom)
+
+
 def url_domain_stats(
     df: DataFrame,
     text_col: str = "text",

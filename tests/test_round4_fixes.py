@@ -148,3 +148,23 @@ def test_unigram_perplexity_known_values(spark):
     # uniform self-corpus: ppl == vocabulary size
     u = spark.createDataFrame([(1, "a a b b")], "doc_id long, text string")
     assert unigram_perplexity(u).collect()[0]["unigram_ppl"] == 2.0
+
+
+def test_cap_per_domain(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import cap_per_domain
+
+    rows = [(i, f"doc {i} https://sub{i % 3}.big.com/x") for i in range(40)]
+    rows += [(100, "see https://a.co.uk/y"), (101, "no url in this one")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cap_per_domain(d, max_docs=10).collect()}
+    assert len(out) == 42  # every input doc classified
+    big = [r for r in out.values() if r["domain"] == "big.com"]
+    assert len(big) == 40 and sum(r["kept"] for r in big) == 10  # capped
+    assert out[100]["domain"] == "a.co.uk" and out[100]["kept"]  # under cap
+    assert out[101]["domain"] is None and out[101]["kept"]       # URL-less passes
+    # deterministic under repartitioning (hash-order selection, not crawl order)
+    again = {
+        r["doc_id"]: r["kept"]
+        for r in cap_per_domain(d.repartition(7), max_docs=10).collect()
+    }
+    assert again == {k: v["kept"] for k, v in out.items()}
