@@ -327,3 +327,83 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
 
     with _pytest.raises(ValueError, match="probe_bits"):
         ann_lsh_topk(df, queries, k=5, probe_bits=7)
+
+
+def test_semantic_dedup_greedy_matches_python_reference(spark):
+    """Property check for the survivor-restricted rule: on random vector
+    sets the distributed fixpoint must equal a sequential pure-Python
+    greedy keep-scan (same 'first'-mode centroids, same left-fold float
+    arithmetic, id order within each cell)."""
+    import random
+
+    from kafka_connect_tablestore_spark.operators.similarity import semantic_dedup
+
+    def dot(a, b):  # left fold, matching the Catalyst aggregate's order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(120)
+        }
+        n_cells, thr = 4, 0.75
+        cents = [vecs[i] for i in sorted(vecs)[:n_cells]]
+
+        def cell_of(v):
+            vv = dot(v, v)
+            dists = [(vv - 2.0 * dot(v, c)) + dot(c, c) for c in cents]
+            return min(range(n_cells), key=lambda i: (dists[i], i))
+
+        # sequential greedy keep-scan per cell, id order
+        survivors = set()
+        by_cell: dict[int, list[int]] = {}
+        for i in sorted(vecs):
+            by_cell.setdefault(cell_of(vecs[i]), []).append(i)
+        for members in by_cell.values():
+            kept: list[int] = []
+            for i in members:
+                vi, ni = vecs[i], dot(vecs[i], vecs[i]) ** 0.5
+                if all(
+                    dot(vecs[j], vi) / (dot(vecs[j], vecs[j]) ** 0.5 * ni) < thr
+                    for j in kept
+                ):
+                    kept.append(i)
+            survivors.update(kept)
+
+        # float32 storage (the table schema) then cast back to double —
+        # mirror that in the reference by round-tripping through float32
+        import struct
+
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        d = spark.createDataFrame(
+            [(i, [f32(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>",
+        )
+        # recompute the reference on the float32-rounded values
+        vecs = {i: [f32(x) for x in v] for i, v in vecs.items()}
+        cents = [vecs[i] for i in sorted(vecs)[:n_cells]]
+        survivors = set()
+        by_cell = {}
+        for i in sorted(vecs):
+            by_cell.setdefault(cell_of(vecs[i]), []).append(i)
+        for members in by_cell.values():
+            kept = []
+            for i in members:
+                vi, ni = vecs[i], dot(vecs[i], vecs[i]) ** 0.5
+                if all(
+                    dot(vecs[j], vi) / (dot(vecs[j], vecs[j]) ** 0.5 * ni) < thr
+                    for j in kept
+                ):
+                    kept.append(i)
+            survivors.update(kept)
+
+        got = {
+            r["vec_id"]
+            for r in semantic_dedup(d, threshold=thr, n_cells=n_cells)
+            .where("is_survivor")
+            .collect()
+        }
+        assert got == survivors, f"seed {seed}: {got ^ survivors}"
