@@ -627,6 +627,180 @@ def embedding_neardup_pairs(
     )
 
 
+def build_semantic_index(
+    df: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+) -> list[list[float]]:
+    """Run :func:`semantic_dedup` (greedy) over the corpus and persist the
+    SURVIVORS — id, vector, norm, cell — as parquet ``partitionBy(cell)``:
+    the semantic-dedup analogue of the LSH/chunk/IVF incremental indexes.
+    Returns the centroids (the query-side contract, persist them with the
+    index).  Survivor-only storage is what makes the daily probe cheap:
+    dominated vectors can never dominate (greedy rule), so the index drops
+    them forever."""
+    if train == "kmeans":
+        centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    surv = semantic_dedup(
+        df, threshold, n_cells, id_col, vec_col, train=train
+    ).where(F.col("is_survivor")).select(id_col)
+    vd = F.col(vec_col).cast("array<double>")
+    (
+        df.join(surv, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            vd.alias("v"),
+            _norm(vd).alias("n"),
+            ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return centroids
+
+
+def incremental_semantic_dedup(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    new_vecs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup a NEW batch against a persisted survivor index
+    (:func:`build_semantic_index`) without touching the corpus vectors.
+
+    Precondition: batch ids sort AFTER every indexed id (monotone daily
+    ingest).  Under that ordering the result equals
+    ``semantic_dedup(corpus ∪ new)`` restricted to the new ids, because
+    the greedy scan is prefix-stable: corpus survivorship is decided
+    entirely by smaller ids, so new vectors can never flip it, and a new
+    vector's surviving smaller-id neighbors are exactly (a) index
+    survivors in its cell and (b) earlier batch survivors.  Two stages:
+
+    1. index dominance — drop batch vectors with ANY same-cell index
+       survivor at cosine ≥ threshold.  The index scan is partition-pruned
+       to the batch's cells and the (small) batch side broadcasts.
+    2. within-batch greedy — :func:`semantic_dedup`'s fixpoint over the
+       remaining batch vectors only (cells fixed by the index centroids).
+
+    Returns ``(per_vec, kept_rows)``: ``per_vec`` has semantic_dedup's
+    schema for every new vector; ``kept_rows`` are index-format survivor
+    rows ready for ``append``-mode parquet into the index once the batch
+    commits."""
+    from kafka_connect_tablestore_spark.operators.clustering import (
+        ConvergenceError,
+    )
+
+    vd = F.col(vec_col).cast("array<double>")
+    batch = new_vecs.select(
+        F.col(id_col),
+        vd.alias("v"),
+        _norm(vd).alias("n"),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+    ).localCheckpoint(eager=True)
+    probe_cells = [r["cell"] for r in batch.select("cell").distinct().collect()]
+    idx = spark.read.parquet(index_path)
+    if probe_cells:
+        idx = idx.where(F.col("cell").isin(probe_cells))
+    dominated_by_index = (
+        idx.alias("i")
+        .join(F.broadcast(batch.alias("b")), F.col("i.cell") == F.col("b.cell"))
+        .where(
+            _dot(F.col("i.v"), F.col("b.v")) / (F.col("i.n") * F.col("b.n"))
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    alive = batch.join(dominated_by_index, id_col, "left_anti")
+    # stage 2: the greedy fixpoint among surviving batch vectors — same
+    # source-elimination loop as semantic_dedup, over the batch edge set
+    a, b = alive.alias("a"), alive.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+            >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = alive.select(id_col).localCheckpoint(eager=True)
+    killed_rounds = []
+    done = remaining.isEmpty()
+    for _ in range(max_iter):
+        if done:
+            break
+        active = edges.join(
+            remaining, edges["src"] == remaining[id_col], "left_semi"
+        ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
+        has_in = active.select(F.col("dst").alias(id_col))
+        killed = active.join(
+            has_in.withColumnRenamed(id_col, "_in"),
+            active["src"] == F.col("_in"),
+            "left_anti",
+        ).select(F.col("dst").alias(id_col))
+        killed_rounds.append(killed)
+        remaining = (
+            remaining.join(has_in, id_col, "left_semi")
+            .join(killed, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        done = remaining.isEmpty()
+    if not done:
+        raise ConvergenceError(
+            f"incremental_semantic_dedup did not converge within "
+            f"max_iter={max_iter}"
+        )
+    killed_all = (
+        killed_rounds[0] if killed_rounds else batch.select(id_col).limit(0)
+    )
+    for k in killed_rounds[1:]:
+        killed_all = killed_all.unionByName(k)
+    dead = (
+        dominated_by_index.unionByName(killed_all)
+        .distinct()
+        .withColumn("_dead", F.lit(True))
+    )
+    per_vec = batch.join(dead, id_col, "left").select(
+        id_col, "cell", F.col("_dead").isNull().alias("is_survivor")
+    )
+    kept_rows = batch.join(
+        per_vec.where(F.col("is_survivor")).select(id_col), id_col, "left_semi"
+    ).select(id_col, "v", "n", "cell")
+    return per_vec, kept_rows
+
+
+def append_to_semantic_index(kept_rows: DataFrame, path: str) -> None:
+    """Append a committed batch's surviving vectors to the index — ids must
+    sort after every indexed id (the incremental precondition)."""
+    (
+        kept_rows.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

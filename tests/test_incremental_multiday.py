@@ -127,3 +127,49 @@ def test_ivf_index_three_day_cycle(spark, tmp_path):
             ).collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_semantic_index_three_day_cycle(spark, tmp_path):
+    """Greedy semantic dedup is prefix-stable under monotone ids, so the
+    survivor-index probe must equal the full batch recompute restricted to
+    each day's new vectors, after every append cycle."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        append_to_semantic_index,
+        build_semantic_index,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    def _emb(lo, hi):
+        return (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .where(f"vec_id >= {lo} and vec_id < {hi}")
+        )
+
+    idx = str(tmp_path / "sem")
+    thr, n_cells = 0.3, 8
+    corpus = _emb(*SLICES[0])
+    cents = build_semantic_index(corpus, idx, threshold=thr, n_cells=n_cells)
+    seen = corpus
+    any_dropped = False
+    for lo, hi in SLICES[1:]:
+        day = _emb(lo, hi)
+        per_vec, kept = incremental_semantic_dedup(
+            spark, idx, cents, day, threshold=thr
+        )
+        got = {
+            (r["vec_id"], r["cell"], r["is_survivor"]) for r in per_vec.collect()
+        }
+        union = seen.unionByName(day)
+        want = {
+            (r["vec_id"], r["cell"], r["is_survivor"])
+            for r in semantic_dedup(
+                union, threshold=thr, n_cells=n_cells
+            ).collect()
+            if lo <= r["vec_id"] < hi
+        }
+        assert got == want and len(got) == hi - lo
+        any_dropped = any_dropped or any(not s for _, _, s in got)
+        append_to_semantic_index(kept, idx)
+        seen = union
+    assert any_dropped  # the cycles exercised real dominance, not vacuity
