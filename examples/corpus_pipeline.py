@@ -12,6 +12,8 @@ family, in dependency order:
                              connected components, keep cluster minima)
   3. benchmark decontam     (operators/decontam.py::benchmark_overlap)
   4. quality gates          (tokens / alpha ratio / repetition)
+  4b. per-domain caps       (operators/corpus.py::cap_per_domain, optional —
+                             source diversity before the mixture math)
   5. PII redaction          (operators/corpus.py::redact_pii)
   6. mixture sampling       (operators/corpus.py::mixture_sample)
   7. sequence packing       (operators/corpus.py::pack_sequences)
@@ -54,6 +56,7 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-dup-word-frac", type=float, default=0.9)
     p.add_argument("--mixture", default="", help="lang=pct comma list, e.g. en=60,de=25,fr=15")
+    p.add_argument("--domain-cap", type=int, default=0, help="max docs per registrable domain (0 = uncapped)")
     args = p.parse_args()
 
     from kafka_connect_tablestore_spark.functions.text import token_count
@@ -62,6 +65,7 @@ def main() -> None:
         EMAIL_RE,
         IPV4_RE,
         LONGNUM_RE,
+        cap_per_domain,
         global_shuffle,
         mixture_sample,
         pack_sequences,
@@ -98,6 +102,12 @@ def main() -> None:
         (token_count("text") >= args.min_tokens)
         & (dup_word_frac <= args.max_dup_word_frac)
     )
+
+    # 4b: optional per-domain caps — source diversity before mixture math
+    # (a runaway domain would otherwise dominate its language's quota)
+    if args.domain_cap > 0:
+        kept = cap_per_domain(docs, args.domain_cap).where(F.col("kept"))
+        docs = docs.join(kept.select("doc_id"), "doc_id")
 
     # 5: redact PII in place — same inline principle
     docs = docs.withColumn(

@@ -173,3 +173,33 @@ def test_semantic_index_three_day_cycle(spark, tmp_path):
         append_to_semantic_index(kept, idx)
         seen = union
     assert any_dropped  # the cycles exercised real dominance, not vacuity
+
+
+def test_semantic_probe_prunes_index_partitions(spark, tmp_path):
+    """The incremental probe's index scan must be partition-pruned to the
+    batch's cells (same mechanism the IVF probe asserts): with a batch
+    confined to a few cells, the scan plan carries a cell partition filter."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        build_semantic_index,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "semprune")
+    cents = build_semantic_index(
+        emb.where("vec_id < 300"), idx, threshold=0.3, n_cells=8
+    )
+    batch = emb.where("vec_id >= 300 and vec_id < 310")
+    cells = sorted(
+        r["c"]
+        for r in batch.select(
+            ivf_assign(F.col("embedding"), cents).alias("c")
+        ).distinct().collect()
+    )
+    probed = spark.read.parquet(idx).where(F.col("cell").isin(cells))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cell" in m.group(0)
