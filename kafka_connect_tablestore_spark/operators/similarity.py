@@ -693,7 +693,12 @@ def incremental_semantic_dedup(
 
     1. index dominance — drop batch vectors with ANY same-cell index
        survivor at cosine ≥ threshold.  The index scan is partition-pruned
-       to the batch's cells and the (small) batch side broadcasts.
+       to the batch's cells; the join keys on the cell and is left to AQE —
+       unlike the LSH/chunk probes (which broadcast a NARROW batch
+       projection, ~80 bytes/row), the batch side here carries full
+       vectors, and a forced broadcast of a heavy ingest day would pin it
+       in driver+executor memory.  AQE broadcasts automatically when the
+       batch actually fits.
     2. within-batch greedy — :func:`semantic_dedup`'s fixpoint over the
        remaining batch vectors only (cells fixed by the index centroids).
 
@@ -718,7 +723,7 @@ def incremental_semantic_dedup(
         idx = idx.where(F.col("cell").isin(probe_cells))
     dominated_by_index = (
         idx.alias("i")
-        .join(F.broadcast(batch.alias("b")), F.col("i.cell") == F.col("b.cell"))
+        .join(batch.alias("b"), F.col("i.cell") == F.col("b.cell"))
         .where(
             _dot(F.col("i.v"), F.col("b.v")) / (F.col("i.n") * F.col("b.n"))
             >= threshold
