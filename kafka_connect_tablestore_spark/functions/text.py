@@ -157,11 +157,14 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
 
     Relational shape: explode → per-(doc, word) counts (shuffle 1, map-side
     combined) → document frequency per word (shuffle 2 — output is
-    vocabulary-sized, tiny) → broadcast the vocabulary back onto the term
-    counts (zero corpus shuffle) → per-doc top-k window (shuffle 3, on the
-    doc key).  N is the corpus cardinality — one count-star job, the same
-    bounded driver scalar the IVF trainer uses.  Ties broken by word for
-    determinism; scores rounded to 4 decimals."""
+    vocabulary-sized) → join the vocabulary back onto the term counts on
+    the word key → per-doc top-k window (shuffle 3, on the doc key).  The
+    vocabulary join is deliberately UNhinted: a web-scale corpus's distinct
+    token set (typos, URLs, code identifiers) can exceed broadcast limits,
+    and AQE broadcasts automatically whenever it does fit — same policy as
+    ``unigram_perplexity``.  N is the corpus cardinality — one count-star
+    job, the same bounded driver scalar the IVF trainer uses.  Ties broken
+    by word for determinism; scores rounded to 4 decimals."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -172,7 +175,7 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     docfreq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = wc.join(F.broadcast(docfreq), "word").select(
+    scored = wc.join(docfreq, "word").select(
         F.col(id_col),
         "word",
         F.round(
