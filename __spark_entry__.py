@@ -422,6 +422,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5, probe_bits=2)
 
+    def pipe_ann_pq(spark, sf):
+        """Product-quantization ANN (asymmetric distance): corpus compressed
+        to m=4 code indices over 16-dim subspaces, queries exact, score =
+        cosine against the reconstruction."""
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            ann_pq_topk,
+        )
+
+        emb = _emb(spark, sf)
+        return ann_pq_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=5, m=4, n_codes=16, dim=64
+        )
+
     def pipe_embedding_neardup(spark, sf):
         # threshold tuned to the synthetic embeddings (max pairwise cosine
         # ≈ 0.51): 0.35 yields a non-empty, oracle-verified pair set —
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_ann_brute=pipe_ann_brute,
         pipe_ann_lsh=pipe_ann_lsh,
         pipe_ann_lsh_probe=pipe_ann_lsh_probe,
+        pipe_ann_pq=pipe_ann_pq,
         pipe_ann_ivf=pipe_ann_ivf,
         pipe_neardup_clusters=pipe_neardup_clusters,
         pipe_embedding_neardup=pipe_embedding_neardup,
@@ -1414,6 +1428,66 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+def _ann_pq_sql(k: int = 5, m: int = 4, n_codes: int = 16, dim: int = 64) -> str:
+    """PQ-ADC twin.  Codebook j = subvector j of the first n_codes vectors
+    (the Spark trainer's 'first' mode, computed here as a CTE).  One
+    unrolled CTE per subspace picks the corpus row's nearest codeword by
+    the same ``(<v,v> - 2<v,c>) + <c,c>`` expansion (ties → lowest code
+    index); the inner-product and reconstruction-norm sums are EXPLICIT
+    left-associated chains matching the Spark expression's unrolled
+    ``ip + term`` evaluation order bit-for-bit."""
+    sub = dim // m
+
+    def sl(expr: str, j: int) -> str:  # DuckDB 1-based inclusive slice
+        return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
+
+    chs = []
+    for j in range(m):
+        vj, cj = sl("b.v", j), sl("cb.c", j)
+        chs.append(f"""ch{j} AS (
+  SELECT b.vec_id, {cj} AS cw
+  FROM base b CROSS JOIN cbv cb
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id ORDER BY
+    (list_dot_product({vj}, {vj}) - 2.0 * list_dot_product({vj}, {cj}))
+      + list_dot_product({cj}, {cj}),
+    cb.code_idx) = 1
+)""")
+
+    def chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    ip = chain(
+        [f"list_dot_product({sl('q.qv', j)}, c{j}.cw)" for j in range(m)]
+    )
+    rn2 = chain([f"list_dot_product(c{j}.cw, c{j}.cw)" for j in range(m)])
+    joins = " ".join(
+        f"JOIN ch{j} c{j} ON c0.vec_id = c{j}.vec_id" for j in range(1, m)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cbv AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_idx, v AS c
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_codes})
+),
+{", ".join(chs)},
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {5}),
+scored AS (
+  SELECT q.query_id, c0.vec_id AS neighbor_id,
+    round({ip} / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({rn2})), 4)
+      AS pq_cos
+  FROM ch0 c0 {joins} CROSS JOIN q
+  WHERE q.query_id <> c0.vec_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, pq_cos
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY pq_cos DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
 def _embedding_neardup_sql(
     threshold: float = 0.35, n_planes: int = 6, dim: int = 16, n_tables: int = 4
 ) -> str:
@@ -1658,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_ann_brute": _ANN_BRUTE_SQL,
         "pipe_ann_lsh": _ann_lsh_sql(k=5, n_planes=6, dim=16),
         "pipe_ann_lsh_probe": _ann_lsh_probe_sql(k=5, n_planes=6, dim=16, probe_bits=2),
+        "pipe_ann_pq": _ann_pq_sql(k=5, m=4, n_codes=16, dim=64),
         "pipe_ann_ivf": _ann_ivf_sql(k=5, n_cells=16, nprobe=2),
         "pipe_embedding_neardup": _embedding_neardup_sql(threshold=0.35),
         "pipe_neardup_clusters": _NEARDUP_CLUSTERS_SQL,

@@ -552,6 +552,166 @@ def ann_ivf_indexed_topk(
     )
 
 
+# --------------------------------------------------- product quantization
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks ``[m][n_codes][dim/m]`` (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search").
+
+    ``train='first'``: codebook j = the j-th subvector of the first
+    ``n_codes`` vectors by id — trivially deterministic and shared verbatim
+    with the DuckDB oracle (one generator, two engines, like the LSH plane
+    table).  ``train='kmeans'``: per-subspace Lloyd over the deterministic
+    ``trainer_sample_plan`` sample with farthest-first seeding — the
+    codebook a real corpus wants; same bounded driver collect as the IVF
+    trainer."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    sub = dim // m
+    if train == "first":
+        rows = df.orderBy(id_col).limit(n_codes).collect()
+        vecs = [[float(x) for x in r[vec_col]][:dim] for r in rows]
+        return [
+            [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
+        ]
+    import numpy as np
+
+    sample = trainer_sample_plan(df, sample_size, id_col, vec_col).collect()
+    x = np.asarray([r["v"][:dim] for r in sample], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xj = x[:, j * sub : (j + 1) * sub]
+        n_seeds = min(n_codes, len(xj))
+        cents = xj[:n_seeds].copy()
+        if n_seeds > 1:
+            # farthest-first traversal in L2 (PQ quantizes subvectors, not
+            # directions — no unit normalization here)
+            cents[0] = xj[0]
+            mind = ((xj - cents[0]) ** 2).sum(axis=1)
+            for c in range(1, n_seeds):
+                i = int(np.argmax(mind))
+                cents[c] = xj[i]
+                mind = np.minimum(mind, ((xj - cents[c]) ** 2).sum(axis=1))
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = xj[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(vec_col, codebooks: list[list[list[float]]]):
+    """``array<int>`` of ``m`` code indices: subvector j is assigned to its
+    L2-nearest codeword (same algebraic expansion and first-min tie rule as
+    ``ivf_assign``, per subspace).  Pure expression — map-only; the encoded
+    corpus is ``m`` bytes/vector instead of ``dim`` floats, the compression
+    that lets a 10^10-vector index live in memory."""
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vd = v.cast("array<double>")
+
+    def dist_fn(vv, vj):
+        # closure factory: a default-kwarg lambda would read as 3-ary to
+        # PySpark's higher-order-function arity inspection
+        return lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c)
+
+    codes = []
+    for j in range(m):
+        vj = F.slice(vd, j * sub + 1, sub)
+        vv = _dot(vj, vj)
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        darr = F.transform(cb, dist_fn(vv, vj))
+        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def _pq_score(qv, codes, codebooks):
+    """ADC inner product ⟨q, x̂⟩ and reconstruction norm |x̂| from the code
+    array — unrolled per subspace (m is small), every term a left-fold dot
+    on literal codewords, bit-identical to the SQL twin."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    ip = None
+    rn2 = None
+    for j in range(m):
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
+        qj = F.slice(qv, j * sub + 1, sub)
+        term = _dot(qj, cw)
+        norm_term = _dot(cw, cw)
+        ip = term if ip is None else ip + term
+        rn2 = norm_term if rn2 is None else rn2 + norm_term
+    return ip, F.sqrt(rn2)
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+) -> DataFrame:
+    """PQ-compressed approximate top-k by asymmetric distance computation:
+    the corpus is quantized to ``m`` code indices (map-only; at scale the
+    codes are what gets stored — ``m`` bytes vs ``dim`` floats), each query
+    keeps its EXACT vector, and the score is the cosine between the query
+    and the corpus vector's reconstruction
+    ``cos(q, x̂) = Σ_j ⟨q_j, c_{j,code_j}⟩ / (|q|·|x̂|)``.
+
+    The asymmetric form (exact query × quantized corpus) is what makes PQ
+    usable: quantization error enters once, not twice.  Composes with IVF
+    (coarse cell prune, then ADC inside probed cells) — here the scan is
+    full-corpus so the oracle stays one query; the compose-at-scale path is
+    ``build_ivf_index`` + codes as an index column."""
+    codebooks = train_pq_codebooks(
+        df, m, n_codes, dim, id_col, vec_col, train
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(vd, 1, dim).alias("qv"),
+    )
+    qn = _norm(F.col("qv"))
+    ip, rn = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    scored = (
+        corpus.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(ip / (qn * rn), 4).alias("pq_cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_cos")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

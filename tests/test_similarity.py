@@ -407,3 +407,86 @@ def test_semantic_dedup_greedy_matches_python_reference(spark):
             .collect()
         }
         assert got == survivors, f"seed {seed}: {got ^ survivors}"
+
+
+def test_pq_encode_and_recall(spark):
+    """PQ-ADC: codes are m small ints (deterministic under repartition),
+    the kmeans codebooks quantize better than first-n (lower total
+    squared reconstruction error), and ADC top-k keeps usable recall vs
+    exact cosine."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_pq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    df = _emb(spark)
+    books = train_pq_codebooks(df, m=4, n_codes=16, dim=64, train="first")
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+
+    codes1 = {
+        r["vec_id"]: r["c"]
+        for r in df.select("vec_id", pq_encode(F.col("embedding"), books).alias("c")).collect()
+    }
+    codes2 = {
+        r["vec_id"]: r["c"]
+        for r in df.repartition(7)
+        .select("vec_id", pq_encode(F.col("embedding"), books).alias("c"))
+        .collect()
+    }
+    assert codes1 == codes2
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in codes1.values())
+
+    # kmeans codebooks: deterministic and better quantization than first-n
+    import math
+
+    kb1 = train_pq_codebooks(df, m=4, n_codes=16, dim=64, train="kmeans")
+    kb2 = train_pq_codebooks(df, m=4, n_codes=16, dim=64, train="kmeans")
+    assert kb1 == kb2
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in df.collect()}
+
+    def sqerr(books_):
+        codes = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", pq_encode(F.col("embedding"), books_).alias("c")
+            ).collect()
+        }
+        tot = 0.0
+        for i, v in vecs.items():
+            for j in range(4):
+                cw = books_[j][codes[i][j]]
+                tot += sum(
+                    (v[j * 16 + t] - cw[t]) ** 2 for t in range(16)
+                )
+        return tot
+
+    assert sqerr(kb1) < sqerr(books)
+
+    # recall vs exact cosine: more subspaces = finer codes = higher recall
+    # (the PQ fidelity dial; these embeddings are near-random 64-dim, so
+    # absolute recall is inherently modest — the DIAL is the contract)
+    queries = df.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(m_):
+        got = ann_pq_topk(
+            df, queries, k=5, m=m_, n_codes=16, dim=64, train="kmeans"
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        return len(
+            {(r["query_id"], r["neighbor_id"]) for r in got} & exact
+        ) / len(exact)
+
+    r4, r16 = recall(4), recall(16)
+    assert r16 >= 0.25, f"PQ m=16 recall {r16:.2f} below floor"
+    assert r16 > r4, f"finer codes must lift recall ({r16:.2f} vs {r4:.2f})"
