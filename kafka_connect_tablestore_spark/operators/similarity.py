@@ -712,6 +712,118 @@ def ann_pq_topk(
     )
 
 
+def _pq_recon_norm(codes, codebooks: list[list[list[float]]]):
+    """|x̂| from the code array alone — query-independent, so the persisted
+    IVF-PQ index precomputes it once per vector."""
+    m = len(codebooks)
+    rn2 = None
+    for j in range(m):
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
+        term = _dot(cw, cw)
+        rn2 = term if rn2 is None else rn2 + term
+    return F.sqrt(rn2)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "kmeans",
+) -> dict:
+    """The production ANN index: IVF coarse cells for pruning × PQ codes
+    for compression (Jégou et al.'s IVFADC).  One map-only pass assigns
+    every vector a cell, its ``m`` PQ code indices, and the precomputed
+    reconstruction norm; rows persist as parquet ``partitionBy(cell)``.
+    Per vector the index stores ``m`` small ints + one double instead of
+    ``dim`` floats — at 10^10 vectors that is the difference between an
+    in-memory index and none.  Returns ``{'centroids', 'codebooks'}`` —
+    the query-side contract."""
+    if train == "kmeans":
+        centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    codebooks = train_pq_codebooks(
+        df, m, n_codes, dim, id_col, vec_col, train
+    )
+    codes = pq_encode(F.col(vec_col), codebooks)
+    (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            codes.alias("codes"),
+            _pq_recon_norm(codes, codebooks).alias("rn"),
+            ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return {"centroids": centroids, "codebooks": codebooks}
+
+
+def ann_ivfpq_indexed_topk(
+    spark,
+    index_path: str,
+    meta: dict,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC query: probe the ``nprobe`` nearest cells (partition-pruned
+    index scan — only those directories are listed or read), score each
+    candidate by asymmetric distance against its stored PQ codes, exact-
+    rank within candidates.  The query side stays exact (its true vector
+    and norm); per candidate the work is ``m`` literal-codeword dot
+    products on ``m`` ints + one stored double — no corpus vector is ever
+    read."""
+    from pyspark.sql import Window
+
+    codebooks = meta["codebooks"]
+    centroids = meta["centroids"]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    corpus = spark.read.parquet(index_path)
+    vd = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(vd, 1, dim).alias("qv"),
+        ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
+    )
+    qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
+    probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
+    ip, _ = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    qn = _norm(F.col("qv"))
+    scored = (
+        corpus.where(F.col("cell").isin(probed))
+        .join(F.broadcast(qp), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_cos")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -490,3 +490,79 @@ def test_pq_encode_and_recall(spark):
     r4, r16 = recall(4), recall(16)
     assert r16 >= 0.25, f"PQ m=16 recall {r16:.2f} below floor"
     assert r16 > r4, f"finer codes must lift recall ({r16:.2f} vs {r4:.2f})"
+
+
+def test_ivfpq_indexed_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted IVF-PQ index (codes + stored reconstruction norm,
+    partitioned by cell) must reproduce the in-memory computation built
+    from the same primitives (cell assign → probe → ADC score → rank),
+    and its scan must be partition-pruned to the probed cells."""
+    from pyspark.sql import Window
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        _norm,
+        _pq_score,
+        ann_ivfpq_indexed_topk,
+        build_ivfpq_index,
+        ivf_assign,
+        ivf_probe_cells,
+        pq_encode,
+    )
+
+    df = _emb(spark)
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(
+        df, idx, n_cells=8, m=8, n_codes=16, dim=64, train="first"
+    )
+    queries = df.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+    got = ann_ivfpq_indexed_topk(spark, idx, meta, queries, k=5, nprobe=2)
+    got_set = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in got.collect()
+    }
+
+    # independent in-memory reconstruction from the same primitives
+    books, cents = meta["codebooks"], meta["centroids"]
+    vd = F.col("embedding").cast("array<double>")
+    corpus = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq_encode(F.col("embedding"), books).alias("codes"),
+        ivf_assign(F.col("embedding"), cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.slice(vd, 1, 64).alias("qv"),
+        ivf_probe_cells(F.col("embedding"), cents, 2).alias("_p"),
+    ).withColumn("cell", F.explode("_p")).drop("_p")
+    ip, rn = _pq_score(F.col("qv"), F.col("codes"), books)
+    scored = (
+        corpus.join(F.broadcast(q), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(ip / (_norm(F.col("qv")) * rn), 4).alias("pq_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
+    want_set = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got_set == want_set and len(got_set) > 0
+
+    # partition pruning on the index scan
+    probed = sorted(
+        {r["c"] for r in q.select(F.col("cell").alias("c")).distinct().collect()}
+    )
+    plan = (
+        spark.read.parquet(idx)
+        .where(F.col("cell").isin(probed))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
