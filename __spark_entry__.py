@@ -1003,7 +1003,7 @@ WITH aug AS (
       AS host
   FROM aug
 ), parts AS (
-  SELECT doc_id, host, string_split(host, '.') AS p FROM ex
+  SELECT doc_id, lower(host) AS host, string_split(lower(host), '.') AS p FROM ex
   WHERE host IS NOT NULL
 ), dom AS (
   SELECT DISTINCT doc_id,
@@ -1096,7 +1096,7 @@ WITH aug AS (
          THEN p[-3] || '.' || p[-2] || '.' || p[-1]
          WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
          ELSE host END AS domain
-  FROM (SELECT doc_id, h, host, string_split(host, '.') AS p FROM base)
+  FROM (SELECT doc_id, h, lower(host) AS host, string_split(lower(host), '.') AS p FROM base)
 )
 SELECT doc_id, domain,
   CASE WHEN domain IS NULL THEN TRUE

@@ -517,8 +517,14 @@ def registrable_domain(host_col):
     """Registrable-domain expression over a host column: PSL-aware last-two
     vs last-three label split.  The suffix set ships as ONE array literal
     (``array_contains`` — constant-folded, no join, no Python); hosts with
-    a single label pass through unchanged."""
+    a single label pass through unchanged.
+
+    The host is lowercased first: DNS names are case-insensitive and the
+    URL regex admits ``A-Z``, so without this an ``EXAMPLE.CO.UK`` host
+    would miss the lowercase PSL table and register as ``CO.UK`` —
+    merging every uppercase ccTLD host into one bogus domain."""
     host = host_col if not isinstance(host_col, str) else F.col(host_col)
+    host = F.lower(host)
     parts = F.split(host, r"\.")
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     suffixes = F.lit(list(PUBLIC_SUFFIXES_2LABEL))
@@ -537,6 +543,7 @@ def cap_per_domain(
     max_docs: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Per-registrable-domain document cap — the source-diversity guard
     every web-scale pipeline applies after :func:`url_domain_stats` shows
@@ -551,34 +558,60 @@ def cap_per_domain(
     source and pass uncapped.  Emits ``(id_col, domain, kept)`` for every
     input document — callers filter on ``kept`` and join survivors back.
 
-    Shape: map-only extract (``regexp_extract`` of the first URL, no
-    explode) + one rank window keyed on the domain (key-local shuffle;
-    within-domain volume is exactly what the cap bounds downstream).  The
-    URL-less branch never enters the window — at web scale "no URL" can be
-    a large fraction of the corpus, and ranking it would funnel all of it
-    into a single NULL-key window task.
+    Shape — salted two-phase exact top-k, so a hot domain can never
+    serialize into one window task (at web scale a single host can hold
+    10^8+ docs; a plain ``Window.partitionBy(domain)`` would funnel all of
+    them through one ``row_number``):
+
+    1. *Salted pre-rank*: rank within ``(domain, salt)`` where
+       ``salt = pmod(_h, n_salts)``.  A row in its domain's global
+       top-``max_docs`` by ``(_h, id)`` has fewer than ``max_docs``
+       predecessors overall, hence fewer than ``max_docs`` in its own salt
+       bucket, so its bucket-local rank is ≤ ``max_docs`` — phase 1 keeps
+       an exact superset of every domain's true top set and definitively
+       rejects the rest (bucket rank > ``max_docs`` ⇒ ≥ ``max_docs``
+       global predecessors ⇒ ``kept = false``).
+    2. *Exact rank on the bounded survivor set*: ≤ ``n_salts × max_docs``
+       rows per domain regardless of domain size, so the per-domain window
+       task is bounded by configuration, not by the crawl's skew.
+
+    The result is bit-identical to the single-window formulation for every
+    ``n_salts`` (the oracle twin keeps the one-window SQL).  The URL-less
+    branch never enters either window — "no URL" can be a large fraction
+    of the corpus, and ranking it would recreate the hot-key problem on
+    the NULL domain.
     """
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
+    if n_salts is None:
+        # one salt stream per core, bounded so phase 2 stays small:
+        # per-domain phase-2 volume is n_salts * max_docs
+        n_salts = min(64, max(8, _default_parallelism(df)))
     host = F.regexp_extract(F.col(text_col), URL_RE, 1)
     base = df.select(
         F.col(id_col),
         F.when(host != "", registrable_domain(host)).alias("domain"),
         hash64(F.col(id_col).cast("string"), "domcap").alias("_h"),
     )
-    w = Window.partitionBy("domain").orderBy("_h", id_col)
-    with_dom = (
+    w1 = Window.partitionBy("domain", "_salt").orderBy("_h", id_col)
+    pre = (
         base.where(F.col("domain").isNotNull())
-        .select(
-            id_col,
-            "domain",
-            (F.row_number().over(w) <= max_docs).alias("kept"),
-        )
+        .withColumn("_salt", F.pmod(F.col("_h"), F.lit(n_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+    )
+    rejected = pre.where(F.col("_r1") > max_docs).select(
+        id_col, "domain", F.lit(False).alias("kept")
+    )
+    w2 = Window.partitionBy("domain").orderBy("_h", id_col)
+    finalists = pre.where(F.col("_r1") <= max_docs).select(
+        id_col,
+        "domain",
+        (F.row_number().over(w2) <= max_docs).alias("kept"),
     )
     no_dom = base.where(F.col("domain").isNull()).select(
         id_col, "domain", F.lit(True).alias("kept")
     )
-    return with_dom.unionByName(no_dom)
+    return finalists.unionByName(rejected).unionByName(no_dom)
 
 
 def url_domain_stats(

@@ -332,6 +332,13 @@ def mp4_metadata_from_header(raw: bytes) -> dict | None:
                     return
                 (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
                 hdr = 16
+            elif size == 0:
+                # ISO-BMFF: size 0 means "extends to the end of the file"
+                # (common for a final mdat); a moov AFTER such a box can't
+                # exist, but the walk must still surface this box rather
+                # than abort — and at nested levels it spans to `end`.
+                size = end - i
+                hdr = 8
             else:
                 hdr = 8
             if size < hdr or i + size > end:

@@ -579,6 +579,15 @@ def train_pq_codebooks(
     sub = dim // m
     if train == "first":
         rows = df.orderBy(id_col).limit(n_codes).collect()
+        short = [r[id_col] for r in rows if len(r[vec_col]) < dim]
+        if short:
+            # a shorter vector would yield ragged codebook rows and
+            # downstream pq_encode's zip_with would null-pad, producing
+            # NULL codes/scores silently — fail loudly instead (mirrors
+            # the explicit dim % m check above)
+            raise ValueError(
+                f"train='first' vectors shorter than dim={dim}: ids {short[:5]}"
+            )
         vecs = [[float(x) for x in r[vec_col]][:dim] for r in rows]
         return [
             [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)

@@ -1,0 +1,145 @@
+"""Round-5 directives: cap_per_domain de-skew (salted two-phase exact
+top-k), case-insensitive registrable domains, ISO-BMFF size-0 boxes,
+PQ trainer input validation."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- directive 1: cap_per_domain must not serialize a hot domain -----------
+
+def _skewed_corpus(spark):
+    # one domain holds ~90% of the corpus — the web-scale shape where a
+    # single host (pinterest.com, blogspot subtree, ...) dominates a crawl
+    rows = [(i, f"doc {i} https://hot.com/p/{i}") for i in range(900)]
+    rows += [
+        (1000 + i, f"doc https://site{i % 10}.org/x/{i}") for i in range(100)
+    ]
+    rows += [(5000, "no url here at all")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_per_domain_skew_stress_plan_is_salted(spark):
+    """The hot domain must be ranked in (domain, salt) buckets first, so no
+    single task ever sees the whole domain: the plan carries TWO Window
+    nodes and the first one's partition spec includes the salt column."""
+    from kafka_connect_tablestore_spark.operators.corpus import cap_per_domain
+
+    d = _skewed_corpus(spark)
+    out = cap_per_domain(d, max_docs=10, n_salts=8)
+    plan = physical_plan(out)
+    assert plan.count("windowspecdefinition") >= 2, plan
+    # phase 1 partitions by (domain, _salt) — the de-skew guarantee
+    assert "windowspecdefinition(domain" in plan and "_salt" in plan, plan
+    salted_spec = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "_salt" in ln
+    ]
+    assert salted_spec, plan
+    # Spark 4 pushes the rank filter into a map-side WindowGroupLimit, so
+    # even the salted phase pre-thins before its shuffle — assert we keep it
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cap_per_domain_skew_stress_results_exact(spark):
+    """Salting never changes the answer: phase 1 keeps an exact superset of
+    every domain's true top-``max_docs`` (a row's bucket-local rank lower-
+    bounds its global rank), phase 2 re-ranks the bounded survivor set
+    exactly.  Equal to the degenerate single-window form for any n_salts."""
+    from kafka_connect_tablestore_spark.operators.corpus import cap_per_domain
+
+    d = _skewed_corpus(spark)
+    baseline = {
+        r["doc_id"]: (r["domain"], r["kept"])
+        for r in cap_per_domain(d, max_docs=10, n_salts=1).collect()
+    }
+    for n_salts in (4, 8, 33):
+        got = {
+            r["doc_id"]: (r["domain"], r["kept"])
+            for r in cap_per_domain(d, max_docs=10, n_salts=n_salts).collect()
+        }
+        assert got == baseline, f"n_salts={n_salts} diverged"
+    hot = [v for v in baseline.values() if v[0] == "hot.com"]
+    assert len(hot) == 900 and sum(k for _, k in hot) == 10
+    small = [v for v in baseline.values() if v[0] and v[0] != "hot.com"]
+    assert all(k for _, k in small)          # under-cap domains pass whole
+    assert baseline[5000] == (None, True)    # URL-less bypasses both windows
+
+
+def test_cap_per_domain_default_salts_track_parallelism(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import cap_per_domain
+
+    d = _skewed_corpus(spark)
+    out = cap_per_domain(d, max_docs=10)  # default n_salts
+    assert "_salt" in physical_plan(out)
+
+
+# ---- directive (advice): registrable_domain is case-insensitive ------------
+
+def test_registrable_domain_uppercase_host(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import url_domain_stats
+
+    rows = [
+        (1, "see https://EXAMPLE.CO.UK/x"),
+        (2, "see https://example.co.uk/y"),
+        (3, "see https://Other.CO.UK/z"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["domain"]: r["n_docs"] for r in url_domain_stats(d).collect()}
+    # EXAMPLE.CO.UK lowercases into example.co.uk (NOT a bogus 'CO.UK'
+    # merge-all); Other.CO.UK stays a distinct registrable domain
+    assert got == {"example.co.uk": 2, "other.co.uk": 1}
+
+
+# ---- directive (advice): ISO-BMFF size==0 = "to end of file" ---------------
+
+def _box(btype: bytes, payload: bytes, size: int | None = None) -> bytes:
+    return struct.pack(">I", 8 + len(payload) if size is None else size) + btype + payload
+
+
+def test_mp4_final_moov_with_size_zero_parses(spark):
+    """A final top-level box may carry size=0 ("extends to end of file").
+    When that box is the moov itself — the moov-at-end layout — the walker
+    previously aborted and returned None; it must span to the buffer end
+    and parse."""
+    from kafka_connect_tablestore_spark.operators.multimodal import (
+        mp4_metadata_from_header,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = _box(b"mdat", b"\x00" * 16)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 600, 1200) + b"\x00" * 80,
+    )
+    moov0 = _box(b"moov", mvhd, size=0)  # size=0: spans to end of buffer
+    m = mp4_metadata_from_header(ftyp + mdat + moov0)
+    assert m is not None and m["timescale"] == 600
+    assert abs(m["duration_s"] - 2.0) < 1e-9
+    # size-0 mdat BEFORE moov: spec-invalid (nothing may follow a size-0
+    # box) — must not crash, must return None, not garbage
+    mdat0 = _box(b"mdat", b"\x00" * 16, size=0)
+    assert mp4_metadata_from_header(ftyp + mdat0 + _box(b"moov", mvhd)) is None
+
+
+# ---- directive (advice): PQ trainer rejects short vectors ------------------
+
+def test_train_pq_first_rejects_short_vectors(spark):
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0])]  # id 2 too short
+    d = spark.createDataFrame(rows, "id long, emb array<float>")
+    with pytest.raises(ValueError, match="shorter than dim"):
+        train_pq_codebooks(d, dim=4, m=2, n_codes=2, train="first",
+                           vec_col="emb", id_col="id")
