@@ -676,7 +676,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return offset_gaps(dense.where(F.col("offset") % 97 != 0))
 
+    # Enumeration order is the contract with the driver's correctness gate,
+    # which covers a fixed prefix of the registry (50 queries in round 4 vs
+    # 55 entries).  Queries whose implementation changed most recently — or
+    # that the gate has never reached — enumerate FIRST so every change gets
+    # a driver verdict the round it lands; long-stable CDC queries absorb
+    # any budget truncation at the tail.
     q.update(
+        # round-5 changes / previously gate-skipped --------------------------
+        pipe_domain_cap=pipe_domain_cap,            # r5: salted two-phase cap
+        pipe_url_domains=pipe_url_domains,          # r5: lowercase host fix
+        pipe_semantic_dedup=pipe_semantic_dedup,    # r4 greedy fixpoint, r5 telemetry
+        pipe_winnowing=pipe_winnowing,              # never driver-gated before r5
+        pipe_winnowing_overlap=pipe_winnowing_overlap,
+        pipe_multimodal_features=pipe_multimodal_features,  # r5: size-0 box
+        pipe_ann_pq=pipe_ann_pq,                    # r5: trainer validation
+        pipe_ann_ivf=pipe_ann_ivf,
+        # stable ------------------------------------------------------------
         cdc_lww_window=cdc_lww_window,
         cdc_lww_maxby=cdc_lww_maxby,
         cdc_lww_salted=cdc_lww_salted,
@@ -710,8 +726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_ann_brute=pipe_ann_brute,
         pipe_ann_lsh=pipe_ann_lsh,
         pipe_ann_lsh_probe=pipe_ann_lsh_probe,
-        pipe_ann_pq=pipe_ann_pq,
-        pipe_ann_ivf=pipe_ann_ivf,
         pipe_neardup_clusters=pipe_neardup_clusters,
         pipe_embedding_neardup=pipe_embedding_neardup,
         pipe_clean_corpus=pipe_clean_corpus,
@@ -719,7 +733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_repetition=pipe_repetition,
         pipe_tfidf_topk=pipe_tfidf_topk,
         pipe_unigram_ppl=pipe_unigram_ppl,
-        pipe_multimodal_features=pipe_multimodal_features,
         cdc_snapshot_diff=cdc_snapshot_diff,
         pipe_pii_redact=pipe_pii_redact,
         pipe_seq_pack=pipe_seq_pack,
@@ -727,11 +740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_chunk_dedup=pipe_chunk_dedup,
         pipe_global_shuffle=pipe_global_shuffle,
         cdc_offset_gaps=cdc_offset_gaps,
-        pipe_winnowing=pipe_winnowing,
-        pipe_winnowing_overlap=pipe_winnowing_overlap,
-        pipe_url_domains=pipe_url_domains,
-        pipe_domain_cap=pipe_domain_cap,
-        pipe_semantic_dedup=pipe_semantic_dedup,
     )
     return q
 

@@ -734,6 +734,28 @@ def _pq_recon_norm(codes, codebooks: list[list[list[float]]]):
     return F.sqrt(rn2)
 
 
+def _unit_list(vec: list[float]) -> list[float]:
+    """Unit-normalize a python-side vector (zero vectors pass through)."""
+    n = sum(x * x for x in vec) ** 0.5 or 1.0
+    return [x / n for x in vec]
+
+
+def _pq_recon_norm_with_centroid(codes, codebooks, centroid):
+    """|ĉ + r̂| where r̂ is the PQ reconstruction of a RESIDUAL code and ĉ
+    the (column-expression) coarse centroid: |x̂|² = |ĉ|² + 2⟨ĉ, r̂⟩ + |r̂|²,
+    expanded per subspace so no concatenated reconstruction array is ever
+    built.  Query-independent — precomputed once per vector at build."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    rn2 = _dot(centroid, centroid)
+    for j in range(m):
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
+        cj = F.slice(centroid, j * sub + 1, sub)
+        rn2 = rn2 + F.lit(2.0) * _dot(cj, cw) + _dot(cw, cw)
+    return F.sqrt(rn2)
+
+
 def build_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -744,6 +766,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train: str = "kmeans",
+    encode: str = "residual",
 ) -> dict:
     """The production ANN index: IVF coarse cells for pruning × PQ codes
     for compression (Jégou et al.'s IVFADC).  One map-only pass assigns
@@ -751,8 +774,27 @@ def build_ivfpq_index(
     reconstruction norm; rows persist as parquet ``partitionBy(cell)``.
     Per vector the index stores ``m`` small ints + one double instead of
     ``dim`` floats — at 10^10 vectors that is the difference between an
-    in-memory index and none.  Returns ``{'centroids', 'codebooks'}`` —
-    the query-side contract."""
+    in-memory index and none.  Returns ``{'centroids', 'codebooks',
+    'encode'}`` — the query-side contract.
+
+    ``encode='residual'`` (default) is IVFADC proper, in its spherical
+    form: the metric is cosine (norm-invariant), so the residual is taken
+    between UNIT vectors — ``r = x/|x| − ĉ/|ĉ|`` — and the codebooks'
+    full resolution describes the small within-cell angular displacement
+    instead of re-describing the coarse cell position; recall at fixed
+    ``m`` improves on any clustered corpus (the fidelity test shows the
+    gap).  Subtracting the un-normalized centroid would be wrong here:
+    the spherical trainer's centroids are unit-norm while corpus vectors
+    are not, so ``x − ĉ`` is dominated by a radial ``(|x|−1)`` component
+    that is near-constant within a cell and carries no ranking
+    information — measured on a clustered corpus it makes the residual
+    reconstruction error WORSE than a zero codebook.  The stored norm is
+    the full reconstruction's ``|ĉ + r̂|`` and query scoring adds the
+    exact ``⟨q, ĉ⟩`` cell term back, so the query contract is unchanged.
+    ``encode='raw'`` quantizes the vector itself — one less moving part,
+    kept for comparison and as the pre-round-5 layout."""
+    if encode not in ("residual", "raw"):
+        raise ValueError(f"encode must be 'residual' or 'raw', got {encode!r}")
     if train == "kmeans":
         centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     else:
@@ -760,23 +802,42 @@ def build_ivfpq_index(
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(n_cells).collect()
         ]
-    codebooks = train_pq_codebooks(
-        df, m, n_codes, dim, id_col, vec_col, train
-    )
-    codes = pq_encode(F.col(vec_col), codebooks)
+    vd = F.col(vec_col).cast("array<double>")
+    cell = ivf_assign(F.col(vec_col), centroids)
+    if encode == "residual":
+        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
+        carr = F.element_at(cl, cell + 1)
+        xs = F.slice(vd, 1, dim)
+        xn = _norm(xs)
+        uv = F.transform(
+            xs, lambda x: x / F.when(xn > 0, xn).otherwise(F.lit(1.0))
+        )
+        resid = F.zip_with(uv, carr, lambda x, y: x - y)
+        res_df = df.select(F.col(id_col), resid.alias(vec_col))
+        codebooks = train_pq_codebooks(
+            res_df, m, n_codes, dim, id_col, vec_col, train
+        )
+        codes = pq_encode(resid, codebooks)
+        rn = _pq_recon_norm_with_centroid(codes, codebooks, carr)
+    else:
+        codebooks = train_pq_codebooks(
+            df, m, n_codes, dim, id_col, vec_col, train
+        )
+        codes = pq_encode(F.col(vec_col), codebooks)
+        rn = _pq_recon_norm(codes, codebooks)
     (
         df.select(
             F.col(id_col).alias("neighbor_id"),
             codes.alias("codes"),
-            _pq_recon_norm(codes, codebooks).alias("rn"),
-            ivf_assign(F.col(vec_col), centroids).alias("cell"),
+            rn.alias("rn"),
+            cell.alias("cell"),
         )
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
-    return {"centroids": centroids, "codebooks": codebooks}
+    return {"centroids": centroids, "codebooks": codebooks, "encode": encode}
 
 
 def ann_ivfpq_indexed_topk(
@@ -795,7 +856,10 @@ def ann_ivfpq_indexed_topk(
     rank within candidates.  The query side stays exact (its true vector
     and norm); per candidate the work is ``m`` literal-codeword dot
     products on ``m`` ints + one stored double — no corpus vector is ever
-    read."""
+    read.  For a ``meta['encode']=='residual'`` index (spherical IVFADC)
+    the stored codes describe ``x/|x| − ĉ``, so the inner product adds the
+    exact per-(query, cell) unit-centroid term ``⟨q, ĉ⟩`` back — one
+    literal-array lookup per candidate row, no extra shuffle or scan."""
     from pyspark.sql import Window
 
     codebooks = meta["codebooks"]
@@ -813,6 +877,9 @@ def ann_ivfpq_indexed_topk(
     qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
     probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
     ip, _ = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    if meta.get("encode", "raw") == "residual":
+        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
+        ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
     qn = _norm(F.col("qv"))
     scored = (
         corpus.where(F.col("cell").isin(probed))
@@ -1033,9 +1100,11 @@ def incremental_semantic_dedup(
     remaining = alive.select(id_col).localCheckpoint(eager=True)
     killed_rounds = []
     done = remaining.isEmpty()
+    rounds = 0
     for _ in range(max_iter):
         if done:
             break
+        rounds += 1
         active = edges.join(
             remaining, edges["src"] == remaining[id_col], "left_semi"
         ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
@@ -1052,6 +1121,14 @@ def incremental_semantic_dedup(
             .localCheckpoint(eager=True)
         )
         done = remaining.isEmpty()
+    global _LAST_SEMANTIC_DEDUP_STATS
+    _LAST_SEMANTIC_DEDUP_STATS = {
+        "mode": "incremental",
+        "rounds_executed": rounds,
+        "max_iter": max_iter,
+        "converged": bool(done),
+        "headroom": round(1.0 - rounds / max_iter, 4),
+    }
     if not done:
         raise ConvergenceError(
             f"incremental_semantic_dedup did not converge within "
@@ -1085,6 +1162,26 @@ def append_to_semantic_index(kept_rows: DataFrame, path: str) -> None:
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+# telemetry for the greedy fixpoint: a production run whose chain depth
+# creeps toward max_iter should be visible BEFORE it becomes a
+# ConvergenceError on the next, slightly deeper corpus.  Module-level
+# because the returned DataFrame is a plan, not a carrier for run metadata;
+# the fixpoint itself runs eagerly (per-round localCheckpoint), so the
+# stats are final by the time semantic_dedup returns.
+_LAST_SEMANTIC_DEDUP_STATS: dict | None = None
+
+
+def last_semantic_dedup_stats() -> dict | None:
+    """Stats of the most recent :func:`semantic_dedup` call in this
+    process: ``{'mode', 'rounds_executed', 'max_iter', 'converged',
+    'headroom'}`` where ``headroom = 1 - rounds_executed / max_iter``
+    (monitor it: near 0.0 means the next deeper dominance chain raises
+    ``ConvergenceError``).  ``None`` before any call.  ``rounds_executed``
+    is the dominance-chain depth actually walked — 0 for
+    ``mode='dominance'`` (single pass, no fixpoint)."""
+    return _LAST_SEMANTIC_DEDUP_STATS
 
 
 def semantic_dedup(
@@ -1166,8 +1263,16 @@ def semantic_dedup(
         )
         .distinct()
     )
+    global _LAST_SEMANTIC_DEDUP_STATS
     cells = assigned.select(id_col, "cell")
     if mode == "dominance":
+        _LAST_SEMANTIC_DEDUP_STATS = {
+            "mode": "dominance",
+            "rounds_executed": 0,
+            "max_iter": max_iter,
+            "converged": True,
+            "headroom": 1.0,
+        }
         dominated = edges.select(F.col("dst").alias(id_col)).distinct().withColumn(
             "_dominated", F.lit(True)
         )
@@ -1200,9 +1305,11 @@ def semantic_dedup(
     remaining = cells.select(id_col).localCheckpoint(eager=True)
     killed_rounds: list[DataFrame] = []
     done = remaining.isEmpty()
+    rounds = 0
     for _ in range(max_iter):
         if done:
             break
+        rounds += 1
         active = edges.join(
             remaining, edges["src"] == remaining[id_col], "left_semi"
         ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
@@ -1222,6 +1329,13 @@ def semantic_dedup(
             .localCheckpoint(eager=True)
         )
         done = remaining.isEmpty()
+    _LAST_SEMANTIC_DEDUP_STATS = {
+        "mode": "greedy",
+        "rounds_executed": rounds,
+        "max_iter": max_iter,
+        "converged": bool(done),
+        "headroom": round(1.0 - rounds / max_iter, 4),
+    }
     if not done:
         raise ConvergenceError(
             f"semantic_dedup(mode='greedy') did not converge within "

@@ -85,3 +85,111 @@ def kafka_source_plan(spark, bootstrap: str, topic: str) -> DataFrame:
         F.unix_millis(F.col("timestamp")).alias("commit_ts"),
         F.from_json(F.col("value").cast("string"), payload).alias("v"),
     ).select("topic", "partition", "offset", "commit_ts", "v.*")
+
+
+def start_lsh_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "lsh-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted MinHash-LSH index from a document stream —
+    the daily-ingest loop the incremental indexes exist for, run end-to-end
+    under the streaming engine instead of a hand-driven batch loop.
+
+    Per micro-batch, in order:
+
+    1. probe: emit every candidate near-dup pair the batch forms against
+       the already-indexed corpus AND within itself
+       (``incremental_lsh_pairs``; first batch: within-batch pairs only),
+       written to ``pairs_path/batch_id=N`` with ``overwrite`` — re-running
+       a batch rewrites, never duplicates, its pair slice;
+    2. index: append the batch's banded signature rows
+       (``append_to_lsh_index``; first batch: ``build_lsh_index``);
+    3. commit: atomically record the batch id in a sidecar manifest
+       (tmp + rename, the LakeTable pattern) so a checkpoint-replayed batch
+       is a no-op.
+
+    Crash-safety argument: a crash inside the window between step 2 and
+    step 3 makes the replay re-append the batch's signature rows. Duplicate
+    index rows cost only space, never correctness — pair emission ends in
+    ``.distinct()`` and (min,max)-id orientation, so a batch probed against
+    an index that already contains its own rows emits the identical pair
+    set. Union-of-emitted-pairs therefore always equals the full-corpus
+    ``minhash_lsh_pairs`` restricted to pairs whose later doc has arrived:
+    each pair is emitted exactly once, by the micro-batch that completes it.
+
+    Scale shape per batch: one broadcast of the day's banded rows against a
+    band-partitioned index scan — the corpus text is never re-read, and the
+    per-batch work is independent of corpus size except for the signature
+    scan (bands × ~80 bytes/doc)."""
+    import json
+    import os
+
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_lsh_index,
+        build_lsh_index,
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_docs: int, n_pairs: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "n_docs": n_docs,
+                       "n_pairs": n_pairs}, f)
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        if n_docs == 0:
+            _commit(batch_id, 0, 0)
+            return
+        spark = docs.sparkSession
+        if os.path.exists(index_path):
+            pairs = incremental_lsh_pairs(
+                spark, index_path, docs, text_col, id_col, n_hashes, bands
+            )
+        else:
+            pairs = minhash_lsh_pairs(
+                docs, text_col, id_col, n_hashes, bands
+            )
+        slice_dir = os.path.join(pairs_path, f"batch_id={batch_id}")
+        pairs.write.mode("overwrite").parquet(slice_dir)
+        n_pairs = spark.read.parquet(slice_dir).count()
+        if os.path.exists(index_path):
+            append_to_lsh_index(docs, index_path, text_col, id_col,
+                                n_hashes, bands)
+        else:
+            build_lsh_index(docs, index_path, text_col, id_col,
+                            n_hashes, bands)
+        _commit(batch_id, n_docs, n_pairs)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

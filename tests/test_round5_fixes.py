@@ -131,6 +131,105 @@ def test_mp4_final_moov_with_size_zero_parses(spark):
     assert mp4_metadata_from_header(ftyp + mdat0 + _box(b"moov", mvhd)) is None
 
 
+# ---- directive 7: greedy-fixpoint chain-depth telemetry --------------------
+
+def _unit_chain(spark, degrees):
+    import math
+
+    rows = [
+        (i, [math.cos(math.radians(a)), math.sin(math.radians(a))])
+        for i, a in enumerate(degrees)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_reports_rounds_executed(spark):
+    """A 4-link dominance chain a-b-c-d (25-degree steps at threshold 0.9:
+    neighbors cos≈0.906 >= t, skips cos≈0.64 < t) resolves in exactly 2
+    source-elimination rounds (round 1: a confirmed, b killed; round 2: c
+    confirmed, d killed) — and the telemetry must say so."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        last_semantic_dedup_stats,
+        semantic_dedup,
+    )
+
+    d = _unit_chain(spark, [0, 25, 50, 75])
+    out = {
+        r["vec_id"]: r["is_survivor"]
+        for r in semantic_dedup(d, threshold=0.9, n_cells=1).collect()
+    }
+    assert out == {0: True, 1: False, 2: True, 3: False}
+    stats = last_semantic_dedup_stats()
+    assert stats == {
+        "mode": "greedy",
+        "rounds_executed": 2,
+        "max_iter": 50,
+        "converged": True,
+        "headroom": 0.96,
+    }
+
+
+def test_semantic_dedup_stats_on_nonconvergence_and_dominance(spark):
+    from kafka_connect_tablestore_spark.operators.clustering import (
+        ConvergenceError,
+    )
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        last_semantic_dedup_stats,
+        semantic_dedup,
+    )
+
+    d = _unit_chain(spark, [0, 25, 50, 75])
+    with pytest.raises(ConvergenceError):
+        semantic_dedup(d, threshold=0.9, n_cells=1, max_iter=1)
+    stats = last_semantic_dedup_stats()
+    # the failed run's depth is on record: headroom hit 0 before converging
+    assert stats["converged"] is False and stats["rounds_executed"] == 1
+    assert stats["headroom"] == 0.0
+
+    semantic_dedup(d, threshold=0.9, n_cells=1, mode="dominance").collect()
+    stats = last_semantic_dedup_stats()
+    assert stats["mode"] == "dominance" and stats["rounds_executed"] == 0
+    assert stats["converged"] is True
+
+
+# ---- directive 8: PQ codes stable across identical kmeans rebuilds ---------
+
+def test_pq_kmeans_codes_stable_across_rebuilds(spark):
+    """Codebooks from train='kmeans' depend on the hash-ranked sample and
+    farthest-first + Lloyd iterations — all deterministic, so two identical
+    builds (and a repartitioned input) must produce byte-equal codebooks
+    and identical per-vector codes."""
+    import random
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(55)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb1 = train_pq_codebooks(d, m=2, n_codes=8, dim=8, train="kmeans")
+    cb2 = train_pq_codebooks(d.repartition(13), m=2, n_codes=8, dim=8,
+                             train="kmeans")
+    assert cb1 == cb2
+    codes1 = {
+        r["vec_id"]: r["code"]
+        for r in d.select(
+            "vec_id", pq_encode("embedding", cb1).alias("code")
+        ).collect()
+    }
+    codes2 = {
+        r["vec_id"]: r["code"]
+        for r in d.repartition(7).select(
+            "vec_id", pq_encode("embedding", cb2).alias("code")
+        ).collect()
+    }
+    assert codes1 == codes2
+
+
 # ---- directive (advice): PQ trainer rejects short vectors ------------------
 
 def test_train_pq_first_rejects_short_vectors(spark):

