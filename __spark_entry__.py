@@ -445,6 +445,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _emb(spark, sf)
         return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
+    def pipe_ann_ivfpq(spark, sf):
+        """Spherical IVFADC one-shot query (round-5 residual encoding):
+        coarse cells prune the scan, residual PQ codes carry the score —
+        the composed production ANN shape, here with the deterministic
+        'first' trainers so the DuckDB twin runs the identical math."""
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            ann_ivfpq_topk,
+        )
+
+        emb = _emb(spark, sf)
+        return ann_ivfpq_topk(
+            emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, m=4,
+            n_codes=16, dim=64, nprobe=2, train="first", encode="residual",
+        )
+
     def pipe_semantic_dedup(spark, sf):
         """SemDeDup-style: IVF-quantize the embedding space, drop vectors
         with a smaller-id cell-mate at cosine >= 0.3 (threshold tuned to the
@@ -684,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_ann_ivfpq=pipe_ann_ivfpq,              # r5: spherical IVFADC
         pipe_domain_cap=pipe_domain_cap,            # r5: salted two-phase cap
         pipe_url_domains=pipe_url_domains,          # r5: lowercase host fix
         pipe_semantic_dedup=pipe_semantic_dedup,    # r4 greedy fixpoint, r5 telemetry
@@ -1496,6 +1512,122 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+def _ann_ivfpq_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    nprobe: int = 2,
+) -> str:
+    """Spherical-IVFADC twin (``ann_ivfpq_topk``, round-5 residual
+    encoding, train='first').  Mirrors the Spark math stage by stage:
+    raw 'first' centroids → unit centroids (zero-norm guard ``n=0 → 1``)
+    → per-vector unit residual ``v/|v| − ĉ`` (DuckDB indexed lambda for
+    the element-wise subtract) → residual codebooks = residuals of the
+    first ``n_codes`` ids → per-subspace nearest codeword by the same
+    ``(<r,r> - 2<r,c>) + <c,c>`` expansion with first-min ties → stored
+    norm ``sqrt(|ĉ|² + Σ_j (2⟨ĉ_j, cw_j⟩ + ⟨cw_j, cw_j⟩))`` as an
+    explicit left-associated chain → ``nprobe`` nearest cells per query →
+    ADC inner product plus the exact ``⟨q, ĉ⟩`` cell add-back.  Every sum
+    is ordered to match the Spark expression's unrolled evaluation
+    bit-for-bit."""
+    sub = dim // m
+
+    def sl(expr: str, j: int) -> str:  # DuckDB 1-based inclusive slice
+        return f"{expr}[{j * sub + 1}:{(j + 1) * sub}]"
+
+    chs = []
+    for j in range(m):
+        vj, cj = sl("rr.r", j), sl("cb.c", j)
+        chs.append(f"""ch{j} AS (
+  SELECT rr.vec_id, {cj} AS cw
+  FROM res rr CROSS JOIN cbv cb
+  QUALIFY row_number() OVER (PARTITION BY rr.vec_id ORDER BY
+    (list_dot_product({vj}, {vj}) - 2.0 * list_dot_product({vj}, {cj}))
+      + list_dot_product({cj}, {cj}),
+    cb.code_idx) = 1
+)""")
+
+    def chain(first: str, terms: list[str]) -> str:
+        out = first
+        for t in terms:
+            out = f"({out} + {t})"
+        return out
+
+    # stored norm: |uc|^2 then per subspace ((prev + 2<uc_j,cw_j>) + <cw_j,cw_j>)
+    rn2 = "list_dot_product(co.uc, co.uc)"
+    for j in range(m):
+        ucj = sl("co.uc", j)
+        rn2 = (
+            f"(({rn2} + 2.0 * list_dot_product({ucj}, co.cw{j}))"
+            f" + list_dot_product(co.cw{j}, co.cw{j}))"
+        )
+    ip = chain(
+        f"list_dot_product({sl('qp.qv', 0)}, co.cw0)",
+        [f"list_dot_product({sl('qp.qv', j)}, co.cw{j})" for j in range(1, m)],
+    )
+    ip = f"({ip} + list_dot_product(qp.qv, co.uc))"
+    cjoins = " ".join(
+        f"JOIN ch{j} c{j} ON c0.vec_id = c{j}.vec_id" for j in range(1, m)
+    )
+    cw_cols = ", ".join(f"c{j}.cw AS cw{j}" for j in range(m))
+    unit = (
+        "list_transform({v}, x -> x / (CASE WHEN sqrt(list_dot_product({v}, {v}))"
+        " > 0 THEN sqrt(list_dot_product({v}, {v})) ELSE 1.0 END))"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_idx, v AS c
+  FROM (SELECT * FROM base ORDER BY vec_id LIMIT {n_cells})
+),
+ucent AS (SELECT cell_idx, {unit.format(v="c")} AS uc FROM cent),
+assign AS (
+  SELECT vec_id, cell_idx,
+    (list_dot_product(v, v) - (2.0 * list_dot_product(v, c))) + list_dot_product(c, c) AS dist
+  FROM base CROSS JOIN cent
+),
+cells AS (
+  SELECT vec_id, cell_idx AS cell FROM assign
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_idx) = 1
+),
+res AS (
+  SELECT b.vec_id, cl.cell,
+    list_transform({unit.format(v="b.v")}, (x, i) -> x - u.uc[i]) AS r
+  FROM base b JOIN cells cl ON b.vec_id = cl.vec_id
+  JOIN ucent u ON cl.cell = u.cell_idx
+),
+cbv AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_idx, r AS c
+  FROM (SELECT * FROM res ORDER BY vec_id LIMIT {n_codes})
+),
+{", ".join(chs)},
+corpus AS (
+  SELECT c0.vec_id AS neighbor_id, cl.cell, u.uc, {cw_cols}
+  FROM ch0 c0 {cjoins}
+  JOIN cells cl ON c0.vec_id = cl.vec_id
+  JOIN ucent u ON cl.cell = u.cell_idx
+),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < {5}),
+qp AS (
+  SELECT a.vec_id AS query_id, q0.qv, a.cell_idx AS cell
+  FROM assign a JOIN q0 ON a.vec_id = q0.query_id
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY a.dist, a.cell_idx) <= {nprobe}
+),
+scored AS (
+  SELECT DISTINCT qp.query_id, co.neighbor_id,
+    round({ip} / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt({rn2})), 4)
+      AS pq_cos
+  FROM corpus co JOIN qp USING (cell) WHERE qp.query_id <> co.neighbor_id
+)
+SELECT query_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id, pq_cos
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY pq_cos DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
 def _embedding_neardup_sql(
     threshold: float = 0.35, n_planes: int = 6, dim: int = 16, n_tables: int = 4
 ) -> str:
@@ -1742,6 +1874,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_ann_lsh_probe": _ann_lsh_probe_sql(k=5, n_planes=6, dim=16, probe_bits=2),
         "pipe_ann_pq": _ann_pq_sql(k=5, m=4, n_codes=16, dim=64),
         "pipe_ann_ivf": _ann_ivf_sql(k=5, n_cells=16, nprobe=2),
+        "pipe_ann_ivfpq": _ann_ivfpq_sql(
+            k=5, n_cells=16, m=4, n_codes=16, dim=64, nprobe=2
+        ),
         "pipe_embedding_neardup": _embedding_neardup_sql(threshold=0.35),
         "pipe_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "pipe_decontaminate": _DECONTAM_SQL,

@@ -802,6 +802,43 @@ def build_ivfpq_index(
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(n_cells).collect()
         ]
+    corpus, codebooks = _ivfpq_corpus_plan(
+        df, centroids, m, n_codes, dim, id_col, vec_col, train, encode
+    )
+    (
+        corpus.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return {"centroids": centroids, "codebooks": codebooks, "encode": encode}
+
+
+def _ivfpq_corpus_plan(
+    df: DataFrame,
+    centroids: list[list[float]],
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    train: str,
+    encode: str,
+):
+    """The IVFADC encode pass as a (plan, codebooks) pair — shared by the
+    persisted index build and the one-shot in-memory query: a map-only
+    chain producing ``(neighbor_id, codes, rn, cell)`` per vector.
+
+    The chain is deliberately STAGED across selects: the residual and the
+    code array are bound as named columns, not inlined expressions.
+    Higher-order functions (``transform``/``zip_with``/``aggregate``)
+    evaluate interpreted, outside whole-stage codegen, and re-evaluate per
+    reference — ``pq_encode`` reads its input ~4× per subspace and the
+    stored-norm expression reads the code array twice per subspace, so
+    inlining the residual into both multiplies the per-row work ~50×
+    (minutes instead of seconds at dim=64).  Catalyst's CollapseProject
+    keeps the stages separate exactly because the aliases are expensive
+    and multiply-referenced."""
     vd = F.col(vec_col).cast("array<double>")
     cell = ivf_assign(F.col(vec_col), centroids)
     if encode == "residual":
@@ -813,31 +850,108 @@ def build_ivfpq_index(
             xs, lambda x: x / F.when(xn > 0, xn).otherwise(F.lit(1.0))
         )
         resid = F.zip_with(uv, carr, lambda x, y: x - y)
-        res_df = df.select(F.col(id_col), resid.alias(vec_col))
-        codebooks = train_pq_codebooks(
-            res_df, m, n_codes, dim, id_col, vec_col, train
+        staged = df.select(
+            F.col(id_col), cell.alias("cell"), resid.alias("_resid")
         )
-        codes = pq_encode(resid, codebooks)
-        rn = _pq_recon_norm_with_centroid(codes, codebooks, carr)
+        codebooks = train_pq_codebooks(
+            staged.select(F.col(id_col), F.col("_resid").alias(vec_col)),
+            m, n_codes, dim, id_col, vec_col, train,
+        )
+        coded = staged.select(
+            F.col(id_col), "cell",
+            pq_encode(F.col("_resid"), codebooks).alias("codes"),
+        )
+        rn = _pq_recon_norm_with_centroid(
+            F.col("codes"), codebooks, F.element_at(cl, F.col("cell") + 1)
+        )
     else:
         codebooks = train_pq_codebooks(
             df, m, n_codes, dim, id_col, vec_col, train
         )
-        codes = pq_encode(F.col(vec_col), codebooks)
-        rn = _pq_recon_norm(codes, codebooks)
-    (
-        df.select(
-            F.col(id_col).alias("neighbor_id"),
-            codes.alias("codes"),
-            rn.alias("rn"),
-            cell.alias("cell"),
+        coded = df.select(
+            F.col(id_col), cell.alias("cell"),
+            pq_encode(F.col(vec_col), codebooks).alias("codes"),
         )
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
+        rn = _pq_recon_norm(F.col("codes"), codebooks)
+    corpus = coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes"),
+        rn.alias("rn"),
+        F.col("cell"),
     )
-    return {"centroids": centroids, "codebooks": codebooks, "encode": encode}
+    return corpus, codebooks
+
+
+def ann_ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+    encode: str = "residual",
+) -> DataFrame:
+    """One-shot spherical IVFADC: the same math as ``build_ivfpq_index`` +
+    ``ann_ivfpq_indexed_topk`` but in a single plan with no persisted
+    index — coarse-quantize, residual-PQ-encode, probe the ``nprobe``
+    nearest cells per query, ADC-score, exact-rank.  The ad-hoc query
+    shape (exploratory/one-time ANN over a corpus you won't query again);
+    the repeated-query path stays the persisted index.
+
+    Scale shape: the encode pass is map-only (the cell/codes/rn select),
+    queries broadcast with their probe lists, and the cell-key equijoin
+    prunes each query to its probed cells' candidates — no all-pairs, no
+    corpus shuffle.  Identical numeric contract to the indexed variant
+    (same codebooks, same ⟨q, ĉ⟩ add-back for ``encode='residual'``, same
+    4-decimal rounding and tie rule), proven by the equality test."""
+    from pyspark.sql import Window
+
+    if train == "kmeans":
+        centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    corpus, codebooks = _ivfpq_corpus_plan(
+        df, centroids, m, n_codes, dim, id_col, vec_col, train, encode
+    )
+    vd = F.col(vec_col).cast("array<double>")
+    qp = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(vd, 1, dim).alias("qv"),
+            ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
+        )
+        .withColumn("cell", F.explode(F.col("_probes")))
+        .drop("_probes")
+    )
+    ip, _ = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    if encode == "residual":
+        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
+        ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
+    qn = _norm(F.col("qv"))
+    scored = (
+        corpus.join(F.broadcast(qp), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_cos")
+    )
 
 
 def ann_ivfpq_indexed_topk(

@@ -718,3 +718,35 @@ def test_ivfpq_residual_beats_raw_recall_on_clustered_corpus(spark, tmp_path):
         f"({r_res:.3f} vs raw {r_raw:.3f})"
     )
     assert r_res >= 0.5, f"residual recall {r_res:.3f} below floor"
+
+
+def test_ann_ivfpq_topk_matches_indexed_variant(spark, tmp_path):
+    """The one-shot in-memory spherical IVFADC (`ann_ivfpq_topk`) and the
+    persisted-index path must produce identical rows at identical params —
+    one math, two storage strategies."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivfpq_indexed_topk,
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+    )
+
+    df = _clustered_corpus(spark, dim=16)
+    queries = df.where(F.col("vec_id") < 5)
+    mem = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in ann_ivfpq_topk(
+            df, queries, k=5, n_cells=8, m=4, n_codes=16, dim=16,
+            nprobe=2, train="first",
+        ).collect()
+    }
+    idx = str(tmp_path / "ivfpq_mem_eq")
+    meta = build_ivfpq_index(
+        df, idx, n_cells=8, m=4, n_codes=16, dim=16, train="first"
+    )
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in ann_ivfpq_indexed_topk(
+            spark, idx, meta, queries, k=5, nprobe=2
+        ).collect()
+    }
+    assert mem == want and len(mem) == 25
