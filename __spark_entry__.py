@@ -674,6 +674,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cap_per_domain(aug, max_docs=20)
 
+    def pipe_gopher_quality(spark, sf):
+        """Gopher/MassiveText composite quality rules over the documents
+        table — every signal plus the composite keep verdict.  The
+        synthetic corpus's vocabulary carries only 'the' from the Gopher
+        required-word list, so the floor is 1 here (≥2 would make `keep`
+        vacuously false and prove nothing); the word-count and
+        mean-word-length windows then do the real splitting."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            gopher_quality,
+        )
+
+        return gopher_quality(_docs(spark, sf), min_stop_hits=1)
+
+    def pipe_url_dedup(spark, sf):
+        """Canonicalize-then-dedup over deterministically synthesized messy
+        URLs: each group of 4 consecutive docs observes ONE logical page
+        under four crawl variants (param order, tracking params, fragment,
+        uppercase scheme+host, explicit default port); every 9th doc sees
+        a bare-host URL (empty path, explicit :80) and every 11th a
+        schemeless junk string that must drop.  The operator must collapse
+        each variant group to one row with the min doc_id and the variant
+        count."""
+        from kafka_connect_tablestore_spark.operators.corpus import url_dedup
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        g = F.floor(did / 4).cast("long")
+        host = F.concat(
+            F.lit("sub.site"), (g % 13).cast("string"), F.lit(".example.com")
+        )
+        page = F.concat(F.lit("/p/"), g.cast("string"))
+        m = did % 4
+        variant = (
+            F.when(m == 0, F.concat(F.lit("https://"), host, page, F.lit("?b=2&a=1")))
+            .when(
+                m == 1,
+                F.concat(
+                    F.lit("HTTPS://"),
+                    F.upper(host),
+                    F.lit(":443"),
+                    page,
+                    F.lit("?a=1&b=2&utm_source=feed"),
+                ),
+            )
+            .when(
+                m == 2,
+                F.concat(
+                    F.lit("https://"), host, F.lit(":443"), page,
+                    F.lit("?fbclid=xyz&a=1&b=2#frag"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://"), host, page,
+                    F.lit("?a=1&utm_campaign=c&b=2"),
+                )
+            )
+        )
+        url = (
+            F.when(
+                did % 9 == 0,
+                F.concat(
+                    F.lit("http://host"),
+                    (did % 5).cast("string"),
+                    F.lit(".example.org:80"),
+                ),
+            )
+            .when(did % 11 == 0, F.lit("not a url"))
+            .otherwise(variant)
+        )
+        return url_dedup(d.select("doc_id", url.alias("url")))
+
     def cdc_offset_gaps(spark, sf):
         """Continuity monitoring: re-number the log densely per partition,
         punch out every 97th offset, and the gap detector must report
@@ -699,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_gopher_quality=pipe_gopher_quality,    # r5: new operator
+        pipe_url_dedup=pipe_url_dedup,              # r5: new operator
         pipe_ann_ivfpq=pipe_ann_ivfpq,              # r5: spherical IVFADC
         pipe_domain_cap=pipe_domain_cap,            # r5: salted two-phase cap
         pipe_url_domains=pipe_url_domains,          # r5: lowercase host fix
@@ -1042,6 +1116,115 @@ WITH aug AS (
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain
 """
 )
+
+# Gopher composite-quality twin: the identical per-row formulas over the
+# word/line arrays, thresholds hard-coded to the query's parameters
+# (min_words=50, mean-word-len [3,10], symbol ≤0.1, bullet ≤0.9,
+# ellipsis ≤0.3, alpha ≥0.8, stop_hits ≥1).
+_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS w,
+         string_split(text, chr(10)) AS lines,
+         text AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+          / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS mean_word_len,
+    round(((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) / 3.0)
+          / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS symbol_word_ratio,
+    round(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE), 4) AS bullet_line_frac,
+    round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+          / CAST(greatest(len(lines), 1) AS DOUBLE), 4) AS ellipsis_line_frac,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / CAST(greatest(len(w), 1) AS DOUBLE), 4) AS alpha_word_frac,
+    CAST(  (CASE WHEN list_contains(w, 'the')  THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'be')   THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'to')   THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'of')   THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'and')  THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+         + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+      AS BIGINT) AS stop_hits
+  FROM d
+)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND stop_hits >= 1) AS keep
+FROM sig
+"""
+
+# URL canonicalize-then-dedup twin: the same synthesized variants, then
+# the full canonicalization re-derived in SQL (fragment strip, scheme/host
+# lowercase, default-port strip, empty path → '/', tracking-param filter,
+# bytewise param sort) — an independent parser, not a shared expression.
+_URL_DEDUP_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 9 = 0 THEN
+        'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.example.org:80'
+      WHEN doc_id % 11 = 0 THEN 'not a url'
+      ELSE
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN 'https://sub.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+                      || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?b=2&a=1'
+          WHEN 1 THEN 'HTTPS://' || upper('sub.site'
+                      || CAST((doc_id // 4) % 13 AS VARCHAR) || '.example.com')
+                      || ':443/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?a=1&b=2&utm_source=feed'
+          WHEN 2 THEN 'https://sub.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+                      || '.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR)
+                      || '?fbclid=xyz&a=1&b=2#frag'
+          ELSE 'https://sub.site' || CAST((doc_id // 4) % 13 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 4 AS VARCHAR)
+               || '?a=1&utm_campaign=c&b=2'
+        END
+    END AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM synth
+), p AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[^:/?]+://([^/?]+)', 1)) AS hostport,
+    regexp_extract(u, '^[^:/?]+://[^/?]+(/[^?]*)?', 1) AS rawpath,
+    regexp_extract(u, '\?(.*)$', 1) AS q
+  FROM s
+), qs AS (
+  SELECT *,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)='))),
+      '&') AS qjoin
+  FROM p
+), c AS (
+  SELECT doc_id,
+    scheme || '://'
+    || CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'
+            THEN substr(hostport, 1, length(hostport) - 3)
+            WHEN scheme = 'https' AND hostport LIKE '%:443'
+            THEN substr(hostport, 1, length(hostport) - 4)
+            ELSE hostport END
+    || CASE WHEN rawpath = '' THEN '/' ELSE rawpath END
+    || CASE WHEN qjoin <> '' THEN '?' || qjoin ELSE '' END AS canon_url
+  FROM qs
+  WHERE scheme <> '' AND hostport <> ''
+)
+SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_variants
+FROM c GROUP BY canon_url
+"""
 
 # SemDeDup twin: same centroid/assign CTEs as the IVF oracle, then the
 # GREEDY keep-scan within each cell — a recursive CTE walks each cell's
@@ -1896,4 +2079,6 @@ def oracle_sql() -> dict[str, str]:
         "pipe_url_domains": _URL_DOMAINS_SQL,
         "pipe_domain_cap": _DOMAIN_CAP_SQL,
         "pipe_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "pipe_gopher_quality": _GOPHER_SQL,
+        "pipe_url_dedup": _URL_DEDUP_SQL,
     }

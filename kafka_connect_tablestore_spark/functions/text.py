@@ -220,6 +220,100 @@ def doc_word_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+#: The Gopher (Rae et al. 2021, MassiveText §A.1.1) required-word list:
+#: a document must contain at least ``min_stop_hits`` of these to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """The Gopher/MassiveText composite quality-filter rules (Rae et al.
+    2021, §A.1.1 — the document-level heuristics most open LLM corpora
+    since have reused): word-count bounds, mean-word-length window,
+    symbol-to-word ratio (``#`` and ``...``), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and a
+    required-stopword floor.
+
+    Emits every signal plus the composite ``keep`` verdict rather than
+    filtering in place — at corpus scale the signals feed threshold tuning
+    and per-source quality dashboards before anyone commits to a cut, and
+    ``.where("keep")`` recovers the filter.  Pure per-row Catalyst
+    expressions over the word/line arrays — map-only at any scale, fused
+    into the scan by codegen, no shuffle, no Python.  Ratios rounded to 4
+    decimals for cross-engine comparison.
+    """
+    from pyspark.sql import functions as F
+
+    d = df.select(
+        F.col(id_col),
+        words(text_col).alias("_w"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+        F.col(text_col).alias("_t"),
+    )
+    w, lines, t = F.col("_w"), F.col("_lines"), F.col("_t")
+    n = F.size(w)
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mean_wlen = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n1
+    # '#' count + '...' occurrence count, per word (Gopher's symbol ratio)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n1
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))) / nl
+    )
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n1
+    stop_hits = sum(
+        (
+            F.when(F.array_contains(w, F.lit(s)), 1).otherwise(0)
+            for s in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    sig = d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return sig.withColumn("keep", keep)
+
+
 def unigram_perplexity(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document perplexity under the corpus's own unigram language
     model — the CCNet-style LM quality filter: pages whose word

@@ -640,3 +640,93 @@ def url_domain_stats(
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+#: Query parameters that never change page content — the analytics /
+#: click-tracking junk every crawl pipeline strips before URL-level dedup
+#: (the utm_* family is Google Analytics' public convention; the click ids
+#: are the public ad-platform parameters).  One alternation regex so both
+#: engines filter with a single anchored match per parameter.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+)
+
+
+def canonical_url(url_col) -> Column:
+    """Canonical form of an absolute ``http(s)`` URL, as one pure Catalyst
+    expression — the normalization every URL-keyed stage (frontier dedup,
+    per-URL joins, revisit detection) applies first, since crawls observe
+    the same page under fragment/tracking/case/port variants.
+
+    Rules (each chosen to be content-preserving and 1:1 expressible in
+    ANSI-ish SQL for the DuckDB twin):
+
+    * scheme and host lowercased (both case-insensitive per RFC 3986);
+    * fragment dropped (never sent to the server);
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * empty path → ``/`` (``http://a.com`` ≡ ``http://a.com/``);
+    * tracking query parameters removed (:data:`TRACKING_PARAM_RE`);
+    * surviving query parameters SORTED bytewise (order never reaches the
+      application layer as meaning; sorting makes ``?a=1&b=2`` ≡
+      ``?b=2&a=1``);
+    * a now-empty query string drops its ``?``.
+
+    Map-only, no Python, codegen-fused; NULL in → NULL out.
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?]+://([^/?]+)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, r"^[^:/?]+://[^/?]+(/[^?]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    canon_q = F.concat_ws("&", F.array_sort(params))
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(u.isNull() | (scheme == "") | (host == ""), None).otherwise(
+        rebuilt
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup after canonicalization: one row per canonical
+    URL with the smallest observing id (deterministic first-occurrence
+    winner — the same min-id convention as ``dedup_exact``) and the
+    variant count (a revisit/tracking-noise signal worth keeping: a URL
+    seen under 40 tracking variants is ad-landing-page shaped).
+
+    Rows whose URL fails to parse (no scheme/host) are dropped — they
+    cannot collide.  Shape: map-only canonicalization fused into the scan,
+    then ONE map-side-combined groupBy on the canonical key; at web scale
+    the canonical key is near-unique so the combine step keeps the shuffle
+    proportional to distinct URLs, not observations.
+    """
+    canon = df.select(
+        canonical_url(url_col).alias("canon_url"), F.col(id_col)
+    ).where(F.col("canon_url").isNotNull())
+    return canon.groupBy("canon_url").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )
