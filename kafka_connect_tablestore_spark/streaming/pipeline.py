@@ -193,3 +193,127 @@ def start_lsh_index_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_semantic_index_stream(
+    vecs_stream: DataFrame,
+    index_path: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "semantic-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted SemDeDup survivor index from an embedding
+    stream — the second incremental index driven end-to-end under the
+    streaming engine (the LSH index above was the first).
+
+    Per micro-batch, in order:
+
+    1. dedup: compute every new vector's verdict against the index + the
+       batch itself (``incremental_semantic_dedup``; first batch: plain
+       ``semantic_dedup``), written to ``verdicts_path/batch_id=N`` with
+       ``overwrite`` — re-running a batch rewrites, never duplicates, its
+       verdict slice;
+    2. index: append the batch's SURVIVOR rows in index format
+       (``append_to_semantic_index``; first batch: ``build_semantic_index``,
+       whose 'first'-trained centroids are persisted in an atomic sidecar
+       JSON — the query-side contract every later batch reuses);
+    3. commit: record the batch id in the sidecar manifest (tmp + rename)
+       so a checkpoint-replayed batch is a no-op.
+
+    Crash-safety argument: a crash between steps 2 and 3 makes the replay
+    re-append the batch's survivor rows.  Duplicate index rows cost space,
+    never correctness: dominance is an ANY-match against same-cell index
+    survivors, so a duplicated survivor produces the identical verdicts.
+    Under the monotone-id ingest precondition the union of verdict slices
+    equals full-corpus ``semantic_dedup`` restricted to arrived ids — the
+    greedy scan is prefix-stable, so each vector's verdict is final the
+    micro-batch it arrives (the `incremental_semantic_dedup` docstring
+    carries the proof sketch).
+
+    First-batch cost note: batch 0 runs the greedy fixpoint twice (once
+    for verdicts, once inside ``build_semantic_index``) — bounded, one-time,
+    and kept in exchange for a single authoritative writer of the index
+    row format."""
+    import json
+    import os
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        append_to_semantic_index,
+        build_semantic_index,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+    centroids_file = index_path.rstrip("/") + ".centroids.json"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_vecs: int, n_survivors: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "n_vecs": n_vecs,
+                       "n_survivors": n_survivors}, f)
+        os.replace(tmp, final)
+
+    def _save_centroids(centroids) -> None:
+        tmp = centroids_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(centroids, f)
+        os.replace(tmp, centroids_file)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        n_vecs = vecs.count()
+        if n_vecs == 0:
+            _commit(batch_id, 0, 0)
+            return
+        spark = vecs.sparkSession
+        slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        if os.path.exists(centroids_file):
+            with open(centroids_file) as f:
+                centroids = json.load(f)
+            per_vec, kept = incremental_semantic_dedup(
+                spark, index_path, centroids, vecs, threshold,
+                id_col=id_col, vec_col=vec_col,
+            )
+            (per_vec.select(id_col, "is_survivor")
+             .write.mode("overwrite").parquet(slice_dir))
+            n_surv = kept.count()
+            append_to_semantic_index(kept, index_path)
+        else:
+            per_vec = semantic_dedup(
+                vecs, threshold, n_cells, id_col, vec_col, train="first"
+            )
+            (per_vec.select(id_col, "is_survivor")
+             .write.mode("overwrite").parquet(slice_dir))
+            centroids = build_semantic_index(
+                vecs, index_path, threshold, n_cells,
+                id_col=id_col, vec_col=vec_col, train="first",
+            )
+            _save_centroids(centroids)
+            n_surv = spark.read.parquet(slice_dir).where("is_survivor").count()
+        _commit(batch_id, n_vecs, n_surv)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -125,3 +125,82 @@ def test_lsh_index_stream_matches_batch_recompute(spark, tmp_path):
         (r["doc_a"], r["doc_b"], r["n_match"])
         for r in spark.read.parquet(pairs_out).collect()
     } == want_pairs
+
+
+def test_semantic_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted SemDeDup survivor index driven by the STREAMING engine
+    across three micro-batches must equal the full-corpus batch recompute:
+    union of per-batch verdict slices == semantic_dedup(all), and the index
+    contents == build_semantic_index(all).  (Second stream-driven index
+    after LSH — the monotone-id daily-ingest shape.)"""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        build_semantic_index,
+        semantic_dedup,
+    )
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_semantic_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    vecs = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .where("vec_id < 300")
+        .cache()
+    )
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        vecs.where(f"vec_id >= {lo} and vec_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "sem_idx")
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_semantic_index_stream(
+        stream, idx, verdicts, ckpt, threshold=0.3, n_cells=16
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["vec_id"], r["is_survivor"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    want = {
+        (r["vec_id"], r["is_survivor"])
+        for r in semantic_dedup(
+            vecs, 0.3, 16, "vec_id", "embedding", train="first"
+        ).collect()
+    }
+    assert got == want and len(got) == 300
+    assert any(not s for _, s in got)  # some vectors actually dominated
+
+    ref_idx = str(tmp_path / "sem_ref")
+    build_semantic_index(vecs, ref_idx, 0.3, 16, train="first")
+    got_ids = {r["vec_id"] for r in spark.read.parquet(idx).collect()}
+    want_ids = {r["vec_id"] for r in spark.read.parquet(ref_idx).collect()}
+    assert got_ids == want_ids
+
+    # restart on the same checkpoint: no new data => no growth, no re-emit
+    n_rows = spark.read.parquet(idx).count()
+    q2 = start_semantic_index_stream(
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        verdicts,
+        ckpt,
+        threshold=0.3,
+        n_cells=16,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == n_rows
+    assert {
+        (r["vec_id"], r["is_survivor"])
+        for r in spark.read.parquet(verdicts).collect()
+    } == want
