@@ -57,6 +57,8 @@ def main() -> None:
     p.add_argument("--max-dup-word-frac", type=float, default=0.9)
     p.add_argument("--mixture", default="", help="lang=pct comma list, e.g. en=60,de=25,fr=15")
     p.add_argument("--domain-cap", type=int, default=0, help="max docs per registrable domain (0 = uncapped)")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the Gopher/MassiveText composite quality rules")
     args = p.parse_args()
 
     from kafka_connect_tablestore_spark.functions.text import token_count
@@ -102,6 +104,25 @@ def main() -> None:
         (token_count("text") >= args.min_tokens)
         & (dup_word_frac <= args.max_dup_word_frac)
     )
+
+    # 4a: optional Gopher composite rules — keep_all_cols=True gates
+    # INLINE (same no-join-back principle as the gates above; the signal
+    # columns are dropped once the verdict is applied)
+    if args.gopher:
+        from kafka_connect_tablestore_spark.functions.text import (
+            gopher_quality,
+        )
+
+        sig_cols = [
+            "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stop_hits", "keep",
+        ]
+        docs = (
+            gopher_quality(docs, keep_all_cols=True)
+            .where("keep")
+            .drop(*sig_cols)
+        )
 
     # 4b: optional per-domain caps — source diversity before mixture math
     # (a runaway domain would otherwise dominate its language's quota)

@@ -238,6 +238,7 @@ def gopher_quality(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_all_cols: bool = False,
 ):
     """The Gopher/MassiveText composite quality-filter rules (Rae et al.
     2021, §A.1.1 — the document-level heuristics most open LLM corpora
@@ -253,11 +254,18 @@ def gopher_quality(
     expressions over the word/line arrays — map-only at any scale, fused
     into the scan by codegen, no shuffle, no Python.  Ratios rounded to 4
     decimals for cross-engine comparison.
+
+    ``keep_all_cols=True`` carries every input column through alongside
+    the signals, so a pipeline can gate INLINE
+    (``gopher_quality(docs, keep_all_cols=True).where("keep")``) instead
+    of joining the verdict back on the id — the join-back would shuffle
+    the whole corpus for values the scan computes in place.
     """
     from pyspark.sql import functions as F
 
+    lead = [F.col(c) for c in df.columns] if keep_all_cols else [F.col(id_col)]
     d = df.select(
-        F.col(id_col),
+        *lead,
         words(text_col).alias("_w"),
         F.split(F.col(text_col), r"\n").alias("_lines"),
         F.col(text_col).alias("_t"),
@@ -291,7 +299,7 @@ def gopher_quality(
         F.lit(0),
     )
     sig = d.select(
-        F.col(id_col),
+        *([F.col(c) for c in df.columns] if keep_all_cols else [F.col(id_col)]),
         n.cast("long").alias("n_words"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(symbol_ratio, 4).alias("symbol_word_ratio"),

@@ -454,14 +454,27 @@ class LakeTable:
         return {**manifest, "skipped": False}
 
     # ------------------------------------------------------------ compaction
-    def compact(self, tombstone_watermark_ts: int | None = None) -> dict:
+    def compact(
+        self,
+        tombstone_watermark_ts: int | None = None,
+        zorder_cols: list[str] | None = None,
+    ) -> dict:
         """Rewrite every bucket into a single fresh snapshot: merges the
         per-batch file fragments (a long-running ingest accretes one file
         per touched bucket per batch) and drops tombstones whose version is
         older than ``tombstone_watermark_ts`` (safe once no event older than
         the watermark can still arrive — the same reasoning as a streaming
         watermark).  Metadata-only readers are unaffected: the snapshot swap
-        is atomic and old snapshots remain readable until GC'd."""
+        is atomic and old snapshots remain readable until GC'd.
+
+        ``zorder_cols`` additionally sorts each bucket's rewrite on the
+        Morton curve over those columns (``lake/optimize.py``): the bucket
+        assignment — the MERGE contract — is untouched, but parquet
+        row-group min/max stats inside each bucket file become tight slabs
+        of the indexed key space, so analytic range predicates on those
+        columns skip most row groups of every bucket.  The in-bucket sort
+        is free at compaction time (the rewrite already shuffles every
+        row) — the same reason Delta's OPTIMIZE is the place ZORDER lives."""
         snap = self.snapshot()
         df = self.read(include_meta=True)
         if tombstone_watermark_ts is not None:
@@ -471,10 +484,20 @@ class LakeTable:
         out = df.withColumn(
             "_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets)
         )
+        sort_cols = ["_bucket"]
+        if zorder_cols:
+            from kafka_connect_tablestore_spark.lake.optimize import (
+                zorder_value,
+            )
+
+            out = out.withColumn("_z", zorder_value(out, zorder_cols))
+            sort_cols.append("_z")
         version = snap["version"] + 1
         snap_dir = os.path.join(self.dir, "data", f"snap{version:06d}")
         (
             out.repartition(self.config.n_buckets, "_bucket")
+            .sortWithinPartitions(*sort_cols)
+            .drop("_z")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)

@@ -138,3 +138,17 @@ def test_url_dedup_single_shuffle(spark):
     plan = physical_plan(url_dedup(df))
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_gopher_keep_all_cols_inline_gate(spark):
+    df = spark.createDataFrame(
+        [(1, GOOD, "en"), (2, "too short", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = gopher_quality(df, keep_all_cols=True)
+    assert set(df.columns) <= set(out.columns)
+    kept = out.where("keep").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["lang"] == "en" and kept[0]["text"] == GOOD
+    plan = physical_plan(out)
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -108,3 +108,75 @@ def test_zorder_value_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_compact_with_zorder_tightens_rowgroup_stats(spark, tmp_path):
+    """LakeTable.compact(zorder_cols=...): bucket assignment (the MERGE
+    contract) is untouched, but within each bucket file the parquet
+    row-group min/max spans of the indexed columns become tight slabs —
+    measured directly from the footers via pyarrow against a plain
+    compact of the same table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_connect_tablestore_spark.config import DeleteMode, SinkConfig
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+    from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)  # force many row groups
+    try:
+        cfg = SinkConfig(delete_mode=DeleteMode.ROW, n_buckets=4)
+        events = (
+            synth_changelog(spark, 6000, seed=61)
+            .withColumn("stars", (F.xxhash64("offset") % 1000).cast("int"))
+            .cache()
+        )
+        attrs = ("commit", "lang", "content", "stars")
+
+        def spans(root):
+            out, n_groups = [], 0
+            for f in glob.glob(f"{root}/*/data/snap*/_bucket=*/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }["stars"]
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        out.append(st.max - st.min)
+                        n_groups += 1
+            return sum(out) / len(out), n_groups
+
+        results = {}
+        for key, zcols in [("plain", None), ("z", ["stars"])]:
+            lake = str(tmp_path / key)
+            eng = CdcEngine(spark, cfg, lake, attr_fields=attrs)
+            eng.replay(events, n_batches=3)
+            state = {
+                (r["repo"], r["path"], r["content_sha256"], r["stars"])
+                for r in eng.state().collect()
+            }
+            eng.table.compact(zorder_cols=zcols)
+            eng.table.vacuum()
+            after = {
+                (r["repo"], r["path"], r["content_sha256"], r["stars"])
+                for r in eng.state().collect()
+            }
+            assert after == state and len(after) > 0  # content identical
+            results[key] = (spans(lake), state)
+
+        (span_plain, n_plain), st_plain = results["plain"]
+        (span_z, n_z), st_z = results["z"]
+        assert st_plain == st_z
+        assert n_plain >= 8 and n_z >= 8, (n_plain, n_z)  # stats are real
+        # z-sorted row groups cover tight stars-ranges; unsorted cover ~all
+        assert span_z < 0.5 * span_plain, (span_z, span_plain)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
