@@ -763,6 +763,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return offset_gaps(dense.where(F.col("offset") % 97 != 0))
 
+    def pipe_bigram_ppl(spark, sf):
+        """Interpolated-bigram LM perplexity (lam=0.75, unigram backoff) —
+        the transition-aware step past pipe_unigram_ppl: token soup with
+        plausible unigrams but improbable word PAIRS scores high."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            bigram_perplexity,
+        )
+
+        return bigram_perplexity(_docs(spark, sf))
+
+    def pipe_canonical_docs(spark, sf):
+        """Quality-aware near-dup dedup: cluster with LSH→Jaccard→CC, then
+        keep the highest-alpha-ratio member per cluster (tie: min id) —
+        the production survivor rule (keep the cleanest variant), replacing
+        min-id with a partial-aggregable argmax."""
+        from kafka_connect_tablestore_spark.functions.text import alpha_ratio
+        from kafka_connect_tablestore_spark.operators.clustering import (
+            canonical_docs,
+        )
+
+        return canonical_docs(
+            _docs(spark, sf), alpha_ratio("text"), jaccard_threshold=0.8
+        )
+
     # Enumeration order is the contract with the driver's correctness gate,
     # which covers a fixed prefix of the registry (50 queries in round 4 vs
     # 55 entries).  Queries whose implementation changed most recently — or
@@ -771,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_bigram_ppl=pipe_bigram_ppl,            # r5: new operator
+        pipe_canonical_docs=pipe_canonical_docs,    # r5: new operator
         pipe_gopher_quality=pipe_gopher_quality,    # r5: new operator
         pipe_url_dedup=pipe_url_dedup,              # r5: new operator
         pipe_ann_ivfpq=pipe_ann_ivfpq,              # r5: spherical IVFADC
@@ -1906,6 +1932,70 @@ comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
 SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor FROM comp
 """
 
+#: Quality-aware canonical selection: the same LSH→Jaccard→CC clustering as
+#: _NEARDUP_CLUSTERS_SQL, with the min-id survivor rule replaced by
+#: argmax(alpha_ratio rounded to 4, tie min id) per cluster.
+_CANONICAL_DOCS_SQL = f"""
+WITH RECURSIVE sig AS ({_SIG_SQL}), banded AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.h0 IS NOT NULL
+),
+sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS s FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
+  WHERE len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
+    / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE
+    >= 0.8
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+scored AS (
+  SELECT doc_id,
+    round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+      / greatest(length(text), 1)::DOUBLE, 4) AS quality
+  FROM documents
+),
+member AS (SELECT comp.doc_id, cluster_id, quality FROM comp JOIN scored USING (doc_id)),
+best AS (
+  SELECT cluster_id, doc_id AS canon FROM member
+  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1
+)
+SELECT m.doc_id, m.cluster_id, m.quality, m.doc_id = b.canon AS is_canonical
+FROM member m JOIN best b USING (cluster_id)
+"""
+
+#: Interpolated-bigram LM perplexity (lam=0.75, unigram backoff); the
+#: positional self-join builds the same transitions the Spark side derives
+#: map-side from the word array.
+_BIGRAM_PPL_SQL = f"""
+WITH base AS (SELECT doc_id, {W} AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS word FROM base),
+uni AS (SELECT word AS w2, count(*) AS cu FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS n_total FROM tok),
+bg AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+model AS (SELECT w1, w2, sum(tf) AS cb FROM dtf GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cb) AS c1 FROM model GROUP BY w1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+  round(exp(-sum(tf * ln(0.75 * (cb::DOUBLE / c1) + 0.25 * (cu::DOUBLE / n_total)))
+            / sum(tf)), 4) AS bigram_ppl
+FROM dtf JOIN model USING (w1, w2) JOIN ctx USING (w1) JOIN uni USING (w2)
+CROSS JOIN tot
+GROUP BY doc_id
+"""
+
 #: DuckDB twin of the deterministic fake decoder in operators/multimodal.py:
 #: payload = utf8(text), digest byte k = hex pair k of sha256(text).
 _MULTIMODAL_SQL = """
@@ -2025,6 +2115,8 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'fr' THEN 1000 ELSE 0 END)"
         ),
         "pipe_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "pipe_bigram_ppl": _BIGRAM_PPL_SQL,
+        "pipe_canonical_docs": _CANONICAL_DOCS_SQL,
         "pipe_text_quality": (
             f"SELECT doc_id, CAST(len({W}) AS BIGINT) AS n_tokens, "
             f"CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens, "

@@ -368,3 +368,71 @@ def unigram_perplexity(df, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("unigram_ppl"),
         )
     )
+
+
+def bigram_perplexity(
+    df, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.75
+):
+    """Per-document perplexity under the corpus's own *interpolated bigram*
+    language model — one fidelity step up from :func:`unigram_perplexity`
+    toward CCNet's 5-gram KenLM filter, still dependency-free and fully
+    relational:
+
+    ``P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1} .) + (1-lam) * c(w_i)/N``
+
+    scored over every bigram transition (positions 2..n), so a doc that
+    reuses the corpus's common word PAIRS scores low while token soup with
+    plausible unigrams but improbable transitions scores high — exactly the
+    failure mode a unigram LM cannot see.  The unigram interpolation term
+    makes every transition in-vocabulary (both words exist in the corpus by
+    construction), so no additional smoothing floor is needed.
+
+    Relational shape: bigrams are built MAP-SIDE from the word array
+    (``slice`` + index ``transform`` — no positional self-join, no extra
+    shuffle) → per-(doc, w1, w2) counts (shuffle 1, map-side combined) →
+    corpus bigram model (shuffle 2, vocabulary²-bounded but web corpora are
+    Zipfian so the distinct-bigram table is far smaller) → context totals
+    c(w1·) as a rollup of the model (shuffle 3, vocabulary-sized) → model
+    joins back onto the per-doc term counts on the bigram/word keys (AQE
+    broadcasts when the model fits; joined, not forced, because at 100 TB
+    the bigram vocabulary can exceed broadcast limits) → per-doc aggregation
+    (final shuffle on the doc key).  Docs with fewer than two words have no
+    transitions and are omitted.  Rounded to 4 decimals.
+    """
+    from pyspark.sql import functions as F
+
+    w_ = words(text_col)
+    tok = df.select(F.col(id_col), F.explode(w_).alias("word"))
+    uni = tok.groupBy(F.col("word").alias("w2")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    # map-side bigram construction: pair w[i-1] with w[i] without a join
+    bigrams = F.transform(
+        F.slice(w_, 2, F.greatest(F.size(w_) - 1, F.lit(0))),
+        lambda cur, i: F.struct(
+            F.element_at(words(text_col), i + F.lit(1)).alias("w1"),
+            cur.alias("w2"),
+        ),
+    )
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("p")).select(
+        F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    dtf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    model = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    ctx = model.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    p = lam * (F.col("cb") / F.col("c1")) + (1.0 - lam) * (
+        F.col("cu") / F.col("n_total")
+    )
+    scored = (
+        dtf.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(
+            F.exp(-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")), 4
+        ).alias("bigram_ppl"),
+    )

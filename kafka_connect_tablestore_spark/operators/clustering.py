@@ -117,3 +117,58 @@ def dedup_neardup(
             (F.col(id_col) == F.col("_keep")).alias("is_survivor"),
         )
     )
+
+
+def canonical_docs(
+    df: DataFrame,
+    quality_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    n_hashes: int = 8,
+    bands: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup dedup: cluster near-duplicates (LSH →
+    exact-Jaccard verify → connected components, the :func:`dedup_neardup`
+    pipeline) and keep the HIGHEST-quality member of each cluster instead
+    of the blind min-id survivor — when a page exists in five scraped
+    variants, production pipelines keep the cleanest variant, not the one
+    with the smallest id.
+
+    ``quality_col``: any deterministic per-row quality expression over
+    ``df`` (alpha ratio, Gopher composite, LM perplexity negated...).  It is
+    rounded to 4 decimals BEFORE comparison so the argmax is stable across
+    engines and float-summation orders; ties break to the smallest id.
+
+    Relational shape: the clustering stages are unchanged (bucketed
+    candidate generation, never all-pairs); the selection adds ONE
+    aggregation on the cluster key — ``max(struct(quality, -id))`` is a
+    partial-aggregable argmax, so a pathological giant cluster pre-reduces
+    map-side instead of funneling through a ranking window — plus the
+    survivor join back.  Output: ``(doc_id, cluster_id, quality,
+    is_canonical)`` for every input doc.
+    """
+    comp = dedup_neardup(
+        df, text_col, id_col,
+        jaccard_threshold=jaccard_threshold, n_hashes=n_hashes, bands=bands,
+        candidates=candidates,
+    ).select(id_col, "cluster_id")
+    scored = df.select(
+        F.col(id_col), F.round(quality_col, 4).alias("quality")
+    )
+    member = comp.join(scored, id_col)
+    best = member.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col(id_col)).alias("neg_id"))
+        ).alias("_b")
+    )
+    return (
+        member.join(best, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "quality",
+            (F.col(id_col) == -F.col("_b.neg_id")).alias("is_canonical"),
+        )
+    )

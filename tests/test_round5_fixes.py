@@ -242,3 +242,70 @@ def test_train_pq_first_rejects_short_vectors(spark):
     with pytest.raises(ValueError, match="shorter than dim"):
         train_pq_codebooks(d, dim=4, m=2, n_codes=2, train="first",
                            vec_col="emb", id_col="id")
+
+
+# ---- round-5 additions: bigram LM + quality-aware canonical dedup ----------
+
+def test_bigram_perplexity_known_values(spark):
+    from kafka_connect_tablestore_spark.functions.text import bigram_perplexity
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat"), (3, "zq"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_perplexity(d).collect()}
+    # corpus: N=10 tokens; cu: the=3 cat=2 sat=2 on=1 mat=1 zq=1
+    # cb: (the,cat)=2 (cat,sat)=2 (sat,on)=1 (on,the)=1 (the,mat)=1
+    # c1: the=3 cat=2 sat=1 on=1
+    import math
+
+    def p(cb, c1, cu):
+        return 0.75 * (cb / c1) + 0.25 * (cu / 10.0)
+
+    t2 = [p(2, 3, 2), p(2, 2, 2)]  # (the,cat), (cat,sat)
+    want2 = round(math.exp(-sum(math.log(x) for x in t2) / 2), 4)
+    assert got[2]["bigram_ppl"] == want2
+    assert got[2]["n_bigrams"] == 2
+    t1 = [p(2, 3, 2), p(2, 2, 2), p(1, 1, 1), p(1, 1, 3), p(1, 3, 1)]
+    want1 = round(math.exp(-sum(math.log(x) for x in t1) / 5), 4)
+    assert got[1]["bigram_ppl"] == want1 and got[1]["n_bigrams"] == 5
+    assert 3 not in got and 4 not in got  # <2 words: no transitions
+
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: r["bigram_ppl"]
+        for r in bigram_perplexity(d.repartition(7)).collect()
+    }
+    assert again == {k: v["bigram_ppl"] for k, v in got.items()}
+
+
+def test_canonical_docs_keeps_highest_quality(spark):
+    from kafka_connect_tablestore_spark.functions.text import alpha_ratio
+    from kafka_connect_tablestore_spark.operators.clustering import canonical_docs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    d = spark.createDataFrame(
+        [
+            (1, base),                 # near-dup cluster {1,2,3}
+            (2, base),                 # tie quality with 1 -> min id wins
+            (3, base + " !!!"),        # dirtier variant, lower alpha ratio
+            (4, "wholly different text about unrelated matters entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in canonical_docs(
+        d, alpha_ratio("text"), jaccard_threshold=0.5
+    ).collect()}
+    assert len(out) == 4  # every doc classified
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[1]["is_canonical"]          # tie (q1 == q2) broken to min id
+    assert not out[2]["is_canonical"] and not out[3]["is_canonical"]
+    assert out[3]["quality"] < out[1]["quality"]
+    assert out[4]["is_canonical"]          # singleton is its own canonical
+
+    # the min-id doc is NOT the survivor when a higher-quality variant exists
+    out2 = {r["doc_id"]: r for r in canonical_docs(
+        d, F.when(F.col("doc_id") == 2, 1.0).otherwise(0.5),
+        jaccard_threshold=0.5,
+    ).collect()}
+    assert out2[2]["is_canonical"] and not out2[1]["is_canonical"]
