@@ -787,6 +787,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), alpha_ratio("text"), jaccard_threshold=0.8
         )
 
+    def pipe_boilerplate_strip(spark, sf):
+        """CCNet-style frequent-span removal: 4-word chunks appearing in
+        >= 3 distinct docs are boilerplate, removed from EVERY doc."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            strip_boilerplate,
+        )
+
+        return strip_boilerplate(
+            _docs(spark, sf), chunk_words=4, min_df=3
+        )
+
+    def pipe_dsir_weights(spark, sf):
+        """DSIR hashed-unigram importance log-weights (Xie et al. 2023):
+        target distribution = the 'src0' slice, raw = the whole corpus;
+        scoring is map-only over a constant-folded bucket-ratio map."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            dsir_logweights,
+        )
+
+        docs = _docs(spark, sf)
+        return dsir_logweights(
+            docs, docs.where(F.col("source") == "src0"), n_buckets=64
+        )
+
+    def cdc_sessionize(spark, sf):
+        """Gap-based sessionization of the event stream (30-min gap):
+        lag + running-sum window, then a same-key rollup."""
+        from kafka_connect_tablestore_spark.operators.timeseries import (
+            sessionize,
+        )
+
+        s = sessionize(_events(spark, sf), gap_seconds=1800)
+        # epoch-µs longs, not raw timestamps, per the windowed-counts
+        # convention — keeps the cross-engine value hash timezone-proof
+        epoch_us = (
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            "cast({} as timestamp_ntz))"
+        )
+        return s.select(
+            "user_id",
+            "session_seq",
+            F.expr(epoch_us.format("session_start")).alias("start_us"),
+            F.expr(epoch_us.format("session_end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+
     # Enumeration order is the contract with the driver's correctness gate,
     # which covers a fixed prefix of the registry (50 queries in round 4 vs
     # 55 entries).  Queries whose implementation changed most recently — or
@@ -795,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_boilerplate_strip=pipe_boilerplate_strip,  # r5: new operator
+        pipe_dsir_weights=pipe_dsir_weights,        # r5: new operator
+        cdc_sessionize=cdc_sessionize,              # r5: new operator
         pipe_bigram_ppl=pipe_bigram_ppl,            # r5: new operator
         pipe_canonical_docs=pipe_canonical_docs,    # r5: new operator
         pipe_gopher_quality=pipe_gopher_quality,    # r5: new operator
@@ -1057,6 +1107,96 @@ SELECT d.doc_id,
   coalesce(a.n_kept, 0) AS n_kept,
   coalesce(a.clean_md5, md5('')) AS clean_md5
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+_BOILERPLATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {W} AS w FROM documents
+), ch AS (
+  SELECT doc_id,
+    CASE WHEN len(w) > 0 THEN
+      list_transform(generate_series(1, CAST(ceil(len(w) / 4.0) AS INT)),
+        i -> array_to_string(list_slice(w, (i-1)*4 + 1, least(i*4, len(w))), ' '))
+    ELSE [] END AS chunks
+  FROM base
+), ex AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS pos,
+         unnest(chunks) AS chunk
+  FROM ch
+), freq AS (
+  SELECT md5(chunk) AS cm, count(DISTINCT doc_id) AS df_ FROM ex GROUP BY 1
+), marked AS (
+  SELECT e.doc_id, e.pos, e.chunk, (f.df_ >= 3) AS boiler
+  FROM ex e JOIN freq f ON md5(e.chunk) = f.cm
+), agg AS (
+  SELECT doc_id,
+    CAST(count(chunk) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+    md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY pos), ''))
+      AS clean_md5
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_chunks, 0) AS n_chunks,
+  coalesce(a.n_removed, 0) AS n_removed,
+  coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({W}) AS w FROM documents
+), tb AS (
+  SELECT doc_id, {H("w", "dsir")} % 64 AS b FROM tok
+), raw AS (
+  SELECT b, count(*) AS n FROM tb GROUP BY b
+), tgt AS (
+  SELECT t.b, count(*) AS n
+  FROM tb t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE d.source = 'src0' GROUP BY t.b
+), buckets AS (
+  SELECT unnest(generate_series(0, 63)) AS b
+), logw AS (
+  SELECT bu.b,
+    ln(coalesce(t.n, 0) + 1.0)
+      - ln((SELECT sum(n) FROM tgt) + 64.0)
+      - ln(coalesce(r.n, 0) + 1.0)
+      + ln((SELECT sum(n) FROM raw) + 64.0) AS lw
+  FROM buckets bu
+  LEFT JOIN tgt t ON bu.b = t.b
+  LEFT JOIN raw r ON bu.b = r.b
+), scored AS (
+  SELECT t.doc_id, sum(l.lw) AS s
+  FROM tb t JOIN logw l ON t.b = l.b GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+  CAST(len({W}) AS BIGINT) AS n_tokens,
+  round(coalesce(s.s, 0.0), 4) AS dsir_logweight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value, epoch_us(ts) AS us FROM events
+), lagd AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM e
+), flag AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM lagd
+), seq AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flag
+)
+SELECT user_id,
+  CAST(session_seq AS BIGINT) AS session_seq,
+  epoch_us(min(ts)) AS start_us,
+  epoch_us(max(ts)) AS end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS total_value
+FROM seq GROUP BY user_id, session_seq
 """
 
 _WINNOWING_SQL = f"""
@@ -2173,4 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "pipe_gopher_quality": _GOPHER_SQL,
         "pipe_url_dedup": _URL_DEDUP_SQL,
+        "pipe_boilerplate_strip": _BOILERPLATE_SQL,
+        "pipe_dsir_weights": _DSIR_SQL,
+        "cdc_sessionize": _SESSIONIZE_SQL,
     }

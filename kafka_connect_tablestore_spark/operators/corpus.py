@@ -6,9 +6,10 @@ These are the steps BETWEEN cleaning/dedup and the trainer: redact what must
 never be trained on, decide the source mixture, deduplicate repeated spans
 inside surviving documents, pack documents into fixed-token-budget bins, and
 shuffle the result reproducibly.  Everything is a pure Catalyst expression
-or a key-local window — no Python in the data path, no global sort, no
-driver-side collection — so each op is a map stage or a single key-local
-shuffle at any scale.
+or a key-local window — no Python in the data path, no global sort, and no
+driver-side collection beyond config-bounded summaries (the DSIR bucket
+distributions, ≤ ``n_buckets`` rows) — so each op is a map stage or a
+single key-local shuffle at any scale.
 
 All hash math is the shared md5-hex→int64 family (``functions.text.hash64``)
 so every operator has a bit-identical DuckDB oracle, and every sampling /
@@ -18,6 +19,8 @@ repartitioning, re-execution, and engine choice (unlike ``df.sample`` /
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -239,6 +242,76 @@ def chunk_dedup(
         id_col,
         F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+    min_df: int = 2,
+) -> DataFrame:
+    """Frequent-span (boilerplate) removal, CCNet-style: any chunk that
+    appears in ``min_df`` or more DISTINCT documents is removed from EVERY
+    document — including its first occurrence.  The complement of
+    :func:`chunk_dedup`: dedup keeps one copy of a repeated passage;
+    boilerplate removal says a span repeated across enough documents
+    (cookie banner, licence header, nav template) is noise everywhere and
+    keeps zero copies.
+
+    Relational shape: chunk (map, via the shared :func:`_chunk_rows`
+    boundary truth) → distinct-doc frequency per chunk fingerprint (ONE
+    map-side-combined shuffle on the chunk key) → the over-threshold
+    fingerprint set joins back against the chunk rows (AQE picks broadcast
+    when the boilerplate set is small — by construction it holds only
+    chunks crossing ``min_df``, a tiny fraction of distinct chunks at web
+    scale) → per-doc reassembly (one shuffle on the doc key).  Never
+    all-pairs, no window.
+
+    Emits per-doc chunk totals, removed-chunk counts, and the md5 of the
+    reassembled text; chunk-less docs (null/empty text) re-enter with
+    zeros and the empty-text hash, mirroring :func:`chunk_dedup`.
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be positive")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    rows = _chunk_rows(df, text_col, id_col, chunk_words)
+    boiler = (
+        rows.groupBy("chunk_md5")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("chunk_md5", F.lit(True).alias("_boiler"))
+    )
+    marked = rows.join(boiler, "chunk_md5", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count("chunk").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
 
@@ -729,4 +802,98 @@ def url_dedup(
     return canon.groupBy("canon_url").agg(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_variants"),
+    )
+
+
+# ----------------------------------------------------- importance sampling
+#
+# DSIR (Data Selection with Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how target-domain-like its
+# hashed n-gram distribution is, so a web-scale corpus can be resampled
+# toward a small high-quality target set without training a classifier.
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR log importance weight
+    ``sum_tokens log(p_target(bucket) / p_raw(bucket))`` over hashed
+    unigram buckets, with Laplace smoothing ``alpha`` on both
+    distributions.  High scores = target-domain-like; resample the raw
+    corpus proportionally to ``exp(logweight)`` (or top-k by score).
+
+    100-TB shape: the two bucket distributions are each ONE
+    map-side-combined aggregate that outputs at most ``n_buckets`` rows
+    (tokens collapse to buckets inside the map stage via explode →
+    partial count), collected to the driver (bounded by config, like the
+    PSL table and the k-means trainer samples), folded into a
+    ``n_buckets``-entry map LITERAL of per-bucket log ratios, and
+    constant-folded into a purely map-only scoring pass — the raw corpus
+    is never shuffled and never joined.  Scoring is
+    ``aggregate(transform(words, w -> map[bucket(w)]))``, all JVM
+    expressions inside whole-stage codegen.
+
+    Determinism: buckets come from the shared md5 ``hash64`` family, so
+    the score is a pure function of (text, seed, the two corpora) —
+    bit-stable under repartitioning and engine choice (the DuckDB twin
+    recomputes the same smoothed ratios in SQL).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive (Laplace smoothing)")
+
+    def bucket_counts(frame: DataFrame) -> tuple[dict[int, int], int]:
+        rows = (
+            frame.select(
+                F.explode(words(text_col)).alias("_w")
+            )
+            .select(
+                F.pmod(hash64(F.col("_w"), seed), F.lit(n_buckets))
+                .cast("int")
+                .alias("_b")
+            )
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        counts = {r["_b"]: r["_n"] for r in rows}
+        return counts, sum(counts.values())
+
+    t_counts, t_total = bucket_counts(target)
+    r_counts, r_total = bucket_counts(df)
+    t_denom = math.log(t_total + alpha * n_buckets)
+    r_denom = math.log(r_total + alpha * n_buckets)
+    entries: list = []
+    for b in range(n_buckets):
+        lw = (
+            math.log(t_counts.get(b, 0) + alpha)
+            - t_denom
+            - math.log(r_counts.get(b, 0) + alpha)
+            + r_denom
+        )
+        entries.extend([F.lit(b), F.lit(lw)])
+    logw_map = F.create_map(*entries)
+
+    w = words(text_col)
+    score = F.aggregate(
+        F.transform(
+            w,
+            lambda t: F.element_at(
+                logw_map, F.pmod(hash64(t, seed), F.lit(n_buckets)).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(score, F.lit(0.0)), 4).alias("dsir_logweight"),
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: time-unit → microseconds multiplier (TimeseriesTransformer.java:59-85)
@@ -89,4 +89,70 @@ def to_tall_skinny(ts_df: DataFrame, field_cols: tuple[str, ...]) -> DataFrame:
         "_tags_str",
         "_time_us",
         F.expr(f"stack({len(field_cols)}, {stack_expr}) as (field, value)"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    whenever the time since the previous event exceeds ``gap_seconds``.
+    Emits one row per (key, session) with start/end, event count, and the
+    summed ``value`` column — the canonical event-stream rollup a CDC
+    changelog feeds (the reference stores raw rows; session boundaries are
+    the first question asked of them).
+
+    Gap math runs on exact integer microseconds via a tz-free
+    ``timestampdiff(MICROSECOND, epoch, cast(ts as timestamp_ntz))``
+    (DuckDB twin: ``epoch_us``) — no float epoch and no session-timezone
+    dependence, so the engines agree bit-for-bit at any precision whether
+    the source column is TIMESTAMP or TIMESTAMP_NTZ (parquet event logs
+    load as NTZ in Spark 4; see sources/synth.py for the same idiom).
+    ``id_col`` breaks equal-timestamp ties so session numbering is
+    deterministic.
+
+    Shape: ONE key-local shuffle — a lag + running-sum window over
+    (key, ts, id) assigns session sequence numbers, then the session
+    rollup groups on (key, session_seq), which Catalyst satisfies without
+    a second exchange (the grouping keys prefix the window partitioning).
+    Per-key window volume is bounded by a single key's event count; keys
+    at web scale are users/devices (bounded), not domains — the same
+    boundedness argument as ``offset_gaps``'s partition-local window.
+    """
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
+    k = F.col(key_col)
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        f"cast(`{ts_col}` as timestamp_ntz))"
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_us = F.lag(us).over(w)
+    is_new = (
+        prev_us.isNull()
+        | ((us - prev_us) > F.lit(int(gap_seconds) * 1_000_000))
+    ).cast("int")
+    run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = F.sum(is_new).over(run)
+    sessions = df.select(
+        k, F.col(ts_col), F.col(id_col), F.col("value"), seq.alias("session_seq")
+    )
+    return sessions.groupBy(key_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).select(
+        key_col,
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
     )
