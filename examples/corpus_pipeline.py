@@ -11,6 +11,9 @@ family, in dependency order:
   2. near-dup dedup         (MinHash-LSH candidates → Jaccard verify →
                              connected components, keep cluster minima)
   3. benchmark decontam     (operators/decontam.py::benchmark_overlap)
+  3b. boilerplate strip     (operators/corpus.py::strip_boilerplate, optional
+                             — frequent-span removal BEFORE the gates
+                             measure the text)
   4. quality gates          (tokens / alpha ratio / repetition)
   4b. per-domain caps       (operators/corpus.py::cap_per_domain, optional —
                              source diversity before the mixture math)
@@ -59,6 +62,13 @@ def main() -> None:
     p.add_argument("--domain-cap", type=int, default=0, help="max docs per registrable domain (0 = uncapped)")
     p.add_argument("--gopher", action="store_true",
                    help="apply the Gopher/MassiveText composite quality rules")
+    p.add_argument("--boilerplate-df", type=int, default=0,
+                   help="strip chunks seen in >= N distinct docs (0 = off)")
+    p.add_argument("--boilerplate-chunk-words", type=int, default=16)
+    p.add_argument("--dsir-target", default="",
+                   help="parquet dir of target-domain docs: keep docs whose "
+                        "DSIR log importance weight clears --dsir-min-lw")
+    p.add_argument("--dsir-min-lw", type=float, default=0.0)
     args = p.parse_args()
 
     from kafka_connect_tablestore_spark.functions.text import token_count
@@ -91,6 +101,27 @@ def main() -> None:
         bench = spark.read.parquet(args.benchmark)
         clean = benchmark_overlap(docs, bench).where(~F.col("contaminated"))
         docs = docs.join(clean.select("doc_id"), "doc_id")
+
+    # 3b: optional boilerplate-span removal — text-MUTATING, so it runs
+    # before the quality gates measure the text they will gate on.  One
+    # chunk-key shuffle + one doc-key reassembly; the join swaps the text
+    # column for the reassembled survivor spans.
+    if args.boilerplate_df > 0:
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            strip_boilerplate,
+        )
+
+        cleaned = strip_boilerplate(
+            docs,
+            chunk_words=args.boilerplate_chunk_words,
+            min_df=args.boilerplate_df,
+            emit_text=True,
+        ).select("doc_id", "clean_text")
+        docs = (
+            docs.join(cleaned, "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+        )
 
     # 4: quality gates — pure per-row expressions applied INLINE (no
     # join-back: re-joining per-row metrics would shuffle the whole corpus
@@ -143,6 +174,21 @@ def main() -> None:
             "<NUM>",
         ),
     )
+
+    # 5b: optional DSIR importance gate — score against a target-domain
+    # sample, keep docs clearing the threshold.  Scoring is map-only (the
+    # bucket-ratio map is a constant-folded literal), so this adds zero
+    # shuffles to the corpus.
+    if args.dsir_target:
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            dsir_logweights,
+        )
+
+        tgt = spark.read.parquet(args.dsir_target)
+        lw = dsir_logweights(docs, tgt).where(
+            F.col("dsir_logweight") >= args.dsir_min_lw
+        )
+        docs = docs.join(lw.select("doc_id"), "doc_id")
 
     # 6: optional mixture targeting
     if args.mixture:

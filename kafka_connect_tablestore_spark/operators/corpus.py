@@ -252,6 +252,7 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     chunk_words: int = 16,
     min_df: int = 2,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Frequent-span (boilerplate) removal, CCNet-style: any chunk that
     appears in ``min_df`` or more DISTINCT documents is removed from EVERY
@@ -271,8 +272,11 @@ def strip_boilerplate(
     all-pairs, no window.
 
     Emits per-doc chunk totals, removed-chunk counts, and the md5 of the
-    reassembled text; chunk-less docs (null/empty text) re-enter with
-    zeros and the empty-text hash, mirroring :func:`chunk_dedup`.
+    reassembled text (``emit_text=True`` adds the reassembled text itself
+    as ``clean_text`` — the pipeline-consumable form; the md5 stays the
+    compact cross-engine comparison key).  Chunk-less docs (null/empty
+    text) re-enter with zeros and the empty-text hash, mirroring
+    :func:`chunk_dedup`.
     """
     if chunk_words <= 0:
         raise ValueError("chunk_words must be positive")
@@ -286,34 +290,39 @@ def strip_boilerplate(
         .select("chunk_md5", F.lit(True).alias("_boiler"))
     )
     marked = rows.join(boiler, "chunk_md5", "left")
-    agg = marked.groupBy(id_col).agg(
+    clean_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_boiler").isNull(),
+                        F.struct("pos", "chunk"),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+    )
+    aggs = [
         F.count("chunk").cast("long").alias("n_chunks"),
         F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
         .cast("long")
         .alias("n_removed"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_boiler").isNull(),
-                                F.struct("pos", "chunk"),
-                            )
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-            )
-        ).alias("clean_md5"),
-    )
-    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
-        id_col,
+        F.md5(clean_text).alias("clean_md5"),
+    ]
+    if emit_text:
+        aggs.append(clean_text.alias("clean_text"))
+    agg = marked.groupBy(id_col).agg(*aggs)
+    out_cols = [
+        F.col(id_col),
         F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
         F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
-    )
+    ]
+    if emit_text:
+        out_cols.append(F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(*out_cols)
 
 
 def global_shuffle(

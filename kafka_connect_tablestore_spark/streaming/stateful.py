@@ -150,3 +150,50 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization: the built-in
+    ``session_window`` aggregate — Spark merges events into a session
+    while each arrives within ``gap`` of the session's current end, and
+    in append mode emits one final row per session once the watermark
+    passes session end + gap, so state is bounded by open sessions per
+    key regardless of stream length.
+
+    The streaming twin of ``operators.timeseries.sessionize``.  Boundary
+    semantics differ by one instant: the batch operator keeps an event at
+    EXACTLY ``gap`` after its predecessor in-session (split on ``> gap``),
+    while ``session_window`` extends a session only for events strictly
+    inside ``end = last + gap`` — so an event landing on the exact gap
+    boundary starts a new session here.  Off-boundary inputs (any real
+    clock) produce identical sessions; the equality test uses sub-gap /
+    super-gap spacings so both engines agree.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -215,3 +215,81 @@ def test_sessionize_single_window_shuffle(spark):
 def test_sessionize_validates_gap(spark):
     with pytest.raises(ValueError):
         sessionize(_ev(spark, []), gap_seconds=0)
+
+
+# ---- streaming_sessionize ---------------------------------------------------
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    import os
+
+    from kafka_connect_tablestore_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    # two users, off-boundary gaps (no event exactly gap-apart, where the
+    # batch/streaming boundary rules legitimately differ)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, 1.0),
+        (2, t0 + dt.timedelta(minutes=5), 1, 2.0),
+        (3, t0 + dt.timedelta(minutes=90), 1, 4.0),   # new session (>30m)
+        (4, t0 + dt.timedelta(minutes=93), 1, 8.0),
+        (5, t0, 2, 16.0),
+        (6, t0 + dt.timedelta(hours=3), 2, 32.0),     # new session
+        # a closing event far in the future so the watermark passes every
+        # session above and append mode emits them
+        (7, t0 + dt.timedelta(days=2), 3, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_time timestamp, user_id long, value double"
+    )
+    src = str(tmp_path / "sess_src")
+    df.where("event_id <= 4").coalesce(1).write.parquet(os.path.join(src, "f0"))
+    df.where("event_id > 4").coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT * FROM sess_stream WHERE user_id < 3"
+        ).collect()
+    }
+    batch = sessionize(
+        df.selectExpr(
+            "event_id", "event_time AS ts", "user_id", "value"
+        ).where("user_id < 3"),
+        gap_seconds=1800,
+    ).collect()
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["total_value"])
+        for r in batch
+    }
+    assert got == want
+
+
+def test_strip_boilerplate_emit_text(spark):
+    out = strip_boilerplate(
+        _corpus(spark), chunk_words=3, min_df=3, emit_text=True
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    assert by_id[1]["clean_text"] == "alpha beta gamma"
+    assert by_id[5]["clean_text"] == ""
+    # the md5 column stays consistent with the emitted text
+    assert by_id[1]["clean_md5"] == _md5(by_id[1]["clean_text"])
