@@ -811,6 +811,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("source") == "src0"), n_buckets=64
         )
 
+    def pipe_bpe_tokens(spark, sf):
+        """Token-budget accounting: whitespace count + GPT-2-style
+        pre-tokenizer subword estimate, both pure-Catalyst map-only."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            bpe_token_count,
+            token_count,
+        )
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            token_count("text").cast("long").alias("n_ws_tokens"),
+            bpe_token_count("text").alias("n_bpe_tokens"),
+        )
+
+    def pipe_top_ngrams(spark, sf):
+        """Corpus-wide top-20 trigrams by document frequency — the
+        boilerplate-discovery aggregate feeding strip_boilerplate's
+        min_df choice."""
+        from kafka_connect_tablestore_spark.functions.text import top_ngrams
+
+        return top_ngrams(_docs(spark, sf), k=3, topk=20)
+
+    def pipe_containment(spark, sf):
+        """Shingle containment |A∩B|/min(|A|,|B|) on LSH candidates —
+        catches wrapper/quote near-dups that size-penalized Jaccard
+        misses."""
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        return containment_pairs(_docs(spark, sf), k=3, n_hashes=8, bands=4)
+
+    def pipe_temperature_rates(spark, sf):
+        """XLM-R temperature sampling (alpha=0.5): per-language token
+        shares and the implied keep rates — sqrt of exact BIGINT ratios,
+        bit-identical across engines."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            temperature_rates,
+        )
+
+        return temperature_rates(_docs(spark, sf), "lang", alpha=0.5)
+
+    def pipe_temperature_sample(spark, sf):
+        """Apply the temperature rates as a deterministic hash gate —
+        broadcast rate plan, map-only filter, zero corpus shuffles."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            temperature_sample,
+        )
+
+        return temperature_sample(_docs(spark, sf), "lang", alpha=0.5)
+
     def cdc_sessionize(spark, sf):
         """Gap-based sessionization of the event stream (30-min gap):
         lag + running-sum window, then a same-key rollup."""
@@ -842,6 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_bpe_tokens=pipe_bpe_tokens,            # r5: new operator
+        pipe_top_ngrams=pipe_top_ngrams,            # r5: new operator
+        pipe_containment=pipe_containment,          # r5: new operator
+        pipe_temperature_rates=pipe_temperature_rates,    # r5: new operator
+        pipe_temperature_sample=pipe_temperature_sample,  # r5: new operator
         pipe_boilerplate_strip=pipe_boilerplate_strip,  # r5: new operator
         pipe_dsir_weights=pipe_dsir_weights,        # r5: new operator
         cdc_sessionize=cdc_sessionize,              # r5: new operator
@@ -1595,6 +1651,69 @@ SELECT doc_a, doc_b,
 FROM cand JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
 """
 
+_CONTAINMENT_SQL = f"""
+WITH sig AS ({_SIG_SQL}), banded AS ({_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.h0 IS NOT NULL
+),
+sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS s FROM documents)
+SELECT doc_a, doc_b,
+  round(
+    len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
+    / greatest(least(len(x.s), len(y.s)), 1)::DOUBLE,
+  4) AS containment
+FROM cand JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
+"""
+
+# GPT-2-ish pretokenizer regex, SQL-quoted (apostrophes doubled; DuckDB
+# standard strings pass backslashes through to RE2 untouched)
+from kafka_connect_tablestore_spark.functions.text import (  # noqa: E402
+    BPE_PRETOKEN_RE,
+)
+
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")
+_BPE_TOKENS_SQL = f"""
+SELECT doc_id, CAST(len({W}) AS BIGINT) AS n_ws_tokens,
+  CAST(coalesce(list_sum(list_transform(
+    list_filter(list_transform(
+      regexp_extract_all(lower(coalesce(text, '')), '{_BPE_RE_SQL}'),
+      p -> trim(p)), p -> p <> ''),
+    p -> (length(p) + 3) // 4)), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_TOP_NGRAMS_SQL = f"""
+WITH g AS (SELECT doc_id, unnest({SHINGLES}) AS ngram FROM documents)
+SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram
+ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC LIMIT 20
+"""
+
+_TEMP_TOT_SQL = (
+    f"SELECT lang, CAST(sum(len({W})) AS BIGINT) AS n_tokens "
+    "FROM documents GROUP BY lang"
+)
+_TEMPERATURE_RATES_SQL = f"""
+WITH tot AS ({_TEMP_TOT_SQL}),
+f AS (SELECT min(n_tokens) AS mn, sum(n_tokens) AS sn FROM tot)
+SELECT lang, n_tokens,
+  round(n_tokens / sn, 6) AS share,
+  round(sqrt(mn / n_tokens), 6) AS keep_rate
+FROM tot, f
+"""
+_TEMPERATURE_SAMPLE_SQL = f"""
+WITH tot AS ({_TEMP_TOT_SQL}),
+f AS (SELECT min(n_tokens) AS mn FROM tot),
+plan AS (SELECT lang, CAST(floor(sqrt(mn / n_tokens) * 1000000 + 0.5) AS BIGINT)
+         AS g FROM tot, f)
+SELECT d.doc_id, d.lang FROM documents d JOIN plan ON d.lang = plan.lang
+WHERE {H("CAST(doc_id AS VARCHAR)", "temp")} % 1000000 < plan.g
+"""
+
 _G2 = f"list_transform(generate_series(1, len({W}) - 1), i -> {W}[i] || ' ' || {W}[i+1])"
 
 _DECONTAM_SQL = f"""
@@ -2316,4 +2435,9 @@ def oracle_sql() -> dict[str, str]:
         "pipe_boilerplate_strip": _BOILERPLATE_SQL,
         "pipe_dsir_weights": _DSIR_SQL,
         "cdc_sessionize": _SESSIONIZE_SQL,
+        "pipe_bpe_tokens": _BPE_TOKENS_SQL,
+        "pipe_top_ngrams": _TOP_NGRAMS_SQL,
+        "pipe_containment": _CONTAINMENT_SQL,
+        "pipe_temperature_rates": _TEMPERATURE_RATES_SQL,
+        "pipe_temperature_sample": _TEMPERATURE_SAMPLE_SQL,
     }

@@ -70,6 +70,70 @@ def token_count(col: Column | str) -> Column:
     return F.size(words(col))
 
 
+#: GPT-2-style pre-tokenizer segmentation, restricted to constructs both
+#: Java regex (Spark) and RE2 (DuckDB) support identically — no lookahead
+#: (RE2 lacks it), leftmost-FIRST alternation (both engines use Perl
+#: semantics): contraction suffix, space-prefixed letter run, space-prefixed
+#: digit run, space-prefixed punctuation run, residual whitespace.
+BPE_PRETOKEN_RE = r"'\p{L}+| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-count estimate via a GPT-2-style pre-tokenizer: segment the
+    lowercased text with :data:`BPE_PRETOKEN_RE`, then charge each
+    non-whitespace piece ``ceil(len(piece)/4)`` subwords (the ~4-chars-per-
+    merged-token ratio of byte-level BPE on natural text).  Deterministic,
+    pure-Catalyst (one ``regexp_extract_all`` + array fold, codegen'd), and
+    exactly mirrored by the DuckDB twin — unlike a real learned BPE it needs
+    no merges table, which is the point: the TOKEN BUDGET planner needs a
+    cheap corpus-wide estimate long before a tokenizer is shipped to every
+    executor.  All-integer arithmetic (``(len+3) div 4``) so the estimate is
+    engine-portable bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        F.lower(F.coalesce(c, F.lit(""))), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+    )
+    # single-arg lambda REQUIRED: F.trim passed bare binds transform's
+    # (element, index) two-arg overload, making the index a trim-char set
+    trimmed = F.filter(
+        F.transform(pieces, lambda p: F.trim(p)), lambda p: p != F.lit("")
+    )
+    return F.aggregate(
+        trimmed,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.floor((F.length(p) + F.lit(3)) / F.lit(4)).cast("long"),
+    )
+
+
+def top_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, topk: int = 20):
+    """Corpus-wide most-frequent word k-grams — the DISCOVERY tool that
+    feeds :func:`~..operators.corpus.strip_boilerplate`'s ``min_df`` choice
+    and spam/template triage: emits each n-gram's distinct-document count
+    and total occurrence count, top-``topk`` by document frequency.
+
+    Relational shape: n-grams are built MAP-SIDE from the word array (no
+    positional self-join), then ONE aggregation on the n-gram key computes
+    both counts (``count_distinct`` over (ngram, doc) pre-reduced map-side
+    by the partial-agg pass), and the top-k is a ``TakeOrdered`` — no global
+    sort materializes the vocabulary-sized intermediate.  Ties broken by
+    n-gram text for cross-engine determinism."""
+    from pyspark.sql import functions as F
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(topk)
+    )
+
+
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     w = words(col)
     sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])

@@ -194,6 +194,100 @@ def mixture_sample(
     )
 
 
+def temperature_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rates (the multilingual-LM sampler of
+    mBERT / XLM-R, arXiv:1901.07291 §3.1): with group token shares
+    ``p_g = n_g / N``, the target distribution is ``q_g ∝ p_g^alpha`` —
+    ``alpha`` < 1 flattens the mixture toward rare groups.  A filter can
+    only DOWN-sample, so the realized keep rate normalizes the largest
+    relative boost to 1: ``rate_g = (min_g n_g / n_g)^(1-alpha)`` — the
+    smallest group keeps everything, dominant groups are thinned by
+    exactly the temperature-implied factor.
+
+    CROSS-ENGINE DETERMINISM: the rate is a power of a ratio of exact
+    BIGINT token totals.  At the default ``alpha = 0.5`` it is
+    ``sqrt(min_n / n_g)`` — IEEE-754 requires division and sqrt to be
+    correctly rounded, so Spark and DuckDB produce bit-identical rates;
+    other alphas go through libm ``pow`` (agreeing to ≥ 15 significant
+    digits, guarded by the gate's fixed-point rounding).
+
+    Scale shape (mirrors :func:`mixture_sample`): one map-side-combined
+    token-sum per group (output is group-cardinality-sized), a one-row
+    ``min`` reduction broadcast back — the corpus itself never shuffles.
+    Emits ``(group, n_tokens, share, keep_rate)``."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from ..functions.text import token_count
+
+    totals = df.groupBy(group_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens")
+    )
+    floor_ = totals.agg(
+        F.min("n_tokens").alias("_min_n"),
+        F.sum("n_tokens").alias("_sum_n"),
+    )
+    return totals.crossJoin(F.broadcast(floor_)).select(
+        group_col,
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_sum_n"), 6).alias("share"),
+        F.round(_boost(F.col("_min_n") / F.col("n_tokens"), alpha), 6).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def _boost(ratio, alpha: float):
+    """(min_n/n_g)^(1-alpha) — via ``sqrt`` at the default alpha=0.5, which
+    IEEE-754 requires to be correctly rounded (bit-identical across
+    engines), falling back to libm ``pow`` for other alphas."""
+    return F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`temperature_rates` as a deterministic per-row hash gate:
+    keep a row iff ``hash64(id, 'temp') % 1_000_000 <
+    floor(rate_g · 1_000_000 + 0.5)``.  Like ``stratified_sample`` the gate
+    is a pure per-row expression — stable under repartitioning, identical
+    in the DuckDB twin — but the rates come FROM the data via the
+    temperature rule instead of the caller.  One broadcast join of the
+    group-cardinality rate table, then a map-only filter; zero corpus
+    shuffles."""
+    rates = temperature_rates(df, group_col, alpha, text_col, id_col)
+    # the gate uses the UN-rounded rate: recompute from the exact integer
+    # token totals carried on the rate row (round-6 display column stays
+    # display-only, same policy as the jaccard/containment verifies)
+    floor_n = rates.agg(F.min("n_tokens").alias("_min_n"))
+    plan = (
+        rates.crossJoin(F.broadcast(floor_n))
+        .select(
+            group_col,
+            F.floor(
+                _boost(F.col("_min_n") / F.col("n_tokens"), alpha)
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("long").alias("_gate"),
+        )
+    )
+    h = F.pmod(hash64(F.col(id_col).cast("string"), "temp"), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(plan), group_col)
+        .where(h < F.col("_gate"))
+        .select(id_col, group_col)
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -277,6 +277,60 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Shingle CONTAINMENT on LSH candidate pairs (Broder's containment
+    coefficient, symmetrized): ``|A∩B| / min(|A|, |B|)`` over distinct
+    k-shingle sets.  Jaccard is size-penalized — a short page quoted
+    verbatim inside a long one scores low Jaccard but containment ≈ 1 —
+    so this is the verify stage that catches WRAPPER/QUOTE near-dups
+    (boilerplate shells around syndicated articles, forum quotes, doc
+    pages embedding a README) that a Jaccard gate misses.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: only LSH candidates
+    are verified, shingle sets join in on each side of the pair key, and
+    ``candidates`` can be passed to reuse an already-materialized band
+    join.  NOTE the recall asymmetry inherited from MinHash-LSH: candidate
+    generation is Jaccard-biased, so extreme-ratio containments (tiny doc
+    in huge doc) may never become candidates — pair it with
+    :func:`~.corpus.chunk_dedup`-style span fingerprints when that tail
+    matters."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands)
+    cand = candidates.select("doc_a", "doc_b")
+    sh = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("sh"),
+    )
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.greatest(
+                    F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)
+                ).cast("double")
+            ).alias("containment"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("containment") >= threshold)
+    return out.select(
+        "doc_a", "doc_b", F.round("containment", 4).alias("containment")
+    )
+
+
 # ---------------------------------------------- persisted incremental index
 def _banded_rows(
     df: DataFrame,

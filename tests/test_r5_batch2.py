@@ -1,0 +1,162 @@
+"""Round-5 batch 2: GPT-2-style BPE token estimate, corpus top-n-grams,
+shingle containment verify, and temperature-based mixture sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.functions.text import (
+    bpe_token_count,
+    top_ngrams,
+)
+from kafka_connect_tablestore_spark.operators.corpus import (
+    temperature_rates,
+    temperature_sample,
+)
+from kafka_connect_tablestore_spark.operators.dedup import (
+    containment_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+# ---- bpe_token_count --------------------------------------------------------
+
+def _bpe(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(bpe_token_count("text").alias("n")).collect()[0]["n"]
+
+
+def test_bpe_short_words_one_each(spark):
+    # six pieces, every trimmed piece <= 4 chars -> 1 subword each
+    assert _bpe(spark, "key agg row scan slow fast") == 6
+
+
+def test_bpe_long_word_charged_len_over_4(spark):
+    # ceil(20/4) = 5
+    assert _bpe(spark, "internationalization") == 5
+
+
+def test_bpe_contraction_splits(spark):
+    # don(1) + 't(1) + stop(1)
+    assert _bpe(spark, "don't stop") == 3
+
+
+def test_bpe_digits_and_punct_are_separate_pieces(spark):
+    # abc(1) + 123(1) + !!(1)
+    assert _bpe(spark, "abc 123 !!") == 3
+
+
+def test_bpe_null_and_empty_are_zero(spark):
+    df = spark.createDataFrame([(None,), ("",), ("   ",)], "text string")
+    got = [r["n"] for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    assert got == [0, 0, 0]
+
+
+# ---- top_ngrams -------------------------------------------------------------
+
+def test_top_ngrams_counts_docs_and_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "visit our site visit our site"),   # trigram twice in doc 1
+            (2, "visit our site now"),
+            (3, "something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    top = top_ngrams(df, k=3, topk=2).collect()
+    assert top[0]["ngram"] == "visit our site"
+    assert top[0]["n_docs"] == 2
+    # doc 1: positions 1 and 4 -> 2 occurrences; doc 2: 1 -> 3 total
+    assert top[0]["n_occurrences"] == 3
+
+
+def test_top_ngrams_tie_broken_by_text(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b"), (2, "a a a")], "doc_id long, text string"
+    )
+    top = top_ngrams(df, k=3, topk=2).collect()
+    assert [r["ngram"] for r in top] == ["a a a", "b b b"]
+
+
+# ---- containment_pairs ------------------------------------------------------
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    # doc 1 is quoted verbatim inside doc 2, which is 4x longer: shingle
+    # containment = 1.0, jaccard well under 0.5
+    quote = "the quick brown fox jumps over the lazy dog today"
+    filler = " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    cont = containment_pairs(df, candidates=cand).collect()[0]["containment"]
+    jac = ngram_jaccard_pairs(df, candidates=cand).collect()[0]["jaccard"]
+    assert cont == 1.0
+    assert jac < 0.5
+
+
+def test_containment_threshold_filters(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "u v w x y z")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert containment_pairs(df, candidates=cand, threshold=0.5).count() == 0
+
+
+# ---- temperature sampling ---------------------------------------------------
+
+def _mix(spark):
+    # en: 30 docs x 3 tokens = 90 tokens; fr: 5 docs x 2 tokens = 10 tokens
+    rows = [(i, "en", "one two three") for i in range(30)]
+    rows += [(100 + i, "fr", "un deux") for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_temperature_rates_known_values(spark):
+    r = {x["lang"]: x for x in temperature_rates(_mix(spark), "lang").collect()}
+    assert r["en"]["n_tokens"] == 90 and r["fr"]["n_tokens"] == 10
+    assert r["en"]["share"] == 0.9 and r["fr"]["share"] == 0.1
+    # rate_g = sqrt(min_n / n_g): fr keeps everything, en thinned to 1/3
+    assert r["fr"]["keep_rate"] == 1.0
+    assert r["en"]["keep_rate"] == round(math.sqrt(10 / 90), 6)
+
+
+def test_temperature_sample_keeps_rarest_group_whole(spark):
+    out = temperature_sample(_mix(spark), "lang")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["fr"] == 5                       # rate 1.0 -> all kept
+    # en expected ~30/3 = 10; hash gate is uniform, allow slack
+    assert 4 <= by_lang.get("en", 0) <= 17
+
+
+def test_temperature_sample_stable_under_repartition(spark):
+    a = {r["doc_id"] for r in temperature_sample(_mix(spark), "lang").collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(_mix(spark).repartition(7), "lang").collect()
+    }
+    assert a == b
+
+
+def test_temperature_alpha_one_keeps_everything(spark):
+    # alpha=1 -> q == p -> every keep rate is 1.0
+    out = temperature_sample(_mix(spark), "lang", alpha=1.0)
+    assert out.count() == 35
+
+
+def test_temperature_alpha_validated(spark):
+    with pytest.raises(ValueError):
+        temperature_rates(_mix(spark), "lang", alpha=1.5)
+
+
+def test_temperature_sample_plan_is_broadcast_map_only(spark):
+    # the corpus side must not shuffle: the rate plan broadcasts in
+    plan = temperature_sample(_mix(spark), "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
