@@ -195,6 +195,97 @@ def start_lsh_index_stream(
     return writer.start()
 
 
+def start_chunk_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    dedup_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+    n_buckets: int = 64,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "chunk-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted chunk-fingerprint index from a document
+    stream — the streaming twin of the multi-day ``incremental_chunk_dedup``
+    loop, completing the set with the LSH and semantic index streams.
+
+    Per micro-batch: dedupe the batch's chunks against the index (plus
+    within-batch first occurrences), write the per-doc result to
+    ``dedup_path/batch_id=N`` with ``overwrite`` (replay rewrites, never
+    duplicates), append the surviving fingerprints to the index (first
+    batch: ``build_chunk_index``), then commit the batch id to a sidecar
+    manifest (tmp + rename) so a checkpoint-replayed batch is a no-op.
+
+    Crash between append and commit re-appends the batch's fingerprint
+    rows on replay; duplicate index rows cost space, never correctness —
+    the probe's hit set is ``.distinct()`` on the fingerprint before the
+    keep decision.  PRECONDITION inherited from the batch operator: ids
+    must arrive in monotone order across batches (the natural append-only
+    ingest shape) for exact equality with the full-corpus recompute."""
+    import json
+    import os
+
+    from kafka_connect_tablestore_spark.operators.corpus import (
+        append_to_chunk_index,
+        build_chunk_index,
+        chunk_dedup,
+        incremental_chunk_dedup,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_docs: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "n_docs": n_docs}, f)
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        if n_docs == 0:
+            _commit(batch_id, 0)
+            return
+        spark = docs.sparkSession
+        slice_dir = os.path.join(dedup_path, f"batch_id={batch_id}")
+        if os.path.exists(index_path):
+            per_doc, kept = incremental_chunk_dedup(
+                spark, index_path, docs, text_col, id_col,
+                chunk_words, n_buckets,
+            )
+            per_doc.write.mode("overwrite").parquet(slice_dir)
+            append_to_chunk_index(kept, index_path)
+        else:
+            chunk_dedup(docs, text_col, id_col, chunk_words).write.mode(
+                "overwrite"
+            ).parquet(slice_dir)
+            build_chunk_index(docs, index_path, text_col, id_col,
+                              chunk_words, n_buckets)
+        _commit(batch_id, n_docs)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_semantic_index_stream(
     vecs_stream: DataFrame,
     index_path: str,

@@ -204,3 +204,84 @@ def test_semantic_index_stream_matches_batch_recompute(spark, tmp_path):
         (r["vec_id"], r["is_survivor"])
         for r in spark.read.parquet(verdicts).collect()
     } == want
+
+
+def test_chunk_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted chunk-fingerprint index driven by the STREAMING engine
+    across three micro-batches must equal the full-corpus batch recompute:
+    union of per-batch dedup slices == chunk_dedup(all), and the index ==
+    build_chunk_index(all).  (Third stream-driven index after LSH and
+    semantic — monotone-id daily ingest.)"""
+    from kafka_connect_tablestore_spark.operators.corpus import (
+        build_chunk_index,
+        chunk_dedup,
+    )
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_chunk_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 300")
+        .cache()
+    )
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "chunk_idx")
+    dedup_out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_chunk_index_stream(stream, idx, dedup_out, ckpt, chunk_words=8)
+    q.awaitTermination(300)
+
+    cols = ["doc_id", "n_chunks", "n_kept", "clean_md5"]
+    got = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(dedup_out).select(cols).collect()
+    }
+    want = {
+        tuple(r[c] for c in cols)
+        for r in chunk_dedup(docs, chunk_words=8).collect()
+    }
+    assert got == want and len(got) == 300
+    # the corpus genuinely shares spans at this chunk size
+    assert any(r[2] < r[1] for r in got)
+
+    ref_idx = str(tmp_path / "chunk_ref")
+    build_chunk_index(docs, ref_idx, chunk_words=8)
+    key = ["chunk_md5", "doc_id", "pos"]
+    got_idx = {
+        tuple(r[c] for c in key) for r in spark.read.parquet(idx).collect()
+    }
+    want_idx = {
+        tuple(r[c] for c in key) for r in spark.read.parquet(ref_idx).collect()
+    }
+    assert got_idx == want_idx
+
+    # restart on the same checkpoint: no new data => no growth, no re-emit
+    n_rows = spark.read.parquet(idx).count()
+    q2 = start_chunk_index_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        dedup_out,
+        ckpt,
+        chunk_words=8,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == n_rows
+    assert {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(dedup_out).select(cols).collect()
+    } == want
