@@ -18,7 +18,9 @@ family, in dependency order:
   4b. per-domain caps       (operators/corpus.py::cap_per_domain, optional —
                              source diversity before the mixture math)
   5. PII redaction          (operators/corpus.py::redact_pii)
-  6. mixture sampling       (operators/corpus.py::mixture_sample)
+  6. mixture sampling       (operators/corpus.py::mixture_sample — explicit
+                             percents; or ::temperature_sample for
+                             data-derived XLM-R temperature rates)
   7. sequence packing       (operators/corpus.py::pack_sequences)
   8. deterministic shuffle  (operators/corpus.py::global_shuffle over PACK
                              GROUP keys — whole concatenation streams move,
@@ -59,6 +61,9 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-dup-word-frac", type=float, default=0.9)
     p.add_argument("--mixture", default="", help="lang=pct comma list, e.g. en=60,de=25,fr=15")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="temperature alpha for data-derived language rates "
+                        "(XLM-R style; ignored when --mixture is given)")
     p.add_argument("--domain-cap", type=int, default=0, help="max docs per registrable domain (0 = uncapped)")
     p.add_argument("--gopher", action="store_true",
                    help="apply the Gopher/MassiveText composite quality rules")
@@ -190,13 +195,26 @@ def main() -> None:
         )
         docs = docs.join(lw.select("doc_id"), "doc_id")
 
-    # 6: optional mixture targeting
+    # 6: optional mixture targeting — explicit percents (mixture_sample)
+    # or temperature-derived rates (temperature_sample); both are one tiny
+    # group aggregate broadcast back + a map-only hash gate.
     if args.mixture:
         pct = {
             kv.split("=")[0]: int(kv.split("=")[1])
             for kv in args.mixture.split(",")
         }
         docs = docs.join(mixture_sample(docs, "lang", pct).select("doc_id"), "doc_id")
+    elif args.temperature is not None:
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            temperature_sample,
+        )
+
+        docs = docs.join(
+            temperature_sample(docs, "lang", alpha=args.temperature).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
 
     # 7-8: pack into token budgets, then shuffle whole PACK GROUPS (not
     # bins, and not docs): a doc's row lives only in its START bin, so a

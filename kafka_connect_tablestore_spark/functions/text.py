@@ -113,21 +113,30 @@ def top_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
     and total occurrence count, top-``topk`` by document frequency.
 
     Relational shape: n-grams are built MAP-SIDE from the word array (no
-    positional self-join), then ONE aggregation on the n-gram key computes
-    both counts (``count_distinct`` over (ngram, doc) pre-reduced map-side
-    by the partial-agg pass), and the top-k is a ``TakeOrdered`` — no global
-    sort materializes the vocabulary-sized intermediate.  Ties broken by
-    n-gram text for cross-engine determinism."""
+    positional self-join), then TWO staged aggregations — per-(ngram, doc)
+    counts first (map-side combined; deliberately NOT ``count_distinct``,
+    whose Expand rewrite doubles every exploded row), then the per-ngram
+    rollup where ``count(*)`` IS the exact distinct-doc count because stage
+    one's key made (ngram, doc) unique.  The top-k is a ``TakeOrdered`` —
+    no global sort materializes the vocabulary-sized intermediate.  Ties
+    broken by n-gram text for cross-engine determinism."""
     from pyspark.sql import functions as F
 
-    grams = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("ngram")
+    # two-stage projection: materialize the word array BEFORE the shingle
+    # lambda references it (see shingles_from_words — an inline words(text)
+    # re-runs the split once per shingle instead of once per row)
+    grams = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+        F.col(id_col),
+        F.explode(shingles_from_words(F.col("_w"), k)).alias("ngram"),
+    )
+    per_doc = grams.groupBy("ngram", id_col).agg(
+        F.count(F.lit(1)).alias("_n")
     )
     return (
-        grams.groupBy("ngram")
+        per_doc.groupBy("ngram")
         .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_occurrences"),
         )
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("ngram"))
         .limit(topk)
