@@ -578,7 +578,20 @@ def train_pq_codebooks(
         raise ValueError(f"dim={dim} must be divisible by m={m}")
     sub = dim // m
     if train == "first":
-        rows = df.orderBy(id_col).limit(n_codes).collect()
+        # two-phase first-n: pick the ids on the CHEAP column, then filter.
+        # A direct orderBy(id).limit(n).collect() evaluates the caller's
+        # vector projection for EVERY row before the TakeOrdered — ruinous
+        # when vec_col is a derived expression (the IVFADC residual chain:
+        # interpreted higher-order functions, ~12x slower than this form);
+        # the id-only predicate pushes below the projection instead.
+        first_ids = [
+            r[0]
+            for r in df.select(id_col).orderBy(id_col).limit(n_codes).collect()
+        ]
+        rows = sorted(
+            df.where(F.col(id_col).isin(first_ids)).collect(),
+            key=lambda r: r[id_col],
+        )
         short = [r[id_col] for r in rows if len(r[vec_col]) < dim]
         if short:
             # a shorter vector would yield ragged codebook rows and
