@@ -811,6 +811,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("source") == "src0"), n_buckets=64
         )
 
+    def pipe_ppl_buckets(spark, sf):
+        """CCNet head/middle/tail perplexity split: thresholds from a
+        hash-ranked 256-doc sample (exact discrete quantiles), bucket
+        assignment map-only — no global ntile window."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            perplexity_buckets,
+        )
+
+        return perplexity_buckets(_docs(spark, sf), n_buckets=3, sample_size=256)
+
+    def pipe_mixture_plan(spark, sf):
+        """Token-budget recipe table: per-source supply, target share,
+        target tokens, and implied epochs for a 1M-token budget."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            mixture_plan,
+        )
+
+        return mixture_plan(
+            _docs(spark, sf), {"src0": 6.0, "src1": 3.0, "src2": 1.0},
+            1_000_000, group_col="source",
+        )
+
     def pipe_bpe_tokens(spark, sf):
         """Token-budget accounting: whitespace count + GPT-2-style
         pre-tokenizer subword estimate, both pure-Catalyst map-only."""
@@ -893,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_ppl_buckets=pipe_ppl_buckets,          # r5: new operator
+        pipe_mixture_plan=pipe_mixture_plan,        # r5: new operator
         pipe_bpe_tokens=pipe_bpe_tokens,            # r5: new operator
         pipe_top_ngrams=pipe_top_ngrams,            # r5: new operator
         pipe_containment=pipe_containment,          # r5: new operator
@@ -1776,6 +1800,42 @@ FROM wc JOIN model USING (word) CROSS JOIN tot
 GROUP BY doc_id
 """
 
+#: head/middle/tail twin: same ppl CTE, thresholds from the hash-ranked
+#: 256-row sample's sorted list at the exact discrete-quantile indices
+#: ceil(b*n/3) (1-based), bucket = 1 + Σ_b [ppl > t_b] on the rounded value
+_PPL_BUCKETS_SQL = f"""
+WITH ppl AS ({_UNIGRAM_PPL_SQL}),
+samp AS (
+  SELECT unigram_ppl FROM ppl
+  ORDER BY {H("CAST(doc_id AS VARCHAR)", "pplq")}, doc_id LIMIT 256
+),
+th AS (
+  SELECT list_sort(list(unigram_ppl)) AS s, count(*) AS n FROM samp
+)
+SELECT doc_id, n_words, unigram_ppl,
+  CAST(1 + (CASE WHEN unigram_ppl > s[least(n, CAST(ceil(1.0 * n / 3) AS BIGINT))]
+            THEN 1 ELSE 0 END)
+         + (CASE WHEN unigram_ppl > s[least(n, CAST(ceil(2.0 * n / 3) AS BIGINT))]
+            THEN 1 ELSE 0 END) AS INT) AS ppl_bucket
+FROM ppl CROSS JOIN th
+"""
+
+_MIXTURE_PLAN_SQL = """
+WITH tot AS (
+  SELECT source, CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+    AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens,
+  round(CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+        WHEN 'src2' THEN 0.1 ELSE 0.0 END AS DOUBLE), 6) AS target_share,
+  CAST(floor((CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+        WHEN 'src2' THEN 0.1 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS target_tokens,
+  round((CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.3
+        WHEN 'src2' THEN 0.1 ELSE 0.0 END) * 1000000.0 / n_tokens, 4) AS epochs
+FROM tot
+"""
+
 _SW = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
 _LANG_CASES = {
     lang: f"len(list_filter({W}, w -> list_contains([{', '.join(repr(s) for s in sws)}], w)))"
@@ -2435,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "pipe_boilerplate_strip": _BOILERPLATE_SQL,
         "pipe_dsir_weights": _DSIR_SQL,
         "cdc_sessionize": _SESSIONIZE_SQL,
+        "pipe_ppl_buckets": _PPL_BUCKETS_SQL,
+        "pipe_mixture_plan": _MIXTURE_PLAN_SQL,
         "pipe_bpe_tokens": _BPE_TOKENS_SQL,
         "pipe_top_ngrams": _TOP_NGRAMS_SQL,
         "pipe_containment": _CONTAINMENT_SQL,

@@ -443,6 +443,64 @@ def unigram_perplexity(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def perplexity_buckets(
+    df,
+    n_buckets: int = 3,
+    sample_size: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet's head/middle/tail split: bucket documents by LM perplexity
+    quantiles (bucket 1 = lowest perplexity = most fluent).  CCNet keeps
+    the head, LM-filters the middle, and drops the tail; the bucket column
+    is the routing key for that policy.
+
+    SCALE SHAPE — deliberately NOT ``ntile``: a global ntile window has no
+    partition key, so Spark would funnel the whole corpus through ONE task.
+    Instead the thresholds come from a bounded hash-ranked sample (the IVF
+    trainer's pattern: ``sample_size`` rows by ``hash64(id)``, one
+    TakeOrdered + driver collect), the b-th threshold is the sorted
+    sample's exact ``ceil(b·n/n_buckets)``-th element (discrete quantile,
+    no interpolation — engine-portable), and bucket assignment is a pure
+    map-only expression ``1 + Σ_b [ppl > t_b]`` over the constant-folded
+    thresholds.  Comparisons use the 4-decimal-rounded perplexity, so the
+    cross-engine float story is the same as ``unigram_perplexity``'s.
+
+    The perplexity plan is evaluated twice (once for the sample, once for
+    the output) — the trainer-precedent trade: a bounded recompute beats
+    caching a corpus-sized intermediate."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    ppl = unigram_perplexity(df, text_col, id_col)
+    sample = [
+        r["unigram_ppl"]
+        for r in ppl.select(
+            F.col(id_col), F.col("unigram_ppl"),
+            hash64(F.col(id_col).cast("string"), "pplq").alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(sample_size)
+        .collect()
+    ]
+    s = sorted(sample)
+    n = len(s)
+    thresholds = [
+        s[min(n - 1, _math.ceil(b * n / n_buckets) - 1)]
+        for b in range(1, n_buckets)
+    ]
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(F.col("unigram_ppl") > F.lit(t), 1).otherwise(0)
+    return ppl.select(
+        id_col, "n_words", "unigram_ppl",
+        bucket.cast("int").alias("ppl_bucket"),
+    )
+
+
 def bigram_perplexity(
     df, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.75
 ):

@@ -194,6 +194,59 @@ def mixture_sample(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget data-recipe planner: given target mixture ``weights``
+    and a total training ``budget_tokens``, emit per-source token supply,
+    target share, target token count, and the implied EPOCH count
+    ``target/supply`` — the LLaMA-style recipe table where high-value small
+    sources repeat (epochs > 1) and bulk sources are subsampled
+    (epochs < 1).  The planning complement of the samplers: where
+    ``mixture_sample``/``temperature_sample`` decide which rows survive,
+    this op tells the operator what the budget implies BEFORE anything is
+    dropped — the number a human signs off on.
+
+    One group-cardinality aggregate (map-side combined token sums); all
+    arithmetic on exact BIGINT supplies (shares = weight/Σweights computed
+    driver-side into literals).  Groups absent from ``weights`` get weight
+    0 (reported, target 0); weighted groups absent from the data raise —
+    a recipe demanding tokens a corpus cannot supply at any epoch count is
+    a config error, not a row to silently omit."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must map groups to non-negative numbers")
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from ..functions.text import token_count
+
+    wsum = float(sum(weights.values()))
+    totals = df.groupBy(group_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens")
+    )
+    present = {r[0] for r in totals.select(group_col).collect()}
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise ValueError(f"weighted groups absent from the data: {missing}")
+    share = F.lit(0.0)
+    for g, w in sorted(weights.items()):
+        share = F.when(F.col(group_col) == g, F.lit(w / wsum)).otherwise(share)
+    return totals.select(
+        group_col,
+        "n_tokens",
+        F.round(share, 6).alias("target_share"),
+        F.floor(share * F.lit(float(budget_tokens))).cast("long").alias(
+            "target_tokens"
+        ),
+        F.round(
+            share * F.lit(float(budget_tokens)) / F.col("n_tokens"), 4
+        ).alias("epochs"),
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str = "lang",

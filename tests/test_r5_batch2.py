@@ -160,3 +160,95 @@ def test_temperature_sample_plan_is_broadcast_map_only(spark):
     plan = temperature_sample(_mix(spark), "lang")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- perplexity_buckets -----------------------------------------------------
+
+def test_ppl_buckets_orders_fluency(spark):
+    from kafka_connect_tablestore_spark.functions.text import (
+        perplexity_buckets,
+    )
+
+    # doc 1 repeats the corpus's dominant words (low ppl); doc 3 is all
+    # hapaxes (highest ppl); doc 2 mixes
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat cat"),
+            (2, "the cat sat on mats"),
+            (3, "zyx wvu tsr qpo nml"),
+            (4, "the the cat cat sat"),
+            (5, "the cat the cat the"),
+            (6, "sat on the cat mats"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in perplexity_buckets(df, n_buckets=3).collect()}
+    assert out[3]["ppl_bucket"] == 3          # hapax soup lands in the tail
+    assert out[5]["ppl_bucket"] == 1          # most fluent lands in the head
+    # buckets are monotone in perplexity
+    rows = sorted(out.values(), key=lambda r: r["unigram_ppl"])
+    bks = [r["ppl_bucket"] for r in rows]
+    assert bks == sorted(bks)
+
+
+def test_ppl_buckets_no_global_window(spark):
+    from kafka_connect_tablestore_spark.functions.text import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = perplexity_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    # threshold assignment must be map-only: no Window node anywhere
+    assert "Window" not in plan
+
+
+def test_ppl_buckets_validates(spark):
+    from kafka_connect_tablestore_spark.functions.text import (
+        perplexity_buckets,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, n_buckets=1)
+
+
+# ---- mixture_plan -----------------------------------------------------------
+
+def test_mixture_plan_known_values(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import mixture_plan
+
+    # en supplies 90 tokens, fr supplies 10
+    df = _mix(spark)
+    plan = {
+        r["lang"]: r
+        for r in mixture_plan(
+            df, {"en": 1.0, "fr": 3.0}, budget_tokens=100, group_col="lang"
+        ).collect()
+    }
+    assert plan["en"]["n_tokens"] == 90 and plan["fr"]["n_tokens"] == 10
+    assert plan["en"]["target_share"] == 0.25 and plan["fr"]["target_share"] == 0.75
+    assert plan["en"]["target_tokens"] == 25 and plan["fr"]["target_tokens"] == 75
+    # fr must repeat 7.5x to meet its share; en subsamples to 0.2778
+    assert plan["fr"]["epochs"] == 7.5
+    assert plan["en"]["epochs"] == round(25 / 90, 4)
+
+
+def test_mixture_plan_unweighted_group_reported_zero(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import mixture_plan
+
+    plan = {
+        r["lang"]: r
+        for r in mixture_plan(
+            _mix(spark), {"fr": 1.0}, budget_tokens=100, group_col="lang"
+        ).collect()
+    }
+    assert plan["en"]["target_tokens"] == 0 and plan["en"]["epochs"] == 0.0
+
+
+def test_mixture_plan_missing_weighted_group_raises(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import mixture_plan
+
+    with pytest.raises(ValueError, match="absent"):
+        mixture_plan(_mix(spark), {"zz": 1.0}, budget_tokens=100, group_col="lang")
