@@ -811,6 +811,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, docs.where(F.col("source") == "src0"), n_buckets=64
         )
 
+    def pipe_knn_graph(spark, sf):
+        """Corpus k-NN graph: all-vectors top-k via the IVF cell equijoin
+        (query side distributed, never broadcast — the ann_ivf_topk twin
+        whose query set is the whole corpus)."""
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        return knn_graph(_emb(spark, sf), k=3, n_cells=16, nprobe=2)
+
     def pipe_ppl_buckets(spark, sf):
         """CCNet head/middle/tail perplexity split: thresholds from a
         hash-ranked 256-doc sample (exact discrete quantiles), bucket
@@ -915,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_knn_graph=pipe_knn_graph,              # r5: new operator
         pipe_ppl_buckets=pipe_ppl_buckets,          # r5: new operator
         pipe_mixture_plan=pipe_mixture_plan,        # r5: new operator
         pipe_bpe_tokens=pipe_bpe_tokens,            # r5: new operator
@@ -2183,7 +2194,10 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 """
 
 
-def _ann_ivf_sql(k: int = 5, n_cells: int = 16, nprobe: int = 2) -> str:
+def _ann_ivf_sql(
+    k: int = 5, n_cells: int = 16, nprobe: int = 2,
+    query_pred: str = "base.vec_id < 5",
+) -> str:
     # distance = (<v,v> - 2<v,c>) + <c,c> — the exact operand order of
     # operators.similarity.ivf_assign; ties broken by lowest cell index
     # (Spark's array_position-first-min / sort_array on struct<dist,idx>).
@@ -2205,7 +2219,7 @@ cells AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell_idx) = 1
 ),
 corpus AS (SELECT base.vec_id AS neighbor_id, v AS cv, cell FROM base JOIN cells USING (vec_id)),
-q0 AS (SELECT base.vec_id AS query_id, v AS qv FROM base WHERE base.vec_id < 5),
+q0 AS (SELECT base.vec_id AS query_id, v AS qv FROM base WHERE {query_pred}),
 qp AS (
   SELECT a.vec_id AS query_id, q0.qv, a.cell_idx AS cell
   FROM assign a JOIN q0 ON a.vec_id = q0.query_id
@@ -2495,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_boilerplate_strip": _BOILERPLATE_SQL,
         "pipe_dsir_weights": _DSIR_SQL,
         "cdc_sessionize": _SESSIONIZE_SQL,
+        "pipe_knn_graph": _ann_ivf_sql(k=3, n_cells=16, nprobe=2, query_pred="TRUE"),
         "pipe_ppl_buckets": _PPL_BUCKETS_SQL,
         "pipe_mixture_plan": _MIXTURE_PLAN_SQL,
         "pipe_bpe_tokens": _BPE_TOKENS_SQL,

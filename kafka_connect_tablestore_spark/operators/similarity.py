@@ -426,6 +426,78 @@ def ann_ivf_topk(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "first",
+) -> DataFrame:
+    """Approximate k-NN GRAPH of the corpus: every vector's top-k cosine
+    neighbors among its ``nprobe`` nearest IVF cells — the all-vectors
+    analogue of :func:`ann_ivf_topk` and the input structure for
+    graph-based dedup triage, cluster labeling, and diversity analysis.
+
+    Deliberately NOT ``ann_ivf_topk(df, df)``: that path BROADCASTS the
+    query side, correct for a handful of probes but fatal when queries =
+    the whole corpus.  Here both sides stay distributed and meet in a
+    plain cell-key equijoin (each cell's members against the vectors
+    probing that cell — candidate count is Σ_cell |members|·|probers|,
+    never N²), followed by the per-source top-k window partitioned on the
+    source id (key-local, no global sort).  Same centroid trainers, scoring
+    convention, rounding, and tie rule as ``ann_ivf_topk``."""
+    from pyspark.sql import Window
+
+    if train == "kmeans":
+        centroids = train_ivf_centroids(
+            df, n_cells, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = [
+            [float(x) for x in r[vec_col]]
+            for r in df.orderBy(id_col).limit(n_cells).collect()
+        ]
+    vd = F.col(vec_col).cast("array<double>")
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        vd.alias("cv"),
+        _norm(vd).alias("cn"),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+    )
+    probes = (
+        df.select(
+            F.col(id_col).alias("query_id"),
+            vd.alias("qv"),
+            _norm(vd).alias("qn"),
+            ivf_probe_cells(F.col(vec_col), centroids, nprobe).alias("_probes"),
+        )
+        .withColumn("cell", F.explode(F.col("_probes")))
+        .drop("_probes")
+    )
+    scored = (
+        corpus.join(probes, ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 # ------------------------------------------------ persisted IVF inverted file
 def build_ivf_index(
     df: DataFrame,

@@ -252,3 +252,41 @@ def test_mixture_plan_missing_weighted_group_raises(spark):
 
     with pytest.raises(ValueError, match="absent"):
         mixture_plan(_mix(spark), {"zz": 1.0}, budget_tokens=100, group_col="lang")
+
+
+# ---- knn_graph ----------------------------------------------------------------
+
+def test_knn_graph_matches_ann_ivf_all_queries(spark):
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_topk,
+        knn_graph,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where("vec_id < 120")
+    )
+    got = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in knn_graph(emb, k=3, n_cells=8, nprobe=2).collect()
+    }
+    # same math as the broadcast-query path with queries = corpus
+    want = {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in ann_ivf_topk(emb, emb, k=3, n_cells=8, nprobe=2).collect()
+    }
+    assert got == want and len(got) == 120 * 3
+
+
+def test_knn_graph_duplicate_vector_is_own_nearest(spark):
+    from kafka_connect_tablestore_spark.operators.similarity import knn_graph
+
+    rows = [(i, [float(i + 1), 1.0, 0.0]) for i in range(20)]
+    rows.append((99, [5.0, 1.0, 0.0]))          # exact duplicate of vec 4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = {
+        (r["query_id"], r["rank"]): r
+        for r in knn_graph(df, k=2, n_cells=4, nprobe=2).collect()
+    }
+    assert g[(99, 1)]["neighbor_id"] == 4 and g[(99, 1)]["cos_sim"] == 1.0
+    assert g[(4, 1)]["neighbor_id"] == 99 and g[(4, 1)]["cos_sim"] == 1.0
