@@ -631,3 +631,108 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ------------------------------------- persisted exact-dedup fingerprint index
+def build_fingerprint_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus's normalized-content fingerprints as a
+    parquet index ``partitionBy(bucket)`` — one row per DISTINCT content,
+    carrying the min-id owner.  The sixth persisted index, and the one a
+    daily-ingest pipeline touches first: exact dedup of today's crawl
+    against ALL prior days without re-reading any prior text.
+
+    Index size is one (fp, id, bucket) row per distinct document —
+    thousands of times smaller than the corpus; the probe reads only the
+    buckets a batch's fingerprints can land in (partition-pruned), the
+    same bounded driver collect as the chunk/IVF probes."""
+    from pyspark.sql import Window
+
+    rows = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    first = Window.partitionBy("fp").orderBy(id_col)
+    (
+        rows.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .select(
+            "fp",
+            F.col(id_col),
+            F.pmod(hash64(F.col("fp"), "fpb"), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def incremental_dedup_exact(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW batch against the persisted fingerprint index plus
+    within-batch first occurrences — zero prior-corpus reads beyond the
+    pruned index buckets.
+
+    Precondition (shared with the chunk/semantic indexes): batch ids sort
+    after every indexed id, the natural monotone daily-ingest shape; then
+    the union of per-batch survivors equals ``dedup_exact`` on the full
+    corpus (min-id-wins is prefix-stable under monotone append).
+
+    Returns ``(verdicts, kept_rows)``: per-doc ``(id, fp, kept)`` and the
+    surviving fingerprint rows ready for
+    :func:`append_to_fingerprint_index` once the batch commits."""
+    from pyspark.sql import Window
+
+    new_rows = (
+        new_docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+        .withColumn(
+            "bucket",
+            F.pmod(hash64(F.col("fp"), "fpb"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probe_buckets = [
+        r[0] for r in new_rows.select("bucket").distinct().collect()
+    ]
+    idx = spark.read.parquet(index_path)
+    if probe_buckets:
+        idx = idx.where(F.col("bucket").isin(probe_buckets))
+    hits = (
+        idx.join(F.broadcast(new_rows.select("fp").distinct()), "fp")
+        .select("fp")
+        .distinct()
+        .withColumn("_indexed", F.lit(True))
+    )
+    first = Window.partitionBy("fp").orderBy(id_col)
+    marked = (
+        new_rows.withColumn("_rn", F.row_number().over(first))
+        .join(F.broadcast(hits), "fp", "left")
+        .withColumn(
+            "kept", (F.col("_rn") == 1) & F.col("_indexed").isNull()
+        )
+    )
+    verdicts = marked.select(F.col(id_col), "fp", "kept")
+    kept_rows = marked.where(F.col("kept")).select("fp", F.col(id_col), "bucket")
+    return verdicts, kept_rows
+
+
+def append_to_fingerprint_index(kept_rows: DataFrame, path: str) -> None:
+    """Append a committed batch's surviving fingerprints — ids must be
+    disjoint from (and sort after) the indexed corpus."""
+    (
+        kept_rows.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

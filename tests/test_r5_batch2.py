@@ -290,3 +290,67 @@ def test_knn_graph_duplicate_vector_is_own_nearest(spark):
     }
     assert g[(99, 1)]["neighbor_id"] == 4 and g[(99, 1)]["cos_sim"] == 1.0
     assert g[(4, 1)]["neighbor_id"] == 99 and g[(4, 1)]["cos_sim"] == 1.0
+
+
+# ---- persisted exact-dedup fingerprint index (sixth index) --------------------
+
+def test_fingerprint_index_three_cycle_equals_batch(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_fingerprint_index,
+        build_fingerprint_index,
+        dedup_exact,
+        incremental_dedup_exact,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 300")
+    )
+    # inject cross-day exact duplicates so the index actually fires
+    dup = docs.where("doc_id < 10").selectExpr("doc_id + 1000 AS doc_id", "text")
+    corpus = docs.unionByName(dup)
+
+    idx = str(tmp_path / "fp_idx")
+    days = [
+        corpus.where("doc_id < 100"),
+        corpus.where("doc_id >= 100 and doc_id < 200"),
+        corpus.where("doc_id >= 200"),            # includes the 1000+ dups
+    ]
+    build_fingerprint_index(days[0], idx, n_buckets=16)
+    kept_ids = {
+        r["doc_id"]
+        for r in dedup_exact(days[0]).selectExpr("keep_id AS doc_id").collect()
+    }
+    for day in days[1:]:
+        verdicts, kept = incremental_dedup_exact(spark, idx, day, n_buckets=16)
+        kept_ids |= {r["doc_id"] for r in verdicts.where("kept").collect()}
+        append_to_fingerprint_index(kept, idx)
+
+    want = {r["keep_id"] for r in dedup_exact(corpus).collect()}
+    assert kept_ids == want
+    # the injected duplicates were recognized across days
+    assert all(1000 + i not in kept_ids for i in range(10))
+    # index holds exactly one row per distinct content
+    assert spark.read.parquet(idx).count() == len(want)
+
+
+def test_fingerprint_index_probe_prunes_partitions(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        build_fingerprint_index,
+        incremental_dedup_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"content number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "fp_idx")
+    build_fingerprint_index(docs, idx, n_buckets=16)
+    batch = spark.createDataFrame(
+        [(100, "content number 3"), (101, "brand new content")],
+        "doc_id long, text string",
+    )
+    verdicts, _ = incremental_dedup_exact(spark, idx, batch, n_buckets=16)
+    got = {r["doc_id"]: r["kept"] for r in verdicts.collect()}
+    assert got == {100: False, 101: True}
