@@ -917,6 +917,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_value",
         )
 
+    def cdc_incremental_agg(spark, sf):
+        """Incremental materialized-view maintenance: the per-(repo, lang)
+        row-count/byte view at offset ≤ 5000 is advanced to full-replay
+        state by applying ONLY the changefeed delta (retract pre-image,
+        assert post-image) — the base table is never re-aggregated.  The
+        oracle is the full recompute over the final state, so a hash match
+        proves delta application converges to ground truth."""
+        from kafka_connect_tablestore_spark.operators.changefeed import (
+            maintain_aggregate,
+        )
+
+        log = _log(spark, sf)
+        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+        old_state = merge_into_state(
+            None, clean.where(F.col("offset") <= 5000), CFG, ATTRS
+        )
+        # the engine's real incremental path: fold the tail INTO the prior
+        # state (plans/merge.py), not a from-scratch replay
+        new_state = merge_into_state(
+            old_state, clean.where(F.col("offset") > 5000), CFG, ATTRS
+        )
+        base = old_state.groupBy("repo", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.length("content"), F.lit(0)))
+            .cast("long")
+            .alias("content_bytes"),
+        )
+        changes = snapshot_diff(old_state, new_state, include_old=True)
+        return maintain_aggregate(base, changes, ("repo", "lang"))
+
+    def cdc_lag_stats(spark, sf):
+        """Per-partition event-time disorder profile (watermark sizing):
+        how many events arrive with commit_ts behind the partition's
+        running maximum, and by how much."""
+        from kafka_connect_tablestore_spark.operators.monitor import (
+            arrival_stats,
+        )
+
+        return arrival_stats(_log(spark, sf))
+
+    def pipe_ann_recall(spark, sf):
+        """Recall@k harness: IVF ANN judged against exact brute force,
+        per query — the accept metric for any approximate index."""
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            topk_recall,
+        )
+
+        emb = _emb(spark, sf)
+        q5 = emb.where(F.col("vec_id") < 5)
+        return topk_recall(
+            brute_force_topk(emb, q5, k=5), ann_ivf_topk(emb, q5, k=5)
+        )
+
     # Enumeration order is the contract with the driver's correctness gate,
     # which covers a fixed prefix of the registry (50 queries in round 4 vs
     # 55 entries).  Queries whose implementation changed most recently — or
@@ -925,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        cdc_incremental_agg=cdc_incremental_agg,    # r5: new operator (late)
+        cdc_lag_stats=cdc_lag_stats,                # r5: new operator (late)
+        pipe_ann_recall=pipe_ann_recall,            # r5: new operator (late)
         pipe_knn_graph=pipe_knn_graph,              # r5: new operator
         pipe_ppl_buckets=pipe_ppl_buckets,          # r5: new operator
         pipe_mixture_plan=pipe_mixture_plan,        # r5: new operator
@@ -2361,6 +2417,41 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        # incremental view maintenance: the oracle is the FULL recompute
+        # over the final fold state — equality proves the delta path
+        "cdc_incremental_agg": f"""
+WITH {LOG}, {_fold_ctes("log")}
+SELECT repo, lang,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS content_bytes
+FROM state GROUP BY repo, lang
+""",
+        "cdc_lag_stats": f"""
+WITH {LOG}, r AS (
+  SELECT topic, "partition", commit_ts,
+    max(commit_ts) OVER (PARTITION BY topic, "partition" ORDER BY "offset"
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS running
+  FROM log
+)
+SELECT topic, "partition",
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(CASE WHEN running > commit_ts THEN 1 END) AS BIGINT) AS n_late,
+  CAST(coalesce(max(CASE WHEN running > commit_ts THEN running - commit_ts END), 0)
+       AS BIGINT) AS max_lag,
+  round(coalesce(avg(CASE WHEN running > commit_ts THEN running - commit_ts END),
+       0.0), 4) AS avg_lag
+FROM r GROUP BY topic, "partition"
+""",
+        "pipe_ann_recall": f"""
+SELECT e.query_id,
+  CAST(count(*) AS BIGINT) AS n_ref,
+  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+  round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM ({_ANN_BRUTE_SQL}) e
+LEFT JOIN ({_ann_ivf_sql()}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
         "cdc_lww_window": f"WITH {LOG} {lww_cols}",
         "cdc_lww_maxby": f"WITH {LOG} {lww_cols}",
         "cdc_lww_salted": f"WITH {LOG} {lww_cols}",

@@ -27,6 +27,7 @@ def snapshot_diff(
     new: DataFrame,
     pk_cols: tuple[str, ...] = ("repo", "path"),
     attr_cols: tuple[str, ...] = ("commit", "lang", "content"),
+    include_old: bool = False,
 ) -> DataFrame:
     """Emit the row-change set transforming ``old`` into ``new``.
 
@@ -36,6 +37,13 @@ def snapshot_diff(
     DELETE rows carry nulls — the same frame shape the row-change decision
     matrix (operators/rowchange.py, reference RowChangeTransformer) accepts,
     so a feed can be re-applied downstream.
+
+    With ``include_old=True`` each change row additionally carries the
+    PRE-image attributes as ``old_<c>`` columns (null for INSERTs) — the
+    retraction half a downstream incremental view (``maintain_aggregate``)
+    needs to subtract a row's former contribution without re-reading the
+    base table.  This mirrors a Debezium-style ``before``/``after``
+    envelope, flattened.
     """
     marker = "_present"
     o = old.select(
@@ -63,6 +71,14 @@ def snapshot_diff(
         .when(~in_new, F.lit("DELETE"))
         .when(changed, F.lit("UPDATE"))
     )
+    pre_image = (
+        [
+            F.when(in_old, F.col(f"_old_{c}")).alias(f"old_{c}")
+            for c in attr_cols
+        ]
+        if include_old
+        else []
+    )
     return (
         j.select(
             *[F.col(c) for c in pk_cols],
@@ -71,6 +87,80 @@ def snapshot_diff(
                 F.when(in_new, F.col(f"_new_{c}")).alias(c)
                 for c in attr_cols
             ],
+            *pre_image,
         )
         .where(F.col("change_op").isNotNull())
+    )
+
+
+def maintain_aggregate(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    group_cols: tuple[str, ...] = ("repo", "lang"),
+    size_col: str = "content",
+    n_col: str = "n_rows",
+    bytes_col: str = "content_bytes",
+) -> DataFrame:
+    """Incrementally maintain a grouped (row count, size sum) materialized
+    view from a changefeed — the Materialize/Flink-style delta-application
+    path a CDC engine exists to feed, so a 10^10-row base table is never
+    re-aggregated per batch.
+
+    ``base_agg`` is the prior view state (``group_cols…, n_col, bytes_col``);
+    ``changes`` is a :func:`snapshot_diff` frame built with
+    ``include_old=True`` (post-image attributes in plain columns, pre-image
+    in ``old_<c>``).  Each DELETE/UPDATE retracts the row's former
+    contribution under its OLD group key (an update can move a row between
+    groups, e.g. a lang rewrite), each INSERT/UPDATE asserts the new
+    contribution under the new key; groups whose maintained count reaches
+    zero leave the view, matching a full recompute exactly.
+
+    Shape at scale: the base view is |groups| rows and the delta is
+    batch-sized — ONE shuffle on the group key with map-side partial
+    aggregation over (base ∪ retractions ∪ assertions); the base TABLE is
+    never touched.  Reference parity: the connector itself only upserts rows
+    (`TableStoreSinkTask` hands rows to the writer); view maintenance is the
+    lake-native capability layered on the same change stream.
+    """
+    op = F.col("change_op")
+    key_old = [
+        F.col(f"old_{c}").alias(c) if f"old_{c}" in changes.columns else F.col(c)
+        for c in group_cols
+    ]
+    missing = [
+        c for c in group_cols
+        if c not in changes.columns and f"old_{c}" not in changes.columns
+    ]
+    if missing:
+        raise ValueError(f"group cols absent from changes frame: {missing}")
+    if f"old_{size_col}" not in changes.columns:
+        raise ValueError(
+            "changes must come from snapshot_diff(include_old=True); "
+            f"old_{size_col} column is absent"
+        )
+    nbytes = lambda c: F.coalesce(F.length(F.col(c)), F.lit(0)).cast("long")  # noqa: E731
+    retract = changes.where(op.isin("DELETE", "UPDATE")).select(
+        *key_old,
+        F.lit(-1).cast("long").alias(n_col),
+        (-nbytes(f"old_{size_col}")).alias(bytes_col),
+    )
+    assert_ = changes.where(op.isin("INSERT", "UPDATE")).select(
+        *[F.col(c) for c in group_cols],
+        F.lit(1).cast("long").alias(n_col),
+        nbytes(size_col).alias(bytes_col),
+    )
+    base = base_agg.select(
+        *[F.col(c) for c in group_cols],
+        F.col(n_col).cast("long").alias(n_col),
+        F.col(bytes_col).cast("long").alias(bytes_col),
+    )
+    return (
+        base.unionByName(retract)
+        .unionByName(assert_)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(n_col).alias(n_col),
+            F.sum(bytes_col).alias(bytes_col),
+        )
+        .where(F.col(n_col) > 0)
     )

@@ -48,3 +48,49 @@ def offset_gaps(
             (F.col(offset_col) - F.col("_prev") - 1).alias("missing"),
         )
     )
+
+
+def arrival_stats(
+    log: DataFrame,
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+    ts_col: str = "commit_ts",
+) -> DataFrame:
+    """Per-partition event-time disorder profile: how late do events arrive
+    relative to the high-water mark already seen on their partition?
+
+    For each event, lateness = ``max(ts) over earlier offsets − ts`` when
+    positive (an event whose commit timestamp regressed behind the running
+    maximum — the situation that forces the LWW fold to order by
+    ``(commit_ts, offset)`` rather than arrival order, reference
+    `RowChangeSorter` semantics).  Emits one row per (topic, partition):
+    event count, late count, max and mean lateness in the timestamp's unit
+    (ms for the synthetic log).  This is the measurement that sizes a
+    streaming watermark: ``withWatermark(delay)`` must cover the observed
+    lateness tail or the stateful operators drop those events.
+
+    Shape at scale: identical to :func:`offset_gaps` — ONE partition-local
+    window ordered by offset (the partitioning the log already has from
+    Kafka, so no cross-key traffic), then a groupBy on the same key with
+    map-side partial aggregation.  Output is |partitions| rows.
+    """
+    w = (
+        Window.partitionBy(topic_col, partition_col)
+        .orderBy(offset_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.max(ts_col).over(w)
+    lag = running - F.col(ts_col)
+    late = running.isNotNull() & (lag > 0)
+    return (
+        log.select(topic_col, partition_col, offset_col, ts_col)
+        .withColumn("_lag", F.when(late, lag))
+        .groupBy(topic_col, partition_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_lag").cast("long").alias("n_late"),
+            F.coalesce(F.max("_lag"), F.lit(0)).cast("long").alias("max_lag"),
+            F.round(F.coalesce(F.avg("_lag"), F.lit(0.0)), 4).alias("avg_lag"),
+        )
+    )

@@ -1552,3 +1552,51 @@ def semantic_dedup(
     return cells.join(killed_all, id_col, "left").select(
         id_col, "cell", F.col("_killed").isNull().alias("is_survivor")
     )
+
+
+def topk_recall(
+    reference: DataFrame,
+    candidate: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact one
+    — the evaluation harness every ANN deployment runs before trusting an
+    index (recall@k is THE accept metric in Jégou et al. and every ANN
+    benchmark).  ``reference`` is the exact top-k frame (brute force),
+    ``candidate`` the approximate one (LSH / IVF / IVF-PQ); both are
+    (query, neighbor) ranked frames as produced by the ``*_topk`` operators.
+
+    Emits one row per query: reference size, hit count, recall rounded to 4
+    decimals.  Queries whose candidate set is empty (all probes pruned)
+    still appear, with recall 0 — silent omission would overstate quality.
+
+    Shape at scale: both inputs are k·|queries| rows — vanishingly small
+    next to the corpus that produced them — so the (query, neighbor) equi-
+    join broadcasts under AQE and the groupBy is one tiny shuffle.  The
+    expensive part is the two top-k scans upstream; this operator adds no
+    corpus pass.
+    """
+    ref = reference.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    cand = candidate.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("_hit"),
+    ).distinct()
+    return (
+        ref.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ref"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_ref",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ref"), 4).alias("recall"),
+        )
+    )

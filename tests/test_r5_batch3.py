@@ -1,0 +1,165 @@
+"""Round-5 batch 3: incremental materialized-view maintenance over the
+changefeed (Debezium-style before/after envelope → retract/assert delta),
+per-partition event-time lag stats, and the ANN recall@k harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_tablestore_spark.operators.changefeed import (
+    maintain_aggregate,
+    snapshot_diff,
+)
+from kafka_connect_tablestore_spark.operators.monitor import arrival_stats
+from kafka_connect_tablestore_spark.operators.similarity import topk_recall
+
+STATE_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, STATE_SCHEMA)
+
+
+def _full_recompute(state):
+    return state.groupBy("repo", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.length("content"), F.lit(0)))
+        .cast("long")
+        .alias("content_bytes"),
+    )
+
+
+def _view_of(df):
+    return {
+        (r["repo"], r["lang"]): (r["n_rows"], r["content_bytes"])
+        for r in df.collect()
+    }
+
+
+# ---- snapshot_diff include_old ----------------------------------------------
+
+def test_snapshot_diff_include_old_carries_pre_image(spark):
+    old = _state(spark, [("r1", "a", "c1", "py", "xx"), ("r1", "b", "c2", "go", "yyy")])
+    new = _state(spark, [("r1", "a", "c9", "py", "xxxx"), ("r1", "c", "c3", "py", "z")])
+    rows = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in snapshot_diff(old, new, include_old=True).collect()
+    }
+    upd = rows[("r1", "a")]
+    assert upd["change_op"] == "UPDATE"
+    assert upd["commit"] == "c9" and upd["old_commit"] == "c1"
+    assert upd["content"] == "xxxx" and upd["old_content"] == "xx"
+    dele = rows[("r1", "b")]
+    assert dele["change_op"] == "DELETE"
+    assert dele["content"] is None and dele["old_content"] == "yyy"
+    ins = rows[("r1", "c")]
+    assert ins["change_op"] == "INSERT"
+    assert ins["old_commit"] is None and ins["old_content"] is None
+
+
+def test_snapshot_diff_default_has_no_pre_image_columns(spark):
+    old = _state(spark, [("r1", "a", "c1", "py", "xx")])
+    new = _state(spark, [("r1", "a", "c2", "py", "xx")])
+    cols = snapshot_diff(old, new).columns
+    assert not [c for c in cols if c.startswith("old_")]
+
+
+# ---- maintain_aggregate ------------------------------------------------------
+
+def test_maintain_aggregate_equals_full_recompute(spark):
+    old = _state(
+        spark,
+        [
+            ("r1", "a", "c1", "py", "aa"),      # survives unchanged
+            ("r1", "b", "c1", "py", "bbb"),     # content grows (same group)
+            ("r1", "c", "c1", "go", "cccc"),    # lang rewrite moves groups
+            ("r2", "a", "c1", "go", "d"),       # deleted; r2/go group empties
+        ],
+    )
+    new = _state(
+        spark,
+        [
+            ("r1", "a", "c1", "py", "aa"),
+            ("r1", "b", "c2", "py", "bbbbbb"),
+            ("r1", "c", "c2", "py", "cccc"),
+            ("r1", "d", "c1", None, None),      # insert with null lang/content
+        ],
+    )
+    base = _full_recompute(old)
+    changes = snapshot_diff(old, new, include_old=True)
+    got = _view_of(maintain_aggregate(base, changes))
+    want = _view_of(_full_recompute(new))
+    assert got == want
+    assert ("r2", "go") not in got          # emptied group left the view
+    assert got[("r1", None)] == (1, 0)      # null group key + null size
+
+
+def test_maintain_aggregate_requires_pre_image(spark):
+    old = _state(spark, [("r1", "a", "c1", "py", "aa")])
+    new = _state(spark, [("r1", "a", "c2", "py", "aa")])
+    base = _full_recompute(old)
+    with pytest.raises(ValueError, match="include_old"):
+        maintain_aggregate(base, snapshot_diff(old, new))
+
+
+def test_maintain_aggregate_noop_changefeed_is_identity(spark):
+    old = _state(spark, [("r1", "a", "c1", "py", "aa"), ("r1", "b", "c1", "go", "b")])
+    base = _full_recompute(old)
+    changes = snapshot_diff(old, old, include_old=True)
+    assert changes.count() == 0
+    assert _view_of(maintain_aggregate(base, changes)) == _view_of(base)
+
+
+# ---- arrival_stats -----------------------------------------------------------
+
+def test_arrival_stats_counts_regressions_per_partition(spark):
+    log = spark.createDataFrame(
+        [
+            # partition 0: ts 100, 300, 250 (late by 50), 300 (tie: not late)
+            ("t", 0, 0, 100),
+            ("t", 0, 1, 300),
+            ("t", 0, 2, 250),
+            ("t", 0, 3, 300),
+            # partition 1: monotone
+            ("t", 1, 0, 10),
+            ("t", 1, 1, 20),
+        ],
+        "topic string, partition int, offset long, commit_ts long",
+    )
+    got = {
+        (r["topic"], r["partition"]): r.asDict()
+        for r in arrival_stats(log).collect()
+    }
+    p0 = got[("t", 0)]
+    assert (p0["n_events"], p0["n_late"], p0["max_lag"]) == (4, 1, 50)
+    assert p0["avg_lag"] == 50.0
+    p1 = got[("t", 1)]
+    assert (p1["n_events"], p1["n_late"], p1["max_lag"], p1["avg_lag"]) == (2, 0, 0, 0.0)
+
+
+# ---- topk_recall -------------------------------------------------------------
+
+def test_topk_recall_per_query_hits(spark):
+    ref = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12), (3, 13), (3, 14)],
+        "query_id int, neighbor_id int",
+    )
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 99)],  # q3 absent entirely
+        "query_id int, neighbor_id int",
+    )
+    got = {r["query_id"]: r.asDict() for r in topk_recall(ref, cand).collect()}
+    assert (got[1]["n_hits"], got[1]["recall"]) == (2, 1.0)
+    assert (got[2]["n_hits"], got[2]["recall"]) == (1, 0.5)
+    # a query the index returned nothing for still appears, at recall 0
+    assert (got[3]["n_hits"], got[3]["recall"]) == (0, 0.0)
+
+
+def test_topk_recall_ignores_candidate_duplicates(spark):
+    ref = spark.createDataFrame([(1, 10), (1, 11)], "query_id int, neighbor_id int")
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 10)], "query_id int, neighbor_id int"
+    )
+    row = topk_recall(ref, cand).collect()[0]
+    assert (row["n_hits"], row["recall"]) == (1, 0.5)
