@@ -251,7 +251,12 @@ class LakeTable:
         keep = list(self.config.pk_fields) + [c for c in META_COLS if c in df.columns]
         return align_to_schema(df, schema, keep)
 
-    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        include_meta: bool = False,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """Table state (pk + attrs + content_sha256), current or time-travel.
 
         ``version`` reads the table AS OF that snapshot (Iceberg
@@ -259,11 +264,20 @@ class LakeTable:
         deleted by ``vacuum``, so any un-vacuumed version reconstructs
         exactly — a metadata-only operation, no data copied at commit time.
 
+        ``buckets`` restricts the scan to those hash buckets — metadata-only
+        pruning (the snapshot's bucket→files map, the Iceberg
+        partition-pruning analogue), so a reader that knows which buckets a
+        batch touched pays for those buckets only, never the table.
+
         Retained tombstones (``_deleted``) are filtered out unless
         ``include_meta`` — they exist so late/reordered full-row events
         converge, and are compactable after a retention window."""
         snap = self.snapshot(version)
-        dirs = [d for ds in snap["buckets"].values() for d in ds]
+        bucket_map = snap["buckets"]
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            bucket_map = {b: ds for b, ds in bucket_map.items() if b in want}
+        dirs = [d for ds in bucket_map.values() for d in ds]
         if version is not None:
             # a vacuumed snapshot still has its meta file, but its data dirs
             # are gone — fail with a clear error instead of a mid-scan
@@ -297,27 +311,43 @@ class LakeTable:
             return out
         return out.where(~F.col("_deleted")).drop(*META_COLS)
 
-    def changefeed(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changefeed(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_old: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
         """INSERT/UPDATE/DELETE rows transforming snapshot ``from_version``
         into ``to_version`` (default: current) — an Iceberg-changelog-style
         incremental read computed relationally from two time-travel reads
         (``operators/changefeed.py::snapshot_diff``).  Both sides come from
         the same bucket layout, so the full-outer PK join co-partitions;
         downstream consumers get "changes since version X" without log
-        replay."""
+        replay.  ``include_old=True`` adds the pre-image ``old_<c>``
+        columns an incremental view (``maintain_aggregate``) retracts
+        against.  ``buckets`` prunes BOTH time-travel reads to those hash
+        buckets — exact whenever no key outside them changed between the
+        two versions, which a batch manifest's ``touched_buckets`` set
+        guarantees, making the per-batch changefeed cost proportional to
+        the batch, not the table."""
         from kafka_connect_tablestore_spark.operators.changefeed import (
             snapshot_diff,
         )
 
         schema = self.snapshot(to_version)["schema"]
         attrs = sorted(schema)
-        old = self.read(version=from_version)
-        new = self.read(version=to_version)
+        old = self.read(version=from_version, buckets=buckets)
+        new = self.read(version=to_version, buckets=buckets)
         for c in attrs:  # from_version may predate later ADD COLUMNs
             if c not in old.columns:
                 old = old.withColumn(c, F.lit(None).cast(schema[c]))
         return snapshot_diff(
-            old, new, tuple(self.config.pk_fields), tuple(attrs)
+            old,
+            new,
+            tuple(self.config.pk_fields),
+            tuple(attrs),
+            include_old=include_old,
         )
 
     # --------------------------------------------------------------- merge

@@ -408,3 +408,125 @@ def start_semantic_index_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_view_maintenance_stream(
+    events_stream: DataFrame,
+    engine: CdcEngine,
+    view_path: str,
+    checkpoint_dir: str,
+    *,
+    group_cols: tuple[str, ...] = ("repo", "lang"),
+    size_col: str = "content",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "cdc-view-maintenance",
+) -> StreamingQuery:
+    """Ingest a change-event stream AND keep a grouped (row count, byte sum)
+    materialized view current, per micro-batch, without ever re-aggregating
+    the base table — the streaming leg of
+    ``operators/changefeed.py::maintain_aggregate``.
+
+    Per micro-batch, in order:
+
+    1. ingest: ``engine.apply_batch`` (idempotent via the lake's batch
+       manifest — a checkpoint-replayed batch is skipped and returns its
+       original manifest, including the version it committed);
+    2. delta: the lake changefeed between the pre- and post-batch versions,
+       pre-image included, PRUNED to the manifest's ``touched_buckets`` —
+       per-batch cost is proportional to the batch, never the table;
+    3. view: ``maintain_aggregate`` applies retract/assert rows to the
+       previous persisted view and writes the result to
+       ``view_path/v{version}`` with ``overwrite`` (replay rewrites, never
+       double-applies);
+    4. commit: the batch id lands in a sidecar manifest (tmp + rename), so
+       a crash between 3 and 4 just replays an idempotent overwrite.
+
+    The view at version V always equals ``GROUP BY`` over the table read at
+    version V — the equality the batch tests prove and this stream carries
+    across micro-batches.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.changefeed import (
+        maintain_aggregate,
+    )
+
+    manifest_dir = view_path.rstrip("/") + ".batches"
+
+    def _view_dir(version: int) -> str:
+        return os.path.join(view_path, f"v{version:06d}")
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, version: int | None, n_groups: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "version": version, "n_groups": n_groups}, f
+            )
+        os.replace(tmp, final)
+
+    def _aggregate(state: DataFrame) -> DataFrame:
+        return state.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.length(size_col), F.lit(0)))
+            .cast("long")
+            .alias("content_bytes"),
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        spark = batch_df.sparkSession
+        manifest = engine.apply_batch(batch_df, f"stream-{batch_id}")
+        v_after = manifest.get("committed_at_version")
+        if v_after is None:  # nothing committed (e.g. all-errant batch)
+            _commit(batch_id, None, 0)
+            return
+        v_before = v_after - 1
+        prev_dir = _view_dir(v_before)
+        changes = engine.table.changefeed(
+            v_before,
+            v_after,
+            include_old=True,
+            buckets=manifest.get("touched_buckets"),
+        )
+        if os.path.exists(prev_dir):
+            base = spark.read.parquet(prev_dir)
+        else:
+            # stream bootstrap: aggregate the pre-stream state ONCE; every
+            # later batch reads the persisted view.  A version-0 snapshot
+            # predates the schema (pk columns only), so its view is the
+            # empty frame, typed off the delta so the union lines up.
+            state0 = engine.table.read(version=v_before)
+            if all(c in state0.columns for c in {*group_cols, size_col}):
+                base = _aggregate(state0)
+            else:
+                base = changes.select(
+                    *[F.col(c) for c in group_cols],
+                    F.lit(0).cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("content_bytes"),
+                ).limit(0)
+        view = maintain_aggregate(base, changes, group_cols, size_col)
+        out_dir = _view_dir(v_after)
+        view.write.mode("overwrite").parquet(out_dir)
+        n_groups = spark.read.parquet(out_dir).count()
+        _commit(batch_id, v_after, n_groups)
+
+    writer = (
+        events_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

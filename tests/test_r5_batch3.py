@@ -163,3 +163,104 @@ def test_topk_recall_ignores_candidate_duplicates(spark):
     )
     row = topk_recall(ref, cand).collect()[0]
     assert (row["n_hits"], row["recall"]) == (1, 0.5)
+
+
+# ---- streaming view maintenance ----------------------------------------------
+
+def test_view_maintenance_stream_tracks_full_recompute(spark, tmp_path):
+    """The materialized view driven by foreachBatch across three
+    micro-batches must equal a full GROUP BY over the table at EVERY
+    committed version, and a checkpoint restart must not move it."""
+    import os
+
+    from kafka_connect_tablestore_spark.config import SinkConfig, DeleteMode
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+    from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_view_maintenance_stream,
+    )
+
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 6_000, seed=23, n_repos=30)
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 2000), (2000, 4000), (4000, 6000)]):
+        events.where(f"offset >= {lo} and offset < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    view_path = str(tmp_path / "view")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_view_maintenance_stream(stream, eng, view_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(view_path) if d.startswith("v")
+    )
+    assert len(versions) == 3  # one view version per micro-batch
+    for v in versions:
+        got = {
+            (r["repo"], r["lang"]): (r["n_rows"], r["content_bytes"])
+            for r in spark.read.parquet(os.path.join(view_path, f"v{v:06d}")).collect()
+        }
+        want = {
+            (r["repo"], r["lang"]): (r["n_rows"], r["content_bytes"])
+            for r in eng.table.read(version=v)
+            .groupBy("repo", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.coalesce(F.length("content"), F.lit(0)))
+                .cast("long")
+                .alias("content_bytes"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    # restart on the same checkpoint: no new data => no new table version,
+    # no new view version
+    before = eng.table.current_version()
+    q2 = start_view_maintenance_stream(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        eng,
+        view_path,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(300)
+    assert eng.table.current_version() == before
+    assert sorted(
+        int(d[1:]) for d in os.listdir(view_path) if d.startswith("v")
+    ) == versions
+
+
+def test_bucket_pruned_changefeed_matches_full(spark, tmp_path):
+    """changefeed(buckets=touched) over a batch's manifest equals the
+    unpruned changefeed — and reads only the touched buckets' files."""
+    from kafka_connect_tablestore_spark.config import SinkConfig, DeleteMode
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+    from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+
+    # per-partition lineage mode computes the PRECISE touched-bucket set
+    # (the observed fast path deliberately marks all buckets touched)
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW, lineage_per_partition=True)
+    events = synth_changelog(spark, 4_000, seed=31, n_repos=20)
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.apply_batch(events.where("offset < 3000"), "b0")
+    # a narrow second batch touches few buckets
+    m = eng.apply_batch(
+        events.where("offset >= 3000 and repo = 'repo_0003'"), "b1"
+    )
+    touched = m["touched_buckets"]
+    assert 0 < len(touched) < cfg.n_buckets
+    full = eng.table.changefeed(1, 2, include_old=True)
+    pruned = eng.table.changefeed(1, 2, include_old=True, buckets=touched)
+    key = lambda r: (r["repo"], r["path"])  # noqa: E731
+    assert {key(r): r.asDict() for r in pruned.collect()} == {
+        key(r): r.asDict() for r in full.collect()
+    }
