@@ -821,6 +821,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return knn_graph(_emb(spark, sf), k=3, n_cells=16, nprobe=2)
 
+    def pipe_graph_rank(spark, sf):
+        """Seed-score diffusion over the corpus k-NN graph (personalized
+        PageRank, 3 unrolled rounds): vectors 0-4 are the trusted seed set,
+        their quality signal spreads to graph neighbors — the 'rank the
+        crawl by similarity to curated data' curation move."""
+        from kafka_connect_tablestore_spark.operators.clustering import (
+            propagate_scores,
+        )
+        from kafka_connect_tablestore_spark.operators.similarity import (
+            knn_graph,
+        )
+
+        emb = _emb(spark, sf)
+        seeds = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("id"), F.lit(1.0).alias("score")
+        )
+        edges = knn_graph(emb, k=3, n_cells=16, nprobe=2)
+        return propagate_scores(edges, seeds, n_iter=3, alpha=0.5)
+
     def pipe_ppl_buckets(spark, sf):
         """CCNet head/middle/tail perplexity split: thresholds from a
         hash-ranked 256-doc sample (exact discrete quantiles), bucket
@@ -978,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_graph_rank=pipe_graph_rank,            # r5: new operator (late)
         cdc_incremental_agg=cdc_incremental_agg,    # r5: new operator (late)
         cdc_lag_stats=cdc_lag_stats,                # r5: new operator (late)
         pipe_ann_recall=pipe_ann_recall,            # r5: new operator (late)
@@ -2395,6 +2415,34 @@ SELECT doc_id AS media_id, 'image' AS kind,
 FROM documents
 """
 
+def _graph_rank_sql(n_iter: int = 3, alpha: float = 0.5) -> str:
+    """Seed-score diffusion over the k-NN graph, the n_iter rounds unrolled
+    as chained CTEs — the exact twin of operators/clustering.py::
+    propagate_scores over similarity.py::knn_graph."""
+    knn = _ann_ivf_sql(k=3, n_cells=16, nprobe=2, query_pred="TRUE")
+    ctes = [
+        f"edges AS (SELECT query_id AS src, neighbor_id AS dst FROM ({knn}))",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges "
+        "UNION SELECT dst FROM edges "
+        "UNION SELECT vec_id FROM embeddings WHERE vec_id < 5))",
+        "base AS (SELECT id, CASE WHEN id < 5 THEN 1.0 ELSE 0.0 END::DOUBLE AS b "
+        "FROM nodes)",
+        "s0 AS (SELECT id, b AS s FROM base)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"s{t} AS (SELECT base.id, {alpha} * base.b + {1.0 - alpha} * "
+            f"coalesce(c.c, 0.0) AS s FROM base LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(p.s / deg.d) AS c FROM edges e "
+            f"JOIN s{t - 1} p ON e.src = p.id JOIN deg ON deg.src = e.src "
+            f"GROUP BY e.dst) c ON base.id = c.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, round(s, 4) AS score FROM s{n_iter}"
+    )
+
+
 _ANN_BRUTE_SQL = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -2442,6 +2490,7 @@ SELECT topic, "partition",
        0.0), 4) AS avg_lag
 FROM r GROUP BY topic, "partition"
 """,
+        "pipe_graph_rank": _graph_rank_sql(n_iter=3, alpha=0.5),
         "pipe_ann_recall": f"""
 SELECT e.query_id,
   CAST(count(*) AS BIGINT) AS n_ref,

@@ -172,3 +172,74 @@ def canonical_docs(
             (F.col(id_col) == -F.col("_b.neg_id")).alias("is_canonical"),
         )
     )
+
+
+def propagate_scores(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    alpha: float = 0.5,
+    src_col: str = "query_id",
+    dst_col: str = "neighbor_id",
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Personalized-PageRank-style score diffusion over a document graph
+    (typically :func:`~kafka_connect_tablestore_spark.operators.similarity.
+    knn_graph`): a small trusted/rated seed set spreads quality signal to
+    its graph neighborhood — the curation move behind "rank the crawl by
+    similarity to curated data" pipelines.
+
+        s_0(v)     = b(v)                      (seed score, 0 elsewhere)
+        s_{t+1}(v) = α·b(v) + (1−α)·Σ_{u→v} s_t(u)/outdeg(u)
+
+    run a FIXED ``n_iter`` rounds (a diffusion feature extractor, not a
+    convergence solver — the unrolled form is what the SQL twin mirrors).
+
+    Shape at scale: the node frame is |V| rows of (id, score); each round
+    is one |E| join on the source id plus one aggregation shuffled on the
+    destination — never any N² structure.  The edge frame with its
+    out-degree weights is computed ONCE and cached by lineage; per-round
+    frames are ``localCheckpoint``'ed (materialize + truncate) exactly like
+    :func:`connected_components`, so the plan stays constant-size as rounds
+    accumulate.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ew = e.join(deg, "_src").select(
+        "_src", "_dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
+    )
+    nodes = (
+        e.select(F.col("_src").alias(id_col))
+        .union(e.select(F.col("_dst").alias(id_col)))
+        .union(seeds.select(F.col(id_col)))
+        .distinct()
+    )
+    base = (
+        nodes.join(
+            seeds.select(id_col, F.col(score_col).alias("_seed")), id_col, "left"
+        )
+        .select(id_col, F.coalesce("_seed", F.lit(0.0)).alias("_b"))
+        .localCheckpoint(eager=True)
+    )
+    s = base.select(id_col, F.col("_b").alias("_s"))
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(s.select(F.col(id_col).alias("_src"), "_s"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum(F.col("_s") * F.col("_w")).alias("_c"))
+        )
+        s = (
+            base.join(contrib.select(F.col("_dst").alias(id_col), "_c"), id_col, "left")
+            .select(
+                id_col,
+                (
+                    F.lit(alpha) * F.col("_b")
+                    + F.lit(1.0 - alpha) * F.coalesce("_c", F.lit(0.0))
+                ).alias("_s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return s.select(id_col, F.round("_s", 4).alias(score_col))

@@ -264,3 +264,50 @@ def test_bucket_pruned_changefeed_matches_full(spark, tmp_path):
     assert {key(r): r.asDict() for r in pruned.collect()} == {
         key(r): r.asDict() for r in full.collect()
     }
+
+
+# ---- propagate_scores ----------------------------------------------------------
+
+def _chain_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "query_id string, neighbor_id string"
+    )
+    seeds = spark.createDataFrame([("a", 1.0)], "id string, score double")
+    return edges, seeds
+
+
+def test_propagate_scores_hand_computed_chain(spark):
+    from kafka_connect_tablestore_spark.operators.clustering import propagate_scores
+
+    edges, seeds = _chain_graph(spark)
+    # s1: a=.5, b=.5*(1/1)=.5, c=0 ; s2: a=.5, b=.5*.5=.25, c=.5*.5=.25
+    got = {
+        r["id"]: r["score"]
+        for r in propagate_scores(edges, seeds, n_iter=2, alpha=0.5).collect()
+    }
+    assert got == {"a": 0.5, "b": 0.25, "c": 0.25}
+
+
+def test_propagate_scores_zero_rounds_is_seed_vector(spark):
+    from kafka_connect_tablestore_spark.operators.clustering import propagate_scores
+
+    edges, seeds = _chain_graph(spark)
+    got = {
+        r["id"]: r["score"]
+        for r in propagate_scores(edges, seeds, n_iter=0).collect()
+    }
+    assert got == {"a": 1.0, "b": 0.0, "c": 0.0}
+
+
+def test_propagate_scores_isolated_seed_survives(spark):
+    from kafka_connect_tablestore_spark.operators.clustering import propagate_scores
+
+    edges, _ = _chain_graph(spark)
+    seeds = spark.createDataFrame([("z", 2.0)], "id string, score double")
+    got = {
+        r["id"]: r["score"]
+        for r in propagate_scores(edges, seeds, n_iter=2, alpha=0.5).collect()
+    }
+    # the isolated seed decays by alpha each round (no inbound mass),
+    # graph nodes stay at 0 (no path from z)
+    assert got == {"z": 1.0, "a": 0.0, "b": 0.0, "c": 0.0}
