@@ -840,6 +840,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = knn_graph(emb, k=3, n_cells=16, nprobe=2)
         return propagate_scores(edges, seeds, n_iter=3, alpha=0.5)
 
+    def pipe_script_detect(spark, sf):
+        """Writing-system profile with deterministically mixed-in Cyrillic /
+        CJK / Arabic runs (the corpus is ASCII — unmodified input would
+        verify nothing): per doc, letter counts per script block, dominant
+        script (first-wins ties), dominant share."""
+        from kafka_connect_tablestore_spark.functions.text import script_profile
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.expr("repeat(' пример текста', cast(doc_id % 3 as int) * 25)"),
+                F.expr("repeat(' 中文样本', cast(doc_id % 5 as int) * 15)"),
+                F.when(did % 7 == 0, F.lit(" مثال")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return script_profile(aug)
+
+    def pipe_token_histogram(spark, sf):
+        """Power-of-two histogram of per-doc token counts — the sequence-
+        packing / batch-shaping distribution; ~64 output rows at any corpus
+        size, share via a 1-row broadcast total."""
+        from kafka_connect_tablestore_spark.functions.text import token_histogram
+
+        return token_histogram(_docs(spark, sf))
+
     def pipe_ppl_buckets(spark, sf):
         """CCNet head/middle/tail perplexity split: thresholds from a
         hash-ranked 256-doc sample (exact discrete quantiles), bucket
@@ -997,6 +1025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_script_detect=pipe_script_detect,      # r5: new operator (late)
+        pipe_token_histogram=pipe_token_histogram,  # r5: new operator (late)
         pipe_graph_rank=pipe_graph_rank,            # r5: new operator (late)
         cdc_incremental_agg=cdc_incremental_agg,    # r5: new operator (late)
         cdc_lag_stats=cdc_lag_stats,                # r5: new operator (late)
@@ -2415,6 +2445,72 @@ SELECT doc_id AS media_id, 'image' AS kind,
 FROM documents
 """
 
+def _script_detect_sql() -> str:
+    """Twin of functions/text.py::script_profile over the same augmented
+    text: identical literal-endpoint character classes (SCRIPT_PATTERNS is
+    the single source for both engines), same first-wins dominance CASE."""
+    from kafka_connect_tablestore_spark.functions.text import SCRIPT_PATTERNS
+
+    names = [n for n, _ in SCRIPT_PATTERNS]
+    count_cols = ",\n    ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_PATTERNS
+    )
+    total = " + ".join(f"n_{n}" for n in names)
+    dom_cases = "\n       ".join(
+        f"WHEN {' AND '.join(f'n_{n} >= n_{o}' for o in names if o != n)} "
+        f"THEN '{n}'"
+        for n in names
+    )
+    dom_count = " ".join(
+        f"WHEN dominant_script = '{n}' THEN n_{n}" for n in names
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || repeat(' пример текста', CAST(doc_id % 3 AS INT) * 25)
+         || repeat(' 中文样本', CAST(doc_id % 5 AS INT) * 15)
+         || CASE WHEN doc_id % 7 = 0 THEN ' مثال' ELSE '' END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    {count_cols}
+  FROM aug
+), d AS (
+  SELECT *,
+    CASE WHEN ({total}) = 0 THEN 'none'
+       {dom_cases}
+    END AS dominant_script
+  FROM c
+)
+SELECT doc_id, {', '.join(f'n_{n}' for n in names)}, dominant_script,
+  CASE WHEN ({total}) > 0
+       THEN round((CASE {dom_count} END) / CAST(({total}) AS DOUBLE), 4)
+       ELSE 0.0 END AS script_ratio
+FROM d
+"""
+
+
+_TOKEN_HISTOGRAM_SQL = f"""
+WITH t AS (SELECT len({W}) AS n FROM documents),
+b AS (
+  SELECT CASE WHEN n <= 0 THEN -1
+              ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT) END AS bucket
+  FROM t
+),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY bucket),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS s FROM g)
+SELECT bucket,
+  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(1 AS BIGINT) << bucket END AS lo,
+  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+       ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS hi,
+  n_docs,
+  round(n_docs / s, 6) AS share
+FROM g CROSS JOIN tot
+"""
+
+
 def _graph_rank_sql(n_iter: int = 3, alpha: float = 0.5) -> str:
     """Seed-score diffusion over the k-NN graph, the n_iter rounds unrolled
     as chained CTEs — the exact twin of operators/clustering.py::
@@ -2490,6 +2586,8 @@ SELECT topic, "partition",
        0.0), 4) AS avg_lag
 FROM r GROUP BY topic, "partition"
 """,
+        "pipe_script_detect": _script_detect_sql(),
+        "pipe_token_histogram": _TOKEN_HISTOGRAM_SQL,
         "pipe_graph_rank": _graph_rank_sql(n_iter=3, alpha=0.5),
         "pipe_ann_recall": f"""
 SELECT e.query_id,

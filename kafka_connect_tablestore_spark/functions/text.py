@@ -567,3 +567,92 @@ def bigram_perplexity(
             F.exp(-F.sum(F.col("tf") * F.log(p)) / F.sum("tf")), 4
         ).alias("bigram_ppl"),
     )
+
+
+#: Unicode script ranges as regex character classes with LITERAL endpoint
+#: characters (built via chr() so the identical pattern string feeds both
+#: Java regex and RE2 — no escape-syntax divergence).  Declaration order is
+#: the dominance tie-break, first wins.
+SCRIPT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", f"[{chr(0x0400)}-{chr(0x04FF)}]"),
+    ("cjk", f"[{chr(0x4E00)}-{chr(0x9FFF)}]"),
+    ("arabic", f"[{chr(0x0600)}-{chr(0x06FF)}]"),
+)
+
+
+def script_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document writing-system profile: letter counts per Unicode
+    script block, the dominant script, and its share of counted letters —
+    the first routing signal of a multilingual crawl pipeline (script
+    gates which language-ID / tokenizer family even applies, and catches
+    mixed-script spam).
+
+    Dominant = the first script in :data:`SCRIPT_PATTERNS` order whose
+    count ties the maximum (deterministic, engine-portable); documents with
+    no counted letters get ``none`` / ratio 0.
+
+    Shape at scale: map-only — four ``regexp_count`` expressions per row
+    inside whole-stage codegen, no shuffle, no UDF."""
+    c = F.col(text_col)
+    counts = {
+        name: F.regexp_count(F.coalesce(c, F.lit("")), F.lit(pat))
+        for name, pat in SCRIPT_PATTERNS
+    }
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    dominant = F.lit("none")
+    names = [n for n, _ in SCRIPT_PATTERNS]
+    for i in range(len(names) - 1, -1, -1):
+        name = names[i]
+        is_max = None
+        for other in names:
+            if other == name:
+                continue
+            cond = counts[name] >= counts[other]
+            is_max = cond if is_max is None else (is_max & cond)
+        dominant = F.when((total > 0) & is_max, F.lit(name)).otherwise(dominant)
+    dom_count = None
+    for name in names:
+        expr = F.when(dominant == name, counts[name])
+        dom_count = expr if dom_count is None else F.coalesce(dom_count, expr)
+    ratio = F.when(total > 0, F.round(dom_count / total, 4)).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        *[counts[n].cast("long").alias(f"n_{n}") for n in names],
+        dominant.alias("dominant_script"),
+        ratio.alias("script_ratio"),
+    )
+
+
+def token_histogram(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-level power-of-two histogram of per-document token counts —
+    the distribution that sizes sequence packing, batch shaping, and
+    truncation budgets before any training run.  Bucket ``b`` holds
+    documents with ``2^b ≤ tokens < 2^(b+1)`` (bucket −1: empty docs).
+
+    Shape at scale: one map-only bucket assignment, one bucket-keyed
+    aggregation with map-side combine (output is ~64 rows max at any corpus
+    size), and a 1-row broadcast total for the share column."""
+    n = token_count(text_col)
+    b = (
+        F.when(n <= 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(n.cast("double"))).cast("int"))
+        .alias("bucket")
+    )
+    g = df.select(b).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = g.agg(F.sum("n_docs").cast("double").alias("_total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(cast(1 as bigint), bucket)"))
+        .alias("lo"),
+        F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(cast(1 as bigint), bucket + 1)") - 1)
+        .alias("hi"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+    )

@@ -311,3 +311,41 @@ def test_propagate_scores_isolated_seed_survives(spark):
     # the isolated seed decays by alpha each round (no inbound mass),
     # graph nodes stay at 0 (no path from z)
     assert got == {"z": 1.0, "a": 0.0, "b": 0.0, "c": 0.0}
+
+
+# ---- script_profile / token_histogram ------------------------------------------
+
+def test_script_profile_dominance_and_ties(spark):
+    from kafka_connect_tablestore_spark.functions.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                   # pure latin
+            (2, "привет мир"),                     # pure cyrillic
+            (3, "ab же"),                          # 2 latin vs 2 cyrillic: tie -> latin (first in order)
+            (4, "!!! 123"),                        # no letters -> none
+            (5, "中文中文中文 ok"),                  # cjk dominates
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in script_profile(df).collect()}
+    assert got[1]["dominant_script"] == "latin" and got[1]["script_ratio"] == 1.0
+    assert got[2]["dominant_script"] == "cyrillic" and got[2]["n_cyrillic"] == 9
+    assert got[3]["dominant_script"] == "latin"    # first-wins tie rule
+    assert got[4]["dominant_script"] == "none" and got[4]["script_ratio"] == 0.0
+    assert got[5]["dominant_script"] == "cjk" and got[5]["n_cjk"] == 6
+
+
+def test_token_histogram_buckets_and_shares(spark):
+    from kafka_connect_tablestore_spark.functions.text import token_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, "a b c d e f g h")],
+        "doc_id int, text string",
+    )
+    got = {r["bucket"]: r.asDict() for r in token_histogram(df).collect()}
+    # 1 token -> bucket 0 [1,1]; 2,3 tokens -> bucket 1 [2,3]; 8 -> bucket 3 [8,15]
+    assert (got[0]["lo"], got[0]["hi"], got[0]["n_docs"]) == (1, 1, 1)
+    assert (got[1]["lo"], got[1]["hi"], got[1]["n_docs"]) == (2, 3, 2)
+    assert (got[3]["lo"], got[3]["hi"], got[3]["n_docs"]) == (8, 15, 1)
+    assert got[1]["share"] == 0.5
