@@ -840,6 +840,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = knn_graph(emb, k=3, n_cells=16, nprobe=2)
         return propagate_scores(edges, seeds, n_iter=3, alpha=0.5)
 
+    def pipe_source_scorecard(spark, sf):
+        """Per-source corpus health report: volume, token supply, exact-dup
+        rate, mean alpha ratio — the mixture-weight decision table."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            source_scorecard,
+        )
+
+        return source_scorecard(_docs(spark, sf))
+
     def pipe_script_detect(spark, sf):
         """Writing-system profile with deterministically mixed-in Cyrillic /
         CJK / Arabic runs (the corpus is ASCII — unmodified input would
@@ -1025,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_source_scorecard=pipe_source_scorecard,  # r5: new operator (late)
         pipe_script_detect=pipe_script_detect,      # r5: new operator (late)
         pipe_token_histogram=pipe_token_histogram,  # r5: new operator (late)
         pipe_graph_rank=pipe_graph_rank,            # r5: new operator (late)
@@ -2585,6 +2595,24 @@ SELECT topic, "partition",
   round(coalesce(avg(CASE WHEN running > commit_ts THEN running - commit_ts END),
        0.0), 4) AS avg_lag
 FROM r GROUP BY topic, "partition"
+""",
+        "pipe_source_scorecard": f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len({W}) AS BIGINT) AS tokens,
+    length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha,
+    {FP} AS fp
+  FROM documents
+), o AS (SELECT fp, min(doc_id) AS owner FROM d GROUP BY fp)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+  round(avg(tokens), 4) AS mean_tokens,
+  round(avg(CASE WHEN d.doc_id <> o.owner THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+  round(avg(alpha), 4) AS mean_alpha_ratio
+FROM d JOIN o USING (fp)
+GROUP BY source
 """,
         "pipe_script_detect": _script_detect_sql(),
         "pipe_token_histogram": _TOKEN_HISTOGRAM_SQL,

@@ -198,18 +198,24 @@ def propagate_scores(
 
     Shape at scale: the node frame is |V| rows of (id, score); each round
     is one |E| join on the source id plus one aggregation shuffled on the
-    destination — never any N² structure.  The edge frame with its
-    out-degree weights is computed ONCE and cached by lineage; per-round
-    frames are ``localCheckpoint``'ed (materialize + truncate) exactly like
-    :func:`connected_components`, so the plan stays constant-size as rounds
-    accumulate.
+    destination — never any N² structure.  The weighted edge frame is
+    ``localCheckpoint``'ed ONCE up front — the edge input is typically an
+    expensive plan (a k-NN graph build) and every round references it, so
+    without materialization each round would RE-EXECUTE that build;
+    per-round score frames are checkpointed exactly like
+    :func:`connected_components`, so the plan stays constant-size as
+    rounds accumulate.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ew = e.join(deg, "_src").select(
-        "_src", "_dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
+    ew = (
+        e.join(deg, "_src")
+        .select("_src", "_dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("_src").alias(id_col))
@@ -240,6 +246,9 @@ def propagate_scores(
                     + F.lit(1.0 - alpha) * F.coalesce("_c", F.lit(0.0))
                 ).alias("_s"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: truncates lineage at first evaluation without paying a
+            # blocking driver job per round — unlike connected_components
+            # there is no per-round driver decision to synchronize on
+            .localCheckpoint(eager=False)
         )
     return s.select(id_col, F.round("_s", 4).alias(score_col))

@@ -1053,3 +1053,50 @@ def dsir_logweights(
         F.coalesce(F.size(w), F.lit(0)).cast("long").alias("n_tokens"),
         F.round(F.coalesce(score, F.lit(0.0)), 4).alias("dsir_logweight"),
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus health report — the one-page table a data curator
+    reads before deciding mixture weights: document and token volume, mean
+    length, exact-duplicate rate (docs whose normalized-content fingerprint
+    already belongs to an earlier doc), and mean alphanumeric ratio.
+
+    Shape at scale: one fingerprint-key aggregate finds each content's
+    min-id owner (map-side combined — duplicate groups pre-reduce in place),
+    joined back on the fingerprint (AQE broadcasts the owner table when it
+    fits; at web scale it stays a key-co-shuffled join), then ONE source-key
+    rollup whose output is |sources| rows.  No window anywhere — a
+    mega-source can't serialize through a single task.
+    """
+    from kafka_connect_tablestore_spark.functions.text import (
+        alpha_ratio,
+        doc_fingerprint,
+        token_count,
+    )
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).cast("long").alias("_tokens"),
+        alpha_ratio(text_col).alias("_alpha"),
+        doc_fingerprint(text_col).alias("_fp"),
+    )
+    owners = per_doc.groupBy("_fp").agg(F.min(id_col).alias("_owner"))
+    return (
+        per_doc.join(owners, "_fp")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("_tokens"), 4).alias("mean_tokens"),
+            F.round(
+                F.avg((F.col(id_col) != F.col("_owner")).cast("double")), 4
+            ).alias("dup_rate"),
+            F.round(F.avg("_alpha"), 4).alias("mean_alpha_ratio"),
+        )
+    )

@@ -349,3 +349,26 @@ def test_token_histogram_buckets_and_shares(spark):
     assert (got[1]["lo"], got[1]["hi"], got[1]["n_docs"]) == (2, 3, 2)
     assert (got[3]["lo"], got[3]["hi"], got[3]["n_docs"]) == (8, 15, 1)
     assert got[1]["share"] == 0.5
+
+
+# ---- source_scorecard -----------------------------------------------------------
+
+def test_source_scorecard_dup_rate_and_tokens(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import source_scorecard
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # owner of 'a b c'
+            (2, "a b c", "s1"),        # dup of 1 (same source)
+            (3, "a  b   c", "s2"),     # dup of 1 after whitespace canon, other source
+            (4, "x y", "s2"),          # unique
+        ],
+        "doc_id int, text string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in source_scorecard(df).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["total_tokens"], s1["dup_rate"]) == (2, 6, 0.5)
+    s2 = got["s2"]
+    # doc 3 duplicates doc 1 across sources; doc 4 is clean
+    assert (s2["n_docs"], s2["total_tokens"], s2["dup_rate"]) == (2, 5, 0.5)
+    assert s2["mean_tokens"] == 2.5
