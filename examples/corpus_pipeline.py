@@ -74,6 +74,9 @@ def main() -> None:
                    help="parquet dir of target-domain docs: keep docs whose "
                         "DSIR log importance weight clears --dsir-min-lw")
     p.add_argument("--dsir-min-lw", type=float, default=0.0)
+    p.add_argument("--report", action="store_true",
+                   help="print + write the per-source scorecard of the "
+                        "shipped corpus")
     args = p.parse_args()
 
     from kafka_connect_tablestore_spark.functions.text import token_count
@@ -243,6 +246,23 @@ def main() -> None:
     out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"corpus written: {n} docs in {args.shards} shards at {args.out}")
+
+    # 10: per-source scorecard of what actually shipped — volume, token
+    # supply, residual exact-dup rate (should be ~0 after step 1), mean
+    # alpha ratio.  One owner aggregate + one |sources|-row rollup; the
+    # curation report a mixture re-tune starts from.
+    if args.report:
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            source_scorecard,
+        )
+
+        src_col = "source" if "source" in docs.columns else "lang"
+        shipped = spark.read.parquet(args.out)
+        card = source_scorecard(shipped, source_col=src_col)
+        card.orderBy(F.desc("total_tokens")).show(50, truncate=False)
+        card.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out + "_scorecard")
+        )
 
 
 if __name__ == "__main__":
