@@ -849,6 +849,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_scorecard(_docs(spark, sf))
 
+    def pipe_c4_clean(spark, sf):
+        """C4-style line-level page cleaning over deterministically
+        synthesized multi-line pages (the corpus text is single-line — an
+        unaugmented input would exercise nothing): per page, four lines of
+        varying quality plus planted 'javascript' lines, 'lorem ipsum'
+        pages, and '{' pages on fixed doc_id residues."""
+        from kafka_connect_tablestore_spark.operators.corpus import c4_clean
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.concat(F.substring(F.col("text"), 1, 40), F.lit(" end.")),
+                F.when(did % 3 == 0, F.lit("short line")).otherwise(
+                    F.lit("this second line carries plenty of words to retain!")
+                ),
+                F.when(
+                    did % 5 == 0,
+                    F.lit("enable javascript to view this page properly now."),
+                ).otherwise(
+                    F.concat(
+                        F.lit("doc "),
+                        did.cast("string"),
+                        F.lit(" closing sentence with enough words here?"),
+                    )
+                ),
+                F.when(did % 7 == 0, F.lit("lorem ipsum dolor")).otherwise(
+                    F.lit("final good line with the required word count.")
+                ),
+                F.when(did % 11 == 0, F.lit("code { block")).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return c4_clean(aug, min_line_words=5, min_lines=3)
+
+    def pipe_lang_ngram(spark, sf):
+        """Char-trigram language ID with deterministically mixed-in German
+        and French runs (doc_id % 3 picks the contamination language; the
+        base synthetic text stays English-ish)."""
+        from kafka_connect_tablestore_spark.functions.text import ngram_lang_id
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    did % 3 == 1,
+                    F.expr(
+                        "repeat(' der schnelle ich und die einsicht geschichte', 3)"
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    did % 3 == 2,
+                    F.expr(
+                        "repeat(' les questions que nous la mesure des choses', 3)"
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return ngram_lang_id(aug)
+
+    def pipe_quality_classifier(spark, sf):
+        """Linear quality-classifier head (deterministic stand-in weights)
+        over the Gopher signal vector — the FineWeb-Edu/DCLM model-scoring
+        stage shape: per-doc features -> sigmoid score -> keep threshold."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            quality_classifier_score,
+        )
+
+        return quality_classifier_score(_docs(spark, sf))
+
+    def pipe_semantic_decontam(spark, sf):
+        """Embedding-level benchmark decontamination: every 17th corpus
+        vector doubles as a benchmark item (so its self-match plants an
+        exact cos=1.0 contamination hit); tau=0.9 flags those plus any
+        true near-duplicates."""
+        from kafka_connect_tablestore_spark.operators.decontam import (
+            semantic_decontaminate,
+        )
+
+        e = _emb(spark, sf)
+        bench = e.where(F.col("vec_id") % 17 == 0)
+        return semantic_decontaminate(e, bench, tau=0.9)
+
     def pipe_script_detect(spark, sf):
         """Writing-system profile with deterministically mixed-in Cyrillic /
         CJK / Arabic runs (the corpus is ASCII — unmodified input would
@@ -1034,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
+        pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
+        pipe_quality_classifier=pipe_quality_classifier,  # r5: new (final)
+        pipe_semantic_decontam=pipe_semantic_decontam,    # r5: new (final)
         pipe_source_scorecard=pipe_source_scorecard,  # r5: new operator (late)
         pipe_script_detect=pipe_script_detect,      # r5: new operator (late)
         pipe_token_histogram=pipe_token_histogram,  # r5: new operator (late)
@@ -2564,6 +2655,154 @@ QUALIFY row_number() OVER w <= 5
 """
 
 
+_C4_CLEAN_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 40) || ' end.',
+    CASE WHEN doc_id % 3 = 0 THEN 'short line'
+         ELSE 'this second line carries plenty of words to retain!' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'enable javascript to view this page properly now.'
+         ELSE 'doc ' || CAST(doc_id AS VARCHAR)
+              || ' closing sentence with enough words here?' END,
+    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor'
+         ELSE 'final good line with the required word count.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'code { block' ELSE '' END
+  ) AS text FROM documents
+), t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM aug
+), k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(string_split_regex(trim(l), '\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{') AS has_brace,
+  array_to_string(kept, chr(10)) AS clean_text,
+  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS keep
+FROM k
+"""
+
+
+def _lang_ngram_sql() -> str:
+    """DuckDB twin of functions.text.ngram_lang_id over the same
+    German/French-contaminated augmentation — profile lists shared from
+    CHAR_TRIGRAM_PROFILES, first-wins argmax mirrored as CASE order."""
+    from kafka_connect_tablestore_spark.functions.text import (
+        CHAR_TRIGRAM_PROFILES,
+    )
+
+    langs = list(CHAR_TRIGRAM_PROFILES)
+    hit_exprs = []
+    for lang in langs:
+        lst = ", ".join(f"'{p}'" for p in CHAR_TRIGRAM_PROFILES[lang])
+        hit_exprs.append(
+            f"CAST(len(list_filter(tri, x -> list_contains([{lst}], x))) "
+            f"AS BIGINT) AS {lang}_hits"
+        )
+    hits = ",\n    ".join(hit_exprs)
+    total = " + ".join(f"{l}_hits" for l in langs)
+    best = "greatest(" + ", ".join(f"{l}_hits" for l in langs) + ")"
+    case = f"CASE WHEN {total} = 0 THEN 'und'"
+    for lang in langs:
+        case += f" WHEN {lang}_hits = {best} THEN '{lang}'"
+    case += " END"
+    cols = ", ".join(f"{l}_hits" for l in langs)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, lower(text
+    || CASE WHEN doc_id % 3 = 1
+         THEN repeat(' der schnelle ich und die einsicht geschichte', 3)
+         ELSE '' END
+    || CASE WHEN doc_id % 3 = 2
+         THEN repeat(' les questions que nous la mesure des choses', 3)
+         ELSE '' END) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 3
+         THEN list_transform(generate_series(1, length(t) - 2),
+                             i -> substr(t, i, 3))
+         ELSE CAST([] AS VARCHAR[]) END AS tri
+  FROM aug
+), h AS (
+  SELECT doc_id,
+    {hits}
+  FROM g
+)
+SELECT doc_id, {cols},
+  {case} AS lang,
+  round(CAST({best} AS DOUBLE)
+        / CAST(greatest({total}, 1) AS DOUBLE), 4) AS confidence
+FROM h
+"""
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB twin of functions.text.quality_classifier_score: the gopher
+    signal CTE (shared SQL) + the same left-associated linear head; weights
+    shared from QUALITY_CLASSIFIER_WEIGHTS."""
+    from kafka_connect_tablestore_spark.functions.text import (
+        QUALITY_CLASSIFIER_WEIGHTS as W_,
+    )
+
+    logit = (
+        f"{W_['bias']!r} + {W_['log_n_words']!r} * ln(1.0 + CAST(n_words AS DOUBLE))"
+        f" + {W_['mean_word_len']!r} * mean_word_len"
+        f" + ({W_['symbol_word_ratio']!r}) * symbol_word_ratio"
+        f" + ({W_['bullet_line_frac']!r}) * bullet_line_frac"
+        f" + ({W_['ellipsis_line_frac']!r}) * ellipsis_line_frac"
+        f" + {W_['alpha_word_frac']!r} * alpha_word_frac"
+        f" + {W_['stop_hits']!r} * CAST(stop_hits AS DOUBLE)"
+    )
+    return f"""
+WITH g AS ({_GOPHER_SQL}),
+s AS (
+  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+         round(1.0 / (1.0 + exp(-({logit}))), 6) AS score
+  FROM g
+)
+SELECT *, score >= 0.5 AS keep FROM s
+"""
+
+
+def _semantic_decontam_sql(tau: float = 0.9) -> str:
+    """DuckDB twin of operators.decontam.semantic_decontaminate: the same
+    bench subset, list_dot_product cosine (== the Spark left fold, the
+    pipe_ann_brute precedent), smallest-bench-id tie rule."""
+    return f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv FROM embeddings
+      WHERE vec_id % 17 = 0),
+scored AS (
+  SELECT c.vec_id, b.bid,
+    CASE WHEN sqrt(list_dot_product(cv, cv)) = 0
+           OR sqrt(list_dot_product(bv, bv)) = 0 THEN -2.0
+         ELSE list_dot_product(cv, bv)
+              / (sqrt(list_dot_product(cv, cv))
+                 * sqrt(list_dot_product(bv, bv))) END AS s
+  FROM c CROSS JOIN b
+),
+best AS (
+  SELECT vec_id, bid, s,
+    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, bid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id,
+  CASE WHEN s > -1.5 THEN round(s, 4) END AS best_cos,
+  CASE WHEN s > -1.5 THEN bid END AS bench_id,
+  s >= {tau!r} AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lww_cols = (
         'SELECT topic, "partition", "offset", commit_ts, op, repo, path, '
@@ -2571,6 +2810,10 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        "pipe_c4_clean": _C4_CLEAN_SQL,
+        "pipe_lang_ngram": _lang_ngram_sql(),
+        "pipe_quality_classifier": _quality_classifier_sql(),
+        "pipe_semantic_decontam": _semantic_decontam_sql(tau=0.9),
         # incremental view maintenance: the oracle is the FULL recompute
         # over the final fold state — equality proves the delta path
         "cdc_incremental_agg": f"""

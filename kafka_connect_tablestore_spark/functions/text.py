@@ -656,3 +656,146 @@ def token_histogram(df, text_col: str = "text", id_col: str = "doc_id"):
         "n_docs",
         F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
     )
+
+
+#: distinctive character trigrams per language for the char-n-gram
+#: language-ID profile (the fastText/langid-style signal, reduced to a
+#: deterministic dependency-free profile table).  Order matters: ties in the
+#: hit counts resolve first-wins in this dict's iteration order.
+CHAR_TRIGRAM_PROFILES = {
+    "en": (
+        "the", " th", "he ", "ing", "ng ", " an", "nd ", " of",
+        "of ", "ed ", " to", "to ",
+    ),
+    "de": (
+        "der", "ein", "ich", "sch", "und", "die", "cht", "ung",
+        "ber", "gen", " ge", "en ",
+    ),
+    "fr": (
+        "les", " le", "ent", "que", " qu", "ion", " la", "ais",
+        "eur", "des", " et", "ous",
+    ),
+}
+
+
+def ngram_lang_id(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Character-trigram language identification — the n-gram-profile
+    upgrade over the whole-word stopword heuristic (``lang_scores``): robust
+    to missing function words, partial words, and concatenated boilerplate,
+    because every 3-char window of the document votes.
+
+    Per doc: lowercase once, enumerate all character trigrams, count hits
+    against each language's literal profile (``CHAR_TRIGRAM_PROFILES``),
+    argmax with deterministic first-wins ties in profile order; docs with
+    zero hits across all profiles report ``lang='und'``.  ``confidence`` is
+    the winner's share of all profile hits (rounded to 4 decimals).
+
+    Shape at scale: pure per-row Catalyst expressions over the trigram
+    array — map-only, fused into the scan, no shuffle, no Python.  The
+    lowered text and the trigram array are projected once per row (HOF
+    lambdas re-evaluate inline subexpressions per element — the
+    ``shingles_from_words`` lesson)."""
+    d = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_t")
+    )
+    t = F.col("_t")
+    n = F.length(t)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: F.substr(t, i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select(F.col(id_col), tri.alias("_g"))
+    g = F.col("_g")
+    langs = list(CHAR_TRIGRAM_PROFILES)
+    hit_cols = []
+    for lang in langs:
+        prof = F.array(*[F.lit(p) for p in CHAR_TRIGRAM_PROFILES[lang]])
+        hit_cols.append(
+            F.size(F.filter(g, lambda x: F.array_contains(prof, x)))
+            .cast("long")
+            .alias(f"{lang}_hits")
+        )
+    d = d.select(F.col(id_col), *hit_cols)
+    total = sum((F.col(f"{l}_hits") for l in langs[1:]), F.col(f"{langs[0]}_hits"))
+    best = F.greatest(*[F.col(f"{l}_hits") for l in langs])
+    # first-wins argmax: the CASE order IS the tie rule (en before de
+    # before fr), mirrored verbatim in the DuckDB twin
+    lang_expr = F.when(total == 0, F.lit("und"))
+    for l in langs:
+        lang_expr = lang_expr.when(F.col(f"{l}_hits") == best, F.lit(l))
+    return d.select(
+        F.col(id_col),
+        *[F.col(f"{l}_hits") for l in langs],
+        lang_expr.alias("lang"),
+        F.round(
+            best.cast("double")
+            / F.greatest(total, F.lit(1)).cast("double"),
+            4,
+        ).alias("confidence"),
+    )
+
+
+#: literal weights for the linear quality-classifier stage.  Stand-in for a
+#: trained model's coefficients (the FineWeb-Edu / DCLM-style classifier
+#: stage runs exactly this shape: per-doc features -> linear head -> keep
+#: threshold); deterministic so the stage has a bit-identical SQL twin.
+QUALITY_CLASSIFIER_WEIGHTS = {
+    "bias": -3.0,
+    "log_n_words": 0.25,
+    "mean_word_len": 0.35,
+    "symbol_word_ratio": -4.0,
+    "bullet_line_frac": -1.5,
+    "ellipsis_line_frac": -1.0,
+    "alpha_word_frac": 2.0,
+    "stop_hits": 0.15,
+}
+
+
+def quality_classifier_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+):
+    """Model-based quality scoring — the classifier stage of a modern
+    pretraining pipeline (FineWeb-Edu, DCLM: a small trained model scores
+    every document; the corpus keeps the high-scoring tail).  The trained
+    model is stood in by a deterministic linear head over the Gopher
+    signal vector: ``score = sigmoid(bias + w · x)`` with
+    ``x = (ln(1+n_words), mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits)``.
+    Swap ``weights`` for real coefficients to productionize; the plan shape
+    is identical.
+
+    Emits the score and the ``keep`` verdict alongside every underlying
+    signal (threshold tuning before the cut, as with ``gopher_quality``).
+    Signals are the ROUNDED gopher outputs, so the logit consumes
+    cross-engine-stable inputs; the score is rounded to 6 decimals.
+
+    Shape at scale: map-only end to end — ``gopher_quality`` is pure
+    per-row expressions and the head adds arithmetic only; fused into the
+    scan, no shuffle, no Python, no model server in the hot path."""
+    w = dict(QUALITY_CLASSIFIER_WEIGHTS)
+    if weights:
+        w.update(weights)
+    sig = gopher_quality(df, text_col, id_col).drop("keep")
+    logit = F.lit(float(w["bias"]))
+    feats = {
+        "log_n_words": F.log(F.lit(1.0) + F.col("n_words").cast("double")),
+        "mean_word_len": F.col("mean_word_len"),
+        "symbol_word_ratio": F.col("symbol_word_ratio"),
+        "bullet_line_frac": F.col("bullet_line_frac"),
+        "ellipsis_line_frac": F.col("ellipsis_line_frac"),
+        "alpha_word_frac": F.col("alpha_word_frac"),
+        "stop_hits": F.col("stop_hits").cast("double"),
+    }
+    for name, col in feats.items():
+        logit = logit + F.lit(float(w[name])) * col
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return sig.select(
+        "*",
+        F.round(score, 6).alias("score"),
+    ).withColumn("keep", F.col("score") >= F.lit(float(threshold)))

@@ -1100,3 +1100,59 @@ def source_scorecard(
             F.round(F.avg("_alpha"), 4).alias("mean_alpha_ratio"),
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2 — the
+    rule set behind the C4 corpus, reused by most public web pipelines
+    since):
+
+    - a LINE is retained iff it ends in a terminal punctuation mark
+      (``. ! ? "``), holds at least ``min_line_words`` words, and does not
+      contain the word ``javascript`` (case-insensitive);
+    - a PAGE is dropped iff it retains fewer than ``min_lines`` lines, or
+      contains ``lorem ipsum`` (placeholder text), or contains ``{`` (code
+      rendered into prose).
+
+    Emits per-page signals (total/kept line counts, the page-level flags),
+    the composite ``keep`` verdict, and the reassembled ``clean_text``
+    (retained lines joined by newlines) — filtering stays a ``.where``
+    away, as with ``gopher_quality``.
+
+    Shape at scale: pure per-row Catalyst expressions over the line array
+    (split / filter / array_join) — map-only, fused into the scan, no
+    shuffle, no Python.  The line array is projected once per row before
+    the lambdas reference it."""
+    lead = [F.col(c) for c in df.columns if c != text_col]
+    d = df.select(
+        *lead,
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+    )
+    t, lines = F.col("_t"), F.col("_lines")
+    is_kept = lambda l: (  # noqa: E731
+        F.rtrim(l).rlike(r'[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    d = d.select(
+        *lead,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    keep = (
+        (F.col("n_kept") >= min_lines)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return d.withColumn("keep", keep)
