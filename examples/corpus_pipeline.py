@@ -7,17 +7,27 @@
 The end-to-end shape of a training-data build over the engine's operator
 family, in dependency order:
 
+  0. C4 line cleaning       (operators/corpus.py::c4_clean, optional —
+                             text-mutating, so it runs before anything
+                             measures the text)
   1. exact dedup            (operators/dedup.py::dedup_exact)
   2. near-dup dedup         (MinHash-LSH candidates → Jaccard verify →
                              connected components, keep cluster minima)
   3. benchmark decontam     (operators/decontam.py::benchmark_overlap)
+  3a. semantic decontam     (operators/decontam.py::semantic_decontaminate,
+                             optional — embedding-cosine strike against a
+                             benchmark embedding set)
   3b. boilerplate strip     (operators/corpus.py::strip_boilerplate, optional
                              — frequent-span removal BEFORE the gates
                              measure the text)
-  4. quality gates          (tokens / alpha ratio / repetition)
+  4. quality gates          (tokens / alpha ratio / repetition; optional
+                             Gopher rules and the linear classifier head —
+                             functions/text.py::quality_classifier_score)
   4b. per-domain caps       (operators/corpus.py::cap_per_domain, optional —
                              source diversity before the mixture math)
   5. PII redaction          (operators/corpus.py::redact_pii)
+  5c. language inference    (functions/text.py::ngram_lang_id, optional —
+                             for corpora arriving without a lang column)
   6. mixture sampling       (operators/corpus.py::mixture_sample — explicit
                              percents; or ::temperature_sample for
                              data-derived XLM-R temperature rates)
@@ -77,6 +87,22 @@ def main() -> None:
     p.add_argument("--report", action="store_true",
                    help="print + write the per-source scorecard of the "
                         "shipped corpus")
+    p.add_argument("--c4", action="store_true",
+                   help="apply C4 line-level cleaning first (terminal-"
+                        "punctuation / min-words / javascript line rules; "
+                        "lorem-ipsum and brace page rules)")
+    p.add_argument("--classifier-min", type=float, default=None,
+                   help="keep docs whose linear quality-classifier score "
+                        "clears this threshold (FineWeb-Edu/DCLM stage "
+                        "shape, stand-in weights)")
+    p.add_argument("--infer-lang", action="store_true",
+                   help="derive the lang column via char-trigram language "
+                        "ID (for corpora without one)")
+    p.add_argument("--emb", help="parquet dir of (doc_id, embedding) for "
+                                 "the corpus (enables semantic decontam)")
+    p.add_argument("--bench-emb", help="parquet dir of (doc_id, embedding) "
+                                       "for the benchmark set")
+    p.add_argument("--semantic-tau", type=float, default=0.9)
     args = p.parse_args()
 
     from kafka_connect_tablestore_spark.functions.text import token_count
@@ -96,6 +122,21 @@ def main() -> None:
     spark = SparkSession.builder.appName("corpus-pipeline").getOrCreate()
     docs = spark.read.parquet(args.docs)
 
+    # 0: optional C4 line-level cleaning — text-MUTATING and page-dropping,
+    # so it runs FIRST: dedup fingerprints, quality gates, and packing all
+    # measure the cleaned text.  Map-only; the page verdict and the
+    # reassembled text come out of the same scan.
+    if args.c4:
+        from kafka_connect_tablestore_spark.operators.corpus import c4_clean
+
+        docs = (
+            c4_clean(docs)
+            .where("keep")
+            .withColumn("text", F.col("clean_text"))
+            .drop("n_lines", "n_kept", "has_lorem", "has_brace",
+                  "clean_text", "keep")
+        )
+
     # 1-2: survivors of exact dedup, then near-dup clustering (keep minima)
     keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
     docs = docs.join(keep, "doc_id")
@@ -109,6 +150,23 @@ def main() -> None:
         bench = spark.read.parquet(args.benchmark)
         clean = benchmark_overlap(docs, bench).where(~F.col("contaminated"))
         docs = docs.join(clean.select("doc_id"), "doc_id")
+
+    # 3a: optional semantic decontamination — strike docs whose embedding
+    # sits within cosine tau of any benchmark embedding (paraphrased eval
+    # leakage the k-gram check misses).  The benchmark rides in a literal,
+    # so scoring is a map-only pass; only the verdict join touches keys.
+    if args.emb and args.bench_emb:
+        from kafka_connect_tablestore_spark.operators.decontam import (
+            semantic_decontaminate,
+        )
+
+        flagged = semantic_decontaminate(
+            spark.read.parquet(args.emb),
+            spark.read.parquet(args.bench_emb),
+            id_col="doc_id",
+            tau=args.semantic_tau,
+        ).where("contaminated")
+        docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
     # 3b: optional boilerplate-span removal — text-MUTATING, so it runs
     # before the quality gates measure the text they will gate on.  One
@@ -163,6 +221,20 @@ def main() -> None:
             .drop(*sig_cols)
         )
 
+    # 4aa: optional classifier gate — the model-scoring stage; the linear
+    # head rides on the same map-only scan as the rule gates, so stacking
+    # it costs no extra pass (join-back on doc_id keeps the original
+    # columns without carrying the signal vector forward)
+    if args.classifier_min is not None:
+        from kafka_connect_tablestore_spark.functions.text import (
+            quality_classifier_score,
+        )
+
+        scored = quality_classifier_score(
+            docs, threshold=args.classifier_min
+        ).where("keep")
+        docs = docs.join(scored.select("doc_id"), "doc_id")
+
     # 4b: optional per-domain caps — source diversity before mixture math
     # (a runaway domain would otherwise dominate its language's quota)
     if args.domain_cap > 0:
@@ -197,6 +269,23 @@ def main() -> None:
             F.col("dsir_logweight") >= args.dsir_min_lw
         )
         docs = docs.join(lw.select("doc_id"), "doc_id")
+
+    # 5c: optional language inference — corpora without a lang column get
+    # one from the char-trigram profile vote (map-only), feeding the
+    # mixture / temperature stages below
+    if args.infer_lang:
+        from kafka_connect_tablestore_spark.functions.text import (
+            ngram_lang_id,
+        )
+
+        inferred = ngram_lang_id(docs).select(
+            "doc_id", F.col("lang").alias("_lang_inferred")
+        )
+        docs = (
+            docs.join(inferred, "doc_id")
+            .withColumn("lang", F.col("_lang_inferred"))
+            .drop("_lang_inferred")
+        )
 
     # 6: optional mixture targeting — explicit percents (mixture_sample)
     # or temperature-derived rates (temperature_sample); both are one tiny
@@ -244,8 +333,17 @@ def main() -> None:
 
     # 9: one file per shard; groups contiguous, sequences reconstructable
     out.write.mode("overwrite").partitionBy("shard").parquet(args.out)
-    n = spark.read.parquet(args.out).count()
+    try:
+        n = spark.read.parquet(args.out).count()
+    except Exception:
+        # every page gated out -> the write leaves no part files and the
+        # read-back can't infer a schema; report the empty corpus instead
+        # of crashing after an otherwise-successful run
+        n = 0
     print(f"corpus written: {n} docs in {args.shards} shards at {args.out}")
+    if n == 0:
+        print("warning: zero docs survived the gates; nothing to report")
+        return
 
     # 10: per-source scorecard of what actually shipped — volume, token
     # supply, residual exact-dup rate (should be ~0 after step 1), mean
