@@ -849,6 +849,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_scorecard(_docs(spark, sf))
 
+    def pipe_repetition_full(spark, sf):
+        """Complete Gopher repetition table over pages synthesized with
+        planted repetition: a shared boilerplate line (duplicated on
+        doc_id % 4 == 0 — dup-line signals), and the doc's own opening
+        span repeated within one line on doc_id % 3 == 0 (dup-5..10-gram
+        signals without touching the line metrics)."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            gopher_repetition,
+        )
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        l1 = F.substring(F.col("text"), 1, 80)
+        l2 = F.concat(
+            F.lit("this boilerplate sentence repeats verbatim across documents "),
+            (did % 5).cast("string"),
+        )
+        l3 = F.substring(F.col("text"), 1, 60)
+        aug = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                l1,
+                l2,
+                F.when(did % 4 == 0, l2),
+                F.when(did % 3 == 0, F.concat(l3, F.lit(" "), l3)),
+            ).alias("text"),
+        )
+        return gopher_repetition(aug)
+
     def pipe_c4_clean(spark, sf):
         """C4-style line-level page cleaning over deterministically
         synthesized multi-line pages (the corpus text is single-line — an
@@ -1121,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_repetition_full=pipe_repetition_full,  # r5: new operator (final)
         pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
         pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
         pipe_quality_classifier=pipe_quality_classifier,  # r5: new (final)
@@ -2773,6 +2804,93 @@ SELECT *, score >= 0.5 AS keep FROM s
 """
 
 
+def _gopher_repetition_sql(
+    top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
+) -> str:
+    """DuckDB twin of functions.text.gopher_repetition over the same
+    planted-repetition augmentation: per-n gram lists via generate_series
+    slices, counts grouped on (doc, n, gram), the top gram as a
+    lexicographic struct max (same (count, length, text) tie rule as the
+    Spark struct max), duplicate coverage as a conditional sum."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    gram_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, {n} AS n,
+    unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                          i -> array_to_string(w[i:i + {n - 1}], ' '))) AS gram
+  FROM per_doc"""
+        for n in all_ns
+    )
+    per_n_aggs = []
+    for n in sorted(top_ns):
+        per_n_aggs.append(
+            f"max(CASE WHEN n = {n} THEN struct_pack(c := cnt, l := glen, "
+            f"g := gram) END) AS top{n}"
+        )
+    for n in sorted(dup_ns):
+        per_n_aggs.append(
+            f"sum(CASE WHEN n = {n} AND cnt > 1 THEN cnt * glen ELSE 0 END) "
+            f"AS dup{n}"
+        )
+    out_cols = []
+    for n in sorted(top_ns):
+        out_cols.append(
+            f"round(least(coalesce(CAST(struct_extract(top{n}, 'c') "
+            f"* struct_extract(top{n}, 'l') AS DOUBLE), 0.0) "
+            f"/ CAST(cc AS DOUBLE), 1.0), 4) AS top_{n}gram_char_frac"
+        )
+    for n in sorted(dup_ns):
+        out_cols.append(
+            f"round(least(coalesce(CAST(dup{n} AS DOUBLE), 0.0) "
+            f"/ CAST(cc AS DOUBLE), 1.0), 4) AS dup_{n}gram_char_frac"
+        )
+    per_n_sql = ",\n    ".join(per_n_aggs)
+    out_sql = ",\n  ".join(out_cols)
+    return f"""
+WITH aug AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 80),
+    'this boilerplate sentence repeats verbatim across documents '
+      || CAST(doc_id % 5 AS VARCHAR),
+    CASE WHEN doc_id % 4 = 0 THEN
+      'this boilerplate sentence repeats verbatim across documents '
+        || CAST(doc_id % 5 AS VARCHAR) END,
+    CASE WHEN doc_id % 3 = 0 THEN
+      substr(text, 1, 60) || ' ' || substr(text, 1, 60) END
+  ) AS text FROM documents
+), per_doc AS (
+  SELECT doc_id,
+    string_split_regex(trim(lower(text)), '\\s+') AS w,
+    round(CAST(len(string_split(text, chr(10)))
+               - len(list_distinct(string_split(text, chr(10))))
+          AS DOUBLE)
+          / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE),
+          4) AS dup_line_frac,
+    round(CAST(list_aggregate(list_transform(string_split(text, chr(10)),
+                                             x -> length(x)), 'sum')
+               - list_aggregate(list_transform(
+                   list_distinct(string_split(text, chr(10))),
+                   x -> length(x)), 'sum')
+          AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 4)
+      AS dup_line_char_frac,
+    greatest(length(array_to_string(
+      string_split_regex(trim(lower(text)), '\\s+'), ' ')), 1) AS cc
+  FROM aug
+), grams AS (
+{gram_selects}
+), counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS glen
+  FROM grams GROUP BY doc_id, n, gram
+), per_n AS (
+  SELECT doc_id,
+    {per_n_sql}
+  FROM counts GROUP BY doc_id
+)
+SELECT p.doc_id, dup_line_frac, dup_line_char_frac,
+  {out_sql}
+FROM per_doc p LEFT JOIN per_n USING (doc_id)
+"""
+
+
 def _semantic_decontam_sql(tau: float = 0.9) -> str:
     """DuckDB twin of operators.decontam.semantic_decontaminate: the same
     bench subset, list_dot_product cosine (== the Spark left fold, the
@@ -2810,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        "pipe_repetition_full": _gopher_repetition_sql(),
         "pipe_c4_clean": _C4_CLEAN_SQL,
         "pipe_lang_ngram": _lang_ngram_sql(),
         "pipe_quality_classifier": _quality_classifier_sql(),

@@ -799,3 +799,155 @@ def quality_classifier_score(
         "*",
         F.round(score, 6).alias("score"),
     ).withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+
+
+def gopher_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """The COMPLETE Gopher/MassiveText repetitious-text table (Rae et al.
+    2021 §A.1.1, Table A1) — ``repetition_scores`` covers only the
+    duplicate-word/2-gram fractions; this adds the line- and
+    character-level family the paper actually filters on:
+
+    - ``dup_line_frac``       — fraction of lines that repeat an earlier
+                                line (occurrences after the first);
+    - ``dup_line_char_frac``  — characters inside those repeated line
+                                occurrences / ``length(text)``;
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``) — characters covered by
+      the single most frequent word n-gram (count × gram length over the
+      canonical single-spaced text), ties broken by gram length then by
+      gram text descending;
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — characters covered by
+      ALL n-grams occurring more than once (every occurrence counted).
+
+    Char coverages count overlapping occurrences separately (the cheap
+    deterministic reading of the paper's definition; interval-union
+    coverage would need per-position bookkeeping) and are capped at 1.0,
+    with the n-gram denominators measured on the canonical word-joined
+    text.  All ratios rounded to 4 decimals.
+
+    Shape at scale: line metrics are pure per-row array expressions
+    (map-only).  N-gram metrics build every (n, gram) pair map-side in one
+    flattened explode, aggregate once on the (doc, n, gram) key (map-side
+    combine collapses each doc's repeats before the wire), then once on
+    the doc key (conditional per-n aggregates — no pivot shuffle), and
+    join back to the per-doc frame on the id.  Two key-local aggregations
+    plus one id join — no window, so a pathological doc can't serialize a
+    task beyond its own gram set."""
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col),
+        words(text_col).alias("_w"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+        F.length(F.col(text_col)).alias("_tc"),
+    )
+    lines, tc = F.col("_lines"), F.col("_tc")
+    nl = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda a, x: a + F.length(x)
+    )
+    dist_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    per_doc = base.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.round(
+            (nl - n_dist).cast("double")
+            / F.greatest(nl, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            (line_chars - dist_chars).cast("double")
+            / F.greatest(tc, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_line_char_frac"),
+        # canonical single-spaced length: the n-gram denominators
+        F.length(F.array_join(F.col("_w"), " ")).alias("_cc"),
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _tag(n: int):
+        # a DEFAULT-ARG closure (lambda g, n=n) would arrive at pyspark as
+        # a TWO-argument HOF lambda, and transform() feeds the second
+        # parameter the element INDEX — silently replacing the gram size
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    gram_arrays = [
+        F.transform(shingles_from_words(F.col("_w"), n), _tag(n))
+        for n in all_ns
+    ]
+    grams = per_doc.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"),
+    ).select(
+        F.col(id_col),
+        F.col("_g.n").alias("_n"),
+        F.col("_g.gram").alias("_gram"),
+    )
+    counts = grams.groupBy(id_col, "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    glen = F.length(F.col("_gram"))
+    aggs = []
+    for n in sorted(top_ns):
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_n") == n,
+                    F.struct(
+                        F.col("_cnt").alias("c"),
+                        glen.alias("l"),
+                        F.col("_gram").alias("g"),
+                    ),
+                )
+            ).alias(f"_top{n}")
+        )
+    for n in sorted(dup_ns):
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("_n") == n) & (F.col("_cnt") > 1),
+                    F.col("_cnt") * glen,
+                ).otherwise(F.lit(0))
+            ).alias(f"_dup{n}")
+        )
+    per_n = counts.groupBy(id_col).agg(*aggs)
+    cc = F.greatest(F.col("_cc"), F.lit(1)).cast("double")
+    out_cols = [
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        F.col("dup_line_char_frac"),
+    ]
+    for n in sorted(top_ns):
+        t = F.col(f"_top{n}")
+        cover = t.getField("c") * t.getField("l")
+        # coalesce INSIDE least: least() skips nulls, so a doc with no
+        # n-grams (null cover) would otherwise surface least(null, 1) = 1
+        out_cols.append(
+            F.round(
+                F.least(
+                    F.coalesce(cover.cast("double"), F.lit(0.0)) / cc,
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in sorted(dup_ns):
+        out_cols.append(
+            F.round(
+                F.least(
+                    F.coalesce(F.col(f"_dup{n}").cast("double"), F.lit(0.0))
+                    / cc,
+                    F.lit(1.0),
+                ),
+                4,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    return per_doc.join(per_n, id_col, "left").select(*out_cols)

@@ -225,3 +225,68 @@ def test_semantic_decontam_plan_has_no_join_or_shuffle(spark):
     bench = _vecs(spark, [(10, [1.0, 0.0])])
     plan = _plan(semantic_decontaminate(corpus, bench))
     assert "Join" not in plan and "Exchange" not in plan
+
+
+# ------------------------------------------------- gopher_repetition
+
+
+def test_gopher_repetition_known_values(spark):
+    from kafka_connect_tablestore_spark.functions.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # two identical lines out of three; "alpha beta gamma" 3-gram x2
+            (0, "alpha beta gamma\nalpha beta gamma\nunique line here"),
+            # single line, one word repeated 12 times
+            (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    r0 = out[0]
+    assert r0["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    # repeated line = 16 chars of 50 total
+    assert r0["dup_line_char_frac"] == pytest.approx(16 / 50, abs=1e-4)
+    # canonical len = 50; top 3-gram 'alpha beta gamma' x2 = 32 chars
+    assert r0["top_3gram_char_frac"] == pytest.approx(32 / 50, abs=1e-4)
+    assert r0["dup_5gram_char_frac"] == 0.0
+    r1 = out[1]
+    # 'spam spam' count 11 x 9 chars, capped at 1.0
+    assert r1["top_2gram_char_frac"] == 1.0
+    assert r1["dup_10gram_char_frac"] == 1.0  # 3 occurrences x 49 chars
+    r2 = out[2]
+    assert all(
+        r2[c] == 0.0 for c in r2.asDict() if c.endswith("frac")
+    ), "empty doc must report zero coverage, not 1.0"
+
+
+def test_gopher_repetition_top_gram_tie_rule(spark):
+    """All grams unique -> tie on count -> the LONGEST gram wins (then
+    lexicographically greatest), matching the SQL twin's ordering."""
+    from kafka_connect_tablestore_spark.functions.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cccccc dd")], ["doc_id", "text"]
+    )
+    r = gopher_repetition(df, top_ns=(2,), dup_ns=(5,)).collect()[0]
+    # canonical len 15; longest 2-gram is 'cccccc dd' (9) or 'bb cccccc' (9)
+    # -> length tie -> lexicographically greatest = 'cccccc dd'
+    assert r["top_2gram_char_frac"] == pytest.approx(9 / 15, abs=1e-4)
+
+
+def test_gopher_repetition_no_window_in_plan(spark):
+    """Skew contract: two key-local aggregations + one id join — no
+    window, so a hot doc can't serialize beyond its own gram set."""
+    from kafka_connect_tablestore_spark.functions.text import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
+    plan = _plan(gopher_repetition(df))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
