@@ -849,6 +849,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_scorecard(_docs(spark, sf))
 
+    def _cross_split(spark, sf):
+        """Parity split of documents: odd ids = the NEW crawl, even ids =
+        the PRIOR corpus (deterministic, mirrored in the SQL twins)."""
+        d = _docs(spark, sf)
+        return (
+            d.where(F.col("doc_id") % 2 == 1),
+            d.where(F.col("doc_id") % 2 == 0),
+        )
+
+    def pipe_cross_exact(spark, sf):
+        """Exact cross-corpus dedup: per NEW doc, is its normalized content
+        already anywhere in the PRIOR corpus (fingerprint semi-probe)."""
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            cross_dedup_exact,
+        )
+
+        new, prior = _cross_split(spark, sf)
+        return cross_dedup_exact(new, prior)
+
+    def pipe_cross_neardup(spark, sf):
+        """Near-dup cross-corpus verdict: bipartite LSH candidates → exact
+        Jaccard → per-new-doc best prior match + threshold verdict."""
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            cross_neardup,
+        )
+
+        new, prior = _cross_split(spark, sf)
+        return cross_neardup(new, prior, threshold=0.5)
+
+    def pipe_bpe_merges(spark, sf):
+        """Top adjacent-character-pair counts over pre-tokenized pieces —
+        BPE training's first-merge statistic."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            bpe_pair_counts,
+        )
+
+        return bpe_pair_counts(_docs(spark, sf), topk=20)
+
     def pipe_repetition_full(spark, sf):
         """Complete Gopher repetition table over pages synthesized with
         planted repetition: a shared boilerplate line (duplicated on
@@ -1151,6 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
+        pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
+        pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
         pipe_repetition_full=pipe_repetition_full,  # r5: new operator (final)
         pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
         pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
@@ -1838,12 +1879,17 @@ SELECT doc_id, CAST(key % 16 AS INT) AS shard,
 FROM k
 """
 
-_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key, "
-    "h0,h1,h2,h3,h4,h5,h6,h7 FROM sig"
-    for b in range(4)
-)
+def _bands_sql_from(sig_cte: str) -> str:
+    """Banded-signature SQL over a named signature CTE (band count 4)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(h{2*b} AS VARCHAR) || '_' || CAST(h{2*b+1} AS VARCHAR) AS band_key, "
+        f"h0,h1,h2,h3,h4,h5,h6,h7 FROM {sig_cte}"
+        for b in range(4)
+    )
+
+
+_BANDS_SQL = _bands_sql_from("sig")
 
 from kafka_connect_tablestore_spark.operators.dedup import (  # noqa: E402
     MINHASH_P,
@@ -1851,13 +1897,18 @@ from kafka_connect_tablestore_spark.operators.dedup import (  # noqa: E402
 )
 
 _BASE_HS = f"list_transform({SHINGLES}, s -> {H('s', 'mh')} % {MINHASH_P})"
-_SIG_SQL = "SELECT doc_id, " + ", ".join(
-    "list_min(list_transform({hs}, h -> (h * {a} + {b}) % {p})) AS h{j}".format(
-        hs=_BASE_HS, a=minhash_perm_coeffs(j)[0], b=minhash_perm_coeffs(j)[1],
-        p=MINHASH_P, j=j,
-    )
-    for j in range(8)
-) + " FROM documents"
+def _sig_sql_from(table: str) -> str:
+    """MinHash-signature SQL over any table/CTE with (doc_id, text)."""
+    return "SELECT doc_id, " + ", ".join(
+        "list_min(list_transform({hs}, h -> (h * {a} + {b}) % {p})) AS h{j}".format(
+            hs=_BASE_HS, a=minhash_perm_coeffs(j)[0],
+            b=minhash_perm_coeffs(j)[1], p=MINHASH_P, j=j,
+        )
+        for j in range(8)
+    ) + f" FROM {table}"
+
+
+_SIG_SQL = _sig_sql_from("documents")
 
 _LSH_PAIRS_CORE = f"""
 sig AS ({_SIG_SQL}), banded AS ({_BANDS_SQL})
@@ -1965,6 +2016,70 @@ SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
 FROM g GROUP BY ngram
 ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC LIMIT 20
 """
+
+#: parity split of ``documents`` for the cross-corpus queries — odd ids play
+#: the NEW crawl, even ids the PRIOR corpus (deterministic, engine-portable).
+_CROSS_SPLIT = (
+    "newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1), "
+    "priordocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0)"
+)
+
+_CROSS_EXACT_SQL = f"""
+WITH {_CROSS_SPLIT},
+pfp AS (SELECT DISTINCT {FP} AS fp FROM priordocs)
+SELECT n.doc_id, {FP} AS fp, (p.fp IS NOT NULL) AS in_prior
+FROM newdocs n LEFT JOIN pfp p ON {FP} = p.fp
+"""
+
+_CROSS_NEARDUP_SQL = f"""
+WITH {_CROSS_SPLIT},
+nsig AS ({_sig_sql_from('newdocs')}),
+psig AS ({_sig_sql_from('priordocs')}),
+nband AS ({_bands_sql_from('nsig')}),
+pband AS ({_bands_sql_from('psig')}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, p.doc_id AS prior_id
+  FROM nband n JOIN pband p
+    ON n.band = p.band AND n.band_key = p.band_key
+  WHERE n.h0 IS NOT NULL
+),
+sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS s FROM documents),
+scored AS (
+  SELECT c.doc_id, c.prior_id,
+    round(
+      len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
+      / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE,
+    4) AS j
+  FROM cand c JOIN sh x ON c.doc_id = x.doc_id JOIN sh y ON c.prior_id = y.doc_id
+),
+best AS (
+  SELECT doc_id, j, prior_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, prior_id ASC) = 1
+)
+SELECT d.doc_id, coalesce(b.j, 0.0) AS best_jaccard, b.prior_id,
+  coalesce(b.j >= 0.5, false) AS is_dup
+FROM newdocs d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+_BPE_PAIRS_SQL = f"""
+WITH pieces AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      regexp_extract_all(lower(coalesce(text, '')), '{{re}}'),
+      p -> trim(p)), p -> length(p) >= 2) AS ps
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(flatten(list_transform(ps,
+    p -> list_transform(generate_series(1, length(p) - 1),
+                        i -> substr(p, i, 2))))) AS pair
+  FROM pieces
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY pair
+ORDER BY n_occurrences DESC, n_docs DESC, pair ASC LIMIT 20
+""".replace("{re}", _BPE_RE_SQL)
 
 _TEMP_TOT_SQL = (
     f"SELECT lang, CAST(sum(len({W})) AS BIGINT) AS n_tokens "
@@ -2928,6 +3043,9 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        "pipe_cross_exact": _CROSS_EXACT_SQL,
+        "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
+        "pipe_bpe_merges": _BPE_PAIRS_SQL,
         "pipe_repetition_full": _gopher_repetition_sql(),
         "pipe_c4_clean": _C4_CLEAN_SQL,
         "pipe_lang_ngram": _lang_ngram_sql(),

@@ -951,3 +951,71 @@ def gopher_repetition(
             ).alias(f"dup_{n}gram_char_frac")
         )
     return per_doc.join(per_n, id_col, "left").select(*out_cols)
+
+
+def bpe_pair_counts(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 20,
+):
+    """Adjacent-character-pair frequency table over pre-tokenized pieces —
+    the statistic byte-pair encoding's FIRST merge maximizes (Sennrich et
+    al. 2016): BPE training repeatedly merges the most frequent adjacent
+    symbol pair, and round one's candidates are exactly these character
+    bigrams.  Corpus-side this is the "train the tokenizer on the corpus
+    you just cleaned" pipeline step; it also feeds vocabulary-coverage
+    sanity checks (a top pair full of mojibake bytes flags an encoding
+    problem upstream).
+
+    Segmentation reuses :data:`BPE_PRETOKEN_RE` (the GPT-2-style
+    pre-tokenizer, Java-regex ∩ RE2 subset) with pieces trimmed and
+    empties dropped — the same piece stream :func:`bpe_token_count`
+    charges, so the two stages describe one tokenizer.  Pairs never cross
+    a piece boundary, matching real BPE training.  Emits each pair's total
+    occurrence count and distinct-document count, top-``topk`` by
+    occurrence count; ties break by document count then pair text for
+    cross-engine determinism.
+
+    Shape at scale: pairs are built MAP-SIDE from the piece array (no
+    positional self-join), then the :func:`top_ngrams` two-stage shape —
+    per-(pair, doc) counts first (map-side combined), then the per-pair
+    rollup where ``count(*)`` IS the distinct-doc count; top-k is a
+    ``TakeOrdered``, no global sort.  A hot pair ("th", "e ") appears in
+    every partition, which is exactly what the two-stage partial
+    aggregation absorbs."""
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    # single-arg lambdas required (see bpe_token_count); the length >= 2
+    # guard keeps Spark's sequence() from running DESCENDING on 1-char
+    # pieces (sequence(1, 0) = [1, 0], unlike DuckDB's empty
+    # generate_series — the shingles_from_words lesson)
+    trimmed = F.filter(
+        F.transform(pieces, lambda p: F.trim(p)),
+        lambda p: F.length(p) >= 2,
+    )
+    pair_lists = F.transform(
+        trimmed,
+        lambda p: F.transform(
+            F.sequence(F.lit(1), F.length(p) - 1),
+            lambda i: F.substr(p, i, F.lit(2)),
+        ),
+    )
+    # two-stage projection: materialize the piece array before the pair
+    # lambdas reference it (HOF inline-subexpression re-evaluation)
+    grams = (
+        df.select(F.col(id_col), pair_lists.alias("_pl"))
+        .select(F.col(id_col), F.explode(F.flatten(F.col("_pl"))).alias("pair"))
+    )
+    per_doc = grams.groupBy("pair", id_col).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        per_doc.groupBy("pair")
+        .agg(
+            F.sum("_n").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy(
+            F.desc("n_occurrences"), F.desc("n_docs"), F.asc("pair")
+        )
+        .limit(topk)
+    )

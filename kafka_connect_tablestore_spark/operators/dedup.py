@@ -736,3 +736,179 @@ def append_to_fingerprint_index(kept_rows: DataFrame, path: str) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def cross_dedup_exact(
+    new: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-corpus dedup verdict: for every NEW document, is its
+    normalized content already present anywhere in ``prior``?  The
+    "dedup this crawl against C4 / last month's snapshot" move — RefinedWeb
+    and Dolma both run exactly this stage before within-corpus dedup, since
+    a fresh crawl re-fetches most of the previous one.
+
+    Unlike :func:`incremental_dedup_exact` (persisted index, monotone-id
+    precondition), this is the ad-hoc two-frame form: id spaces may overlap
+    between the frames (identity is the frame, not the id), and no index
+    needs to exist.  Output: ``(id, fp, in_prior)`` for EVERY new doc.
+
+    Shape at scale: the prior side collapses to one row per DISTINCT
+    fingerprint before the join (map-side-combined aggregate — duplicate
+    groups pre-reduce in place), then ONE fingerprint-key equi-join; AQE
+    broadcasts the distinct-fp side when it fits, and at web scale it stays
+    a key-co-shuffled join.  No window, no all-pairs.
+    """
+    new_fp = new.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    prior_fp = (
+        prior.select(doc_fingerprint(text_col).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return new_fp.join(prior_fp, "fp", "left").select(
+        F.col(id_col),
+        "fp",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_prior"),
+    )
+
+
+def cross_lsh_pairs(
+    new: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Bipartite MinHash-LSH candidates between a NEW batch and a PRIOR
+    corpus: ``(doc_id, prior_id, n_match)`` — one row per (new, prior) pair
+    sharing at least one band value.  The near-dup companion to
+    :func:`cross_dedup_exact` for the crawl-over-crawl case where the
+    re-fetch is *almost* identical (banner swap, timestamp churn).
+
+    Unlike :func:`incremental_lsh_pairs` this needs no persisted index and
+    no id-space discipline (frames may share ids — identity is the frame),
+    and it emits no within-frame pairs: cross-corpus near-dup asks "is this
+    new doc a variant of anything old", not "does the old corpus contain
+    near-dups internally".
+
+    Shape at scale: signatures are map-only on each side; the ONLY shuffle
+    is the (band, band_key) equi-join — never all-pairs, and neither side is
+    assumed small (AQE broadcasts the banded rows of a small daily batch on
+    its own).  ``max_bucket`` closes the same hot-bucket hazard as
+    ``minhash_lsh_pairs``: the bucket population that matters here is the
+    JOINT one (a boilerplate band value floods both crawls), so buckets
+    whose combined row count exceeds the cap are dropped from BOTH sides
+    before the join — identical-content floods belong to
+    :func:`cross_dedup_exact`'s single fingerprint shuffle instead.
+    """
+    new_rows = _banded_rows(new, text_col, id_col, n_hashes, bands)
+    prior_rows = _banded_rows(prior, text_col, id_col, n_hashes, bands)
+    if max_bucket is not None:
+        joint = (
+            new_rows.select("band", "band_key")
+            .unionAll(prior_rows.select("band", "band_key"))
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        new_rows = new_rows.join(joint, ["band", "band_key"])
+        prior_rows = prior_rows.join(joint, ["band", "band_key"])
+    n, p = new_rows.alias("n"), prior_rows.alias("p")
+    return (
+        n.join(
+            p,
+            (F.col("n.band") == F.col("p.band"))
+            & (F.col("n.band_key") == F.col("p.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias(id_col),
+            F.col(f"p.{id_col}").alias("prior_id"),
+            sum(
+                F.when(F.col(f"n.h{j}") == F.col(f"p.h{j}"), 1).otherwise(0)
+                for j in range(n_hashes)
+            ).alias("n_match"),
+        )
+        .distinct()
+    )
+
+
+def cross_neardup(
+    new: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-NEW-document near-dup verdict against a prior corpus:
+    ``(id, best_jaccard, prior_id, is_dup)`` for EVERY new doc — the best
+    exact n-gram Jaccard over the LSH candidates, the prior doc attaining it
+    (ties → smallest prior id), and the ``threshold`` verdict.  New docs
+    with no candidate (nothing collided, or too short to shingle) report
+    ``best_jaccard = 0.0``, NULL ``prior_id``, ``is_dup = false``.
+
+    Determinism contract: the Jaccard is rounded to 4 decimals BEFORE the
+    argmax and the threshold test (the ``canonical_docs`` precedent), so the
+    winner and the verdict are bit-stable across engines and join orders.
+
+    Shape at scale: candidates only ever see the banded bucket join
+    (:func:`cross_lsh_pairs`), the exact verify touches candidate pairs
+    only, and the per-doc best is one ``max(struct(...))`` aggregation on
+    the new-doc key — partial-aggregable, so a new doc colliding with a
+    thousand prior variants pre-reduces map-side instead of ranking through
+    a window.
+    """
+    cand = cross_lsh_pairs(
+        new, prior, text_col, id_col, n_hashes, bands, max_bucket
+    ).select(id_col, "prior_id")
+    mk_sh = lambda df: df.select(  # noqa: E731
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("_sh"),
+    )
+    n_sh = mk_sh(new)
+    p_sh = (
+        mk_sh(prior)
+        .withColumnRenamed(id_col, "prior_id")
+        .withColumnRenamed("_sh", "_psh")
+    )
+    inter = F.size(F.array_intersect("_sh", "_psh"))
+    scored = (
+        cand.join(n_sh, id_col)
+        .join(p_sh, "prior_id")
+        .select(
+            F.col(id_col),
+            F.col("prior_id"),
+            F.round(
+                inter.cast("double")
+                / (F.size("_sh") + F.size("_psh") - inter).cast("double"),
+                4,
+            ).alias("_j"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("_j"), (-F.col("prior_id")).alias("neg_id"))
+        ).alias("_b")
+    )
+    return (
+        new.select(F.col(id_col))
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_b._j"), F.lit(0.0)).alias("best_jaccard"),
+            (-F.col("_b.neg_id")).alias("prior_id"),
+            F.coalesce(
+                F.col("_b._j") >= F.lit(float(threshold)), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
