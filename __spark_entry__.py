@@ -887,6 +887,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_pair_counts(_docs(spark, sf), topk=20)
 
+    def pipe_bpe_train(spark, sf):
+        """Distributed BPE merge training: corpus reduced once to the
+        vocabulary table, then 5 merge rounds on vocab-sized data only."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            train_bpe_merges,
+        )
+
+        return train_bpe_merges(_docs(spark, sf), n_merges=5)
+
     def pipe_repetition_full(spark, sf):
         """Complete Gopher repetition table over pages synthesized with
         planted repetition: a shared boilerplate line (duplicated on
@@ -1192,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
         pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
         pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
+        pipe_bpe_train=pipe_bpe_train,              # r5: new operator (cont.)
         pipe_repetition_full=pipe_repetition_full,  # r5: new operator (final)
         pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
         pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
@@ -2080,6 +2090,50 @@ SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
 FROM g GROUP BY pair
 ORDER BY n_occurrences DESC, n_docs DESC, pair ASC LIMIT 20
 """.replace("{re}", _BPE_RE_SQL)
+
+def _bpe_train_sql(n_merges: int = 5) -> str:
+    """Fully-unrolled DuckDB twin of ``train_bpe_merges`` — one (pairs,
+    best, vocab) CTE triple per merge round, the ``pipe_graph_rank``
+    unrolling pattern.  The fold accumulator, the chr(1) separator, the
+    boundary-anchored merge test, and the (freq DESC, pair ASC) tie rule
+    mirror the Spark operator exactly."""
+    _a = "string_split(b.pair, ' ')[1]"
+    _b = "string_split(b.pair, ' ')[2]"
+    ctes = [
+        "v0 AS ("
+        " SELECT cnt, list_transform(generate_series(1, length(word)),"
+        " i -> substr(word, i, 1)) AS syms"
+        " FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt"
+        f"       FROM (SELECT unnest({W}) AS word FROM documents)"
+        "       WHERE word <> '' AND strpos(word, chr(1)) = 0"
+        "       GROUP BY word))"
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"p{r} AS ("
+            " SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM ("
+            "  SELECT cnt, unnest(CASE WHEN len(syms) >= 2 THEN"
+            "   list_transform(generate_series(1, len(syms) - 1),"
+            "    i -> syms[i] || ' ' || syms[i + 1])"
+            "   ELSE [] END) AS pair"
+            f"  FROM v{r - 1}) GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT CAST({r} AS INT) AS rank, pair,"
+            " replace(pair, ' ', '') AS new_token, freq"
+            f" FROM p{r} ORDER BY freq DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r} AS ("
+            " SELECT cnt, string_split(list_reduce(syms, (acc, s) ->"
+            f"  CASE WHEN s = {_b} AND (acc = {_a}"
+            f"            OR ends_with(acc, chr(1) || {_a}))"
+            "   THEN acc || s ELSE acc || chr(1) || s END), chr(1)) AS syms"
+            f" FROM v{r - 1}, b{r} b)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
+    return "WITH " + ", ".join(ctes) + " " + union
+
 
 _TEMP_TOT_SQL = (
     f"SELECT lang, CAST(sum(len({W})) AS BIGINT) AS n_tokens "
@@ -3046,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_cross_exact": _CROSS_EXACT_SQL,
         "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
         "pipe_bpe_merges": _BPE_PAIRS_SQL,
+        "pipe_bpe_train": _bpe_train_sql(5),
         "pipe_repetition_full": _gopher_repetition_sql(),
         "pipe_c4_clean": _C4_CLEAN_SQL,
         "pipe_lang_ngram": _lang_ngram_sql(),

@@ -1019,3 +1019,106 @@ def bpe_pair_counts(
         )
         .limit(topk)
     )
+
+
+#: symbol separator inside the BPE trainer's fold accumulator — U+0001, a
+#: control char that never survives whitespace tokenization of real text;
+#: vocab words containing it are excluded (both engines) so a symbol can
+#: never contain the separator and the boundary test stays exact.
+BPE_SEP = "\x01"
+
+
+def train_bpe_merges(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 5,
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) — learn the
+    first ``n_merges`` merge rules from the corpus itself, the "train the
+    tokenizer ON the cluster" step that precedes any token-budget planning.
+    Output: one row per learned merge, ``(rank, pair, new_token, freq)`` —
+    the space-joined symbol pair, the merged token it creates, and the
+    weighted frequency that won it the round.
+
+    Scale shape — the whole point: the corpus is reduced ONCE to the
+    vocabulary table ``(word, count, symbols)`` (one word-key shuffle with
+    map-side combine; Zipf makes the vocab orders of magnitude smaller
+    than the corpus — the classic BPE-trainer optimization from Sennrich's
+    reference implementation).  Every merge round then touches ONLY the
+    vocab-sized frame: pair counts are one map-side explode + aggregation,
+    the winning pair is a 1-row frame cross-joined back (broadcast), and
+    the merge application is a per-row fold — the corpus text is never
+    re-read.  Rounds are a driver-side loop (``connected_components``
+    precedent) with per-round ``localCheckpoint`` keeping the plan
+    constant-size; unlike most iterative operators the round structure IS
+    SQL-expressible, so the registry query carries a fully-unrolled DuckDB
+    twin (chained CTEs, one per round — the ``pipe_graph_rank`` pattern).
+
+    Merge application is greedy left-to-right within each word (the BPE
+    contract): the fold walks the symbol list once, appending ``b`` to the
+    accumulator's last symbol when that symbol is exactly ``a`` and the
+    next symbol is ``b`` — [a,a,a] under merge (a,a) becomes [aa,a], and a
+    last symbol 'xa' never false-matches because the boundary test anchors
+    on the separator.  Ties break to the lexicographically smallest pair
+    for cross-engine determinism.  Rounds after pair exhaustion emit no
+    row (the result may hold fewer than ``n_merges`` merges).
+    """
+    sep = F.lit(BPE_SEP)
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .where((F.col("word") != "") & ~F.col("word").contains(BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substr(F.col("word"), i, F.lit(1)),
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = None
+    for r in range(1, n_merges + 1):
+        sy = F.col("syms")
+        pair_list = F.when(
+            F.size(sy) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sy) - 1),
+                lambda i: F.concat(
+                    F.element_at(sy, i), F.lit(" "), F.element_at(sy, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select("cnt", F.explode(pair_list).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("rank"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("new_token"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        a = F.split(F.col("pair"), " ")[0]
+        b = F.split(F.col("pair"), " ")[1]
+        folded = F.aggregate(
+            F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
+            F.element_at(sy, 1),
+            lambda acc, s: F.when(
+                (s == b) & ((acc == a) | acc.endswith(F.concat(sep, a))),
+                F.concat(acc, s),
+            ).otherwise(F.concat(acc, sep, s)),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("cnt", F.split(folded, BPE_SEP).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    return merges

@@ -129,3 +129,52 @@ def test_bpe_pair_ordering_is_deterministic(spark):
     assert [(r["pair"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
         ("cc", 3, 1), ("aa", 2, 2), ("bb", 2, 2),
     ]
+
+
+# ------------------------------------------------------------ train_bpe
+
+
+def test_bpe_train_hand_example(spark):
+    from kafka_connect_tablestore_spark.functions.text import train_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab ab")], "doc_id long, text string"
+    )
+    rows = [
+        (r["rank"], r["pair"], r["new_token"], r["freq"])
+        for r in train_bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    # round 1: 'a a' weighted 6 (two pairs per 'aaab' x count 3);
+    # round 2: 'a b' 4; round 3: 'aa ab' 3; round 4: pairs exhausted -> no row.
+    # 'aaa' under merge (a,a) folds greedily left-to-right to [aa, a].
+    assert rows == [
+        (1, "a a", "aa", 6),
+        (2, "a b", "ab", 4),
+        (3, "aa ab", "aaab", 3),
+    ]
+
+
+def test_bpe_train_boundary_anchoring_and_ties(spark):
+    from kafka_connect_tablestore_spark.functions.text import train_bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "xa xa ab xab")], "doc_id long, text string"
+    )
+    rows = [
+        (r["rank"], r["pair"], r["freq"])
+        for r in train_bpe_merges(df, n_merges=4).orderBy("rank").collect()
+    ]
+    # r1: 'x a' (3) beats 'a b' (2).  r2: after (x,a), 'xab' is [xa, b] —
+    # the symbol 'xa' merely ENDS in 'a', so merge candidates are 'a b'
+    # (from 'ab') and 'xa b'; the 1-1 tie breaks to the smaller pair text.
+    # r3: 'xa b' merges the remaining pair; r4: exhausted.
+    assert rows == [(1, "x a", 3), (2, "a b", 1), (3, "xa b", 1)]
+
+
+def test_bpe_train_is_deterministic_across_partitionings(spark):
+    from kafka_connect_tablestore_spark.functions.text import train_bpe_merges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = train_bpe_merges(docs, n_merges=3).collect()
+    b = train_bpe_merges(docs.repartition(7), n_merges=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
