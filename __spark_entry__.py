@@ -896,6 +896,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return train_bpe_merges(_docs(spark, sf), n_merges=5)
 
+    def pipe_bpe_apply(spark, sf):
+        """Apply the corpus-trained merges: per-doc real subword counts via
+        the segmented VOCAB joined back on the word key (never re-segmenting
+        occurrences)."""
+        from kafka_connect_tablestore_spark.functions.text import bpe_segment
+
+        return bpe_segment(_docs(spark, sf), n_merges=5)
+
     def pipe_repetition_full(spark, sf):
         """Complete Gopher repetition table over pages synthesized with
         planted repetition: a shared boilerplate line (duplicated on
@@ -1202,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
         pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
         pipe_bpe_train=pipe_bpe_train,              # r5: new operator (cont.)
+        pipe_bpe_apply=pipe_bpe_apply,              # r5: new operator (cont.)
         pipe_repetition_full=pipe_repetition_full,  # r5: new operator (final)
         pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
         pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
@@ -2101,7 +2110,7 @@ def _bpe_train_sql(n_merges: int = 5) -> str:
     _b = "string_split(b.pair, ' ')[2]"
     ctes = [
         "v0 AS ("
-        " SELECT cnt, list_transform(generate_series(1, length(word)),"
+        " SELECT word, cnt, list_transform(generate_series(1, length(word)),"
         " i -> substr(word, i, 1)) AS syms"
         " FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt"
         f"       FROM (SELECT unnest({W}) AS word FROM documents)"
@@ -2125,7 +2134,7 @@ def _bpe_train_sql(n_merges: int = 5) -> str:
         )
         ctes.append(
             f"v{r} AS ("
-            " SELECT cnt, string_split(list_reduce(syms, (acc, s) ->"
+            " SELECT word, cnt, string_split(list_reduce(syms, (acc, s) ->"
             f"  CASE WHEN s = {_b} AND (acc = {_a}"
             f"            OR ends_with(acc, chr(1) || {_a}))"
             "   THEN acc || s ELSE acc || chr(1) || s END), chr(1)) AS syms"
@@ -2133,6 +2142,28 @@ def _bpe_train_sql(n_merges: int = 5) -> str:
         )
     union = " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, n_merges + 1))
     return "WITH " + ", ".join(ctes) + " " + union
+
+
+def _bpe_apply_sql(n_merges: int = 5) -> str:
+    """Twin of ``bpe_segment``: the trainer's CTE chain (whose final
+    ``v{n}`` table IS the fully-merged per-word segmentation), then one
+    word-key join + per-doc rollup — the same vocab-not-corpus shape."""
+    train = _bpe_train_sql(n_merges)
+    # strip the trainer's trailing UNION of b-CTEs: the CTE list ends
+    # right before the first bare SELECT
+    cte_list = train[len("WITH "):train.index(" SELECT * FROM b1")]
+    return (
+        "WITH " + cte_list + ", occ AS ("
+        f" SELECT doc_id, word FROM (SELECT doc_id, unnest({W}) AS word FROM documents)"
+        " WHERE word <> '' AND strpos(word, chr(1)) = 0) "
+        "SELECT d.doc_id,"
+        " CAST(coalesce(t.cnt_w, 0) AS BIGINT) AS n_words,"
+        " CAST(coalesce(t.sub_w, 0) AS BIGINT) AS n_subwords "
+        "FROM documents d LEFT JOIN ("
+        f" SELECT o.doc_id, count(*) AS cnt_w, sum(len(v.syms)) AS sub_w"
+        f" FROM occ o JOIN v{n_merges} v ON o.word = v.word GROUP BY o.doc_id"
+        ") t ON d.doc_id = t.doc_id"
+    )
 
 
 _TEMP_TOT_SQL = (
@@ -3101,6 +3132,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
         "pipe_bpe_merges": _BPE_PAIRS_SQL,
         "pipe_bpe_train": _bpe_train_sql(5),
+        "pipe_bpe_apply": _bpe_apply_sql(5),
         "pipe_repetition_full": _gopher_repetition_sql(),
         "pipe_c4_clean": _C4_CLEAN_SQL,
         "pipe_lang_ngram": _lang_ngram_sql(),

@@ -1064,6 +1064,14 @@ def train_bpe_merges(
     for cross-engine determinism.  Rounds after pair exhaustion emit no
     row (the result may hold fewer than ``n_merges`` merges).
     """
+    merges, _ = _train_bpe(df, text_col, n_merges)
+    return merges
+
+
+def _train_bpe(df, text_col: str, n_merges: int):
+    """Shared trainer loop: returns ``(merges, vocab)`` where ``vocab`` is
+    the ``(word, cnt, syms)`` frame with ALL learned merges applied — the
+    per-word segmentation table :func:`bpe_segment` joins back on."""
     sep = F.lit(BPE_SEP)
     vocab = (
         df.select(F.explode(words(text_col)).alias("word"))
@@ -1071,6 +1079,7 @@ def train_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(
+            "word",
             "cnt",
             F.transform(
                 F.sequence(F.lit(1), F.length("word")),
@@ -1118,7 +1127,52 @@ def train_bpe_merges(
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best))
-            .select("cnt", F.split(folded, BPE_SEP).alias("syms"))
+            .select("word", "cnt", F.split(folded, BPE_SEP).alias("syms"))
             .localCheckpoint(eager=True)
         )
-    return merges
+    return merges, vocab
+
+
+def bpe_segment(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 5,
+):
+    """Corpus-wide subword counting under a corpus-TRAINED tokenizer —
+    the apply half of :func:`train_bpe_merges`, upgrading
+    :func:`bpe_token_count`'s chars/4 estimate to the real segment count
+    the learned merges produce.  Output: ``(id, n_words, n_subwords)``
+    per document (empty/filtered-out docs report 0/0).
+
+    Shape at scale — segment the VOCABULARY, not the corpus: each
+    distinct word is segmented exactly once inside the trainer's
+    vocab-sized merge loop (Zipf: a 100 TB corpus holds billions of word
+    OCCURRENCES but a vastly smaller distinct-word table), then the
+    corpus pays one map-side word explode + a word-key join against the
+    per-word subword counts (AQE broadcasts the vocab side when it fits)
+    + one doc-key rollup with map-side combine.  Re-segmenting every
+    occurrence per row would instead pay O(word_len × n_merges)
+    expression depth per token — the classic move, same reason the
+    trainer itself iterates on the vocab table."""
+    _, vocab = _train_bpe(df, text_col, n_merges)
+    seg = vocab.select(
+        "word", F.size("syms").cast("long").alias("_nsub")
+    )
+    occ = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                words(text_col),
+                lambda w: (w != F.lit("")) & ~w.contains(BPE_SEP),
+            )
+        ).alias("word"),
+    )
+    return (
+        occ.join(seg, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("long").alias("n_words"),
+            F.coalesce(F.sum("_nsub"), F.lit(0)).cast("long").alias("n_subwords"),
+        )
+    )

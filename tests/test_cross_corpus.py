@@ -178,3 +178,20 @@ def test_bpe_train_is_deterministic_across_partitionings(spark):
     a = train_bpe_merges(docs, n_merges=3).collect()
     b = train_bpe_merges(docs.repartition(7), n_merges=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_segment_counts_via_trained_vocab(spark):
+    from kafka_connect_tablestore_spark.functions.text import bpe_segment
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab ab"), (2, "")],
+        "doc_id long, text string",
+    )
+    # after 3 merges 'aaab' and 'ab' are single tokens; after only 1 merge
+    # ('a a') they segment as [aa, a, b] and [a, b]
+    got3 = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe_segment(df, n_merges=3).collect()}
+    assert got3 == {0: (2, 2), 1: (2, 2), 2: (0, 0)}
+    got1 = {r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe_segment(df, n_merges=1).collect()}
+    assert got1 == {0: (2, 6), 1: (2, 5), 2: (0, 0)}
