@@ -10,6 +10,12 @@ family, in dependency order:
   0. C4 line cleaning       (operators/corpus.py::c4_clean, optional —
                              text-mutating, so it runs before anything
                              measures the text)
+  0b. cross-corpus dedup    (operators/dedup.py::cross_dedup_exact /
+                             ::cross_neardup, optional — strike docs already
+                             shipped in an earlier crawl BEFORE any
+                             within-corpus work: most of a fresh crawl
+                             re-fetches the previous one, so this gate
+                             shrinks every downstream stage)
   1. exact dedup            (operators/dedup.py::dedup_exact)
   2. near-dup dedup         (MinHash-LSH candidates → Jaccard verify →
                              connected components, keep cluster minima)
@@ -98,6 +104,13 @@ def main() -> None:
     p.add_argument("--infer-lang", action="store_true",
                    help="derive the lang column via char-trigram language "
                         "ID (for corpora without one)")
+    p.add_argument("--prior-docs",
+                   help="parquet dir of an earlier crawl/corpus: drop new "
+                        "docs whose content already ships there (exact "
+                        "fingerprint), before any within-corpus dedup")
+    p.add_argument("--prior-jaccard", type=float, default=0.0,
+                   help="additionally drop near-dups of prior docs at this "
+                        "exact n-gram Jaccard (0 = exact-only)")
     p.add_argument("--emb", help="parquet dir of (doc_id, embedding) for "
                                  "the corpus (enables semantic decontam)")
     p.add_argument("--bench-emb", help="parquet dir of (doc_id, embedding) "
@@ -136,6 +149,26 @@ def main() -> None:
             .drop("n_lines", "n_kept", "has_lorem", "has_brace",
                   "clean_text", "keep")
         )
+
+    # 0b: optional cross-corpus dedup — the crawl-over-crawl gate runs
+    # before ANY within-corpus work (RefinedWeb order): a fresh crawl
+    # mostly re-fetches the previous one, so striking prior content here
+    # shrinks every downstream stage.  Exact strike is one fingerprint
+    # join; the optional near-dup strike adds the bipartite LSH + verify.
+    if args.prior_docs:
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            cross_dedup_exact,
+            cross_neardup,
+        )
+
+        prior = spark.read.parquet(args.prior_docs)
+        hit = cross_dedup_exact(docs, prior).where("in_prior")
+        docs = docs.join(hit.select("doc_id"), "doc_id", "left_anti")
+        if args.prior_jaccard > 0:
+            nd = cross_neardup(
+                docs, prior, threshold=args.prior_jaccard
+            ).where("is_dup")
+            docs = docs.join(nd.select("doc_id"), "doc_id", "left_anti")
 
     # 1-2: survivors of exact dedup, then near-dup clustering (keep minima)
     keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))

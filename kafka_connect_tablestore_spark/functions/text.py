@@ -1063,6 +1063,15 @@ def train_bpe_merges(
     on the separator.  Ties break to the lexicographically smallest pair
     for cross-engine determinism.  Rounds after pair exhaustion emit no
     row (the result may hold fewer than ``n_merges`` merges).
+
+    Honest bound: the merge LOOP is inherently sequential (each round
+    depends on the last winner), so this operator targets the first
+    N ≤ a few hundred merges — boilerplate/mojibake triage, vocab-growth
+    analysis, seeding.  A full 32k-merge production train would run 3
+    Spark jobs per round; the right production split is exactly what this
+    shape enables: the corpus-scale step (the vocabulary reduction) runs
+    distributed here, and the vocab table — GB-sized at any corpus scale —
+    exports to a single-node trainer for the long merge loop.
     """
     merges, _ = _train_bpe(df, text_col, n_merges)
     return merges
