@@ -195,3 +195,23 @@ def test_bpe_segment_counts_via_trained_vocab(spark):
     got1 = {r["doc_id"]: (r["n_words"], r["n_subwords"])
             for r in bpe_segment(df, n_merges=1).collect()}
     assert got1 == {0: (2, 6), 1: (2, 5), 2: (0, 0)}
+
+
+def test_new_ops_plans_are_window_free(spark):
+    """A hot new-doc colliding with thousands of prior variants must
+    pre-reduce through partial aggregation, never rank through a window;
+    the BPE apply path likewise rolls up through aggregations only."""
+    from kafka_connect_tablestore_spark.functions.text import bpe_segment
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    plan_nd = (
+        cross_neardup(new, prior)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan_nd
+    plan_seg = (
+        bpe_segment(docs, n_merges=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan_seg
