@@ -286,6 +286,111 @@ def start_chunk_index_stream(
     return writer.start()
 
 
+def start_fingerprint_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "fingerprint-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted exact-dedup fingerprint index from a document
+    stream — the streaming twin of the multi-day ``incremental_dedup_exact``
+    loop, completing the stream-driven set (LSH, chunk, semantic, view,
+    and now the exact-fingerprint index: the FIRST gate a daily crawl
+    ingest hits).
+
+    Per micro-batch: dedup the batch against the index plus within-batch
+    first occurrences, write per-doc ``(id, fp, kept)`` verdicts to
+    ``verdicts_path/batch_id=N`` with ``overwrite`` (replay rewrites,
+    never duplicates), append the surviving fingerprints to the index
+    (first batch: ``build_fingerprint_index``), then commit the batch id
+    to the sidecar manifest (tmp + rename) so a checkpoint-replayed batch
+    is a no-op.  Crash between append and commit re-appends fingerprint
+    rows on replay; duplicate index rows cost space, never correctness —
+    the probe distincts the hit set before the keep decision.
+    PRECONDITION inherited from the batch operator: monotone ids across
+    batches (the natural append-only ingest shape) for exact equality
+    with ``dedup_exact`` on the full corpus."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.functions.text import doc_fingerprint
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_fingerprint_index,
+        build_fingerprint_index,
+        incremental_dedup_exact,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_docs: int, n_kept: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "n_docs": n_docs, "n_kept": n_kept}, f
+            )
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        if n_docs == 0:
+            _commit(batch_id, 0, 0)
+            return
+        spark = docs.sparkSession
+        slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        if os.path.exists(index_path):
+            verdicts, kept = incremental_dedup_exact(
+                spark, index_path, docs, text_col, id_col, n_buckets
+            )
+            verdicts = verdicts.localCheckpoint(eager=True)
+            verdicts.write.mode("overwrite").parquet(slice_dir)
+            append_to_fingerprint_index(kept, index_path)
+            n_kept = verdicts.where("kept").count()
+        else:
+            # first batch: within-batch first occurrence wins (the same
+            # (fp, id-asc) row_number the incremental probe uses)
+            first = Window.partitionBy("fp").orderBy(id_col)
+            verdicts = (
+                docs.select(
+                    F.col(id_col), doc_fingerprint(text_col).alias("fp")
+                )
+                .withColumn("kept", F.row_number().over(first) == 1)
+                .localCheckpoint(eager=True)
+            )
+            verdicts.write.mode("overwrite").parquet(slice_dir)
+            build_fingerprint_index(docs, index_path, text_col, id_col, n_buckets)
+            n_kept = verdicts.where("kept").count()
+        _commit(batch_id, n_docs, n_kept)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_semantic_index_stream(
     vecs_stream: DataFrame,
     index_path: str,

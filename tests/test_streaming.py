@@ -285,3 +285,83 @@ def test_chunk_index_stream_matches_batch_recompute(spark, tmp_path):
         tuple(r[c] for c in cols)
         for r in spark.read.parquet(dedup_out).select(cols).collect()
     } == want
+
+
+def test_fingerprint_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted exact-dedup fingerprint index driven by the STREAMING
+    engine across three micro-batches must equal the full-corpus batch
+    recompute: union of per-batch kept verdicts == dedup_exact(all), and
+    the index holds exactly one row per distinct content.  (Fifth
+    stream-driven index — the FIRST gate a daily crawl ingest hits.)"""
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        build_fingerprint_index,
+        dedup_exact,
+    )
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_fingerprint_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 300")
+    )
+    # inject cross-day exact duplicates so the index genuinely fires:
+    # day-2 ids 1000..1009 repeat day-0 content 0..9
+    dup = base.where("doc_id < 10").selectExpr("doc_id + 1000 AS doc_id", "text")
+    docs = base.unionByName(dup).cache()
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 2000)]):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "fp_idx")
+    verdicts_out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_fingerprint_index_stream(
+        stream, idx, verdicts_out, ckpt, n_buckets=16
+    )
+    q.awaitTermination(300)
+
+    verdicts = spark.read.parquet(verdicts_out)
+    assert verdicts.count() == 310  # every doc got a verdict exactly once
+    got_kept = {r["doc_id"] for r in verdicts.where("kept").collect()}
+    want_kept = {
+        r["keep_id"] for r in dedup_exact(docs).selectExpr("keep_id").collect()
+    }
+    assert got_kept == want_kept
+    # the injected cross-day duplicates were recognized against the index
+    assert all(1000 + i not in got_kept for i in range(10))
+
+    # index == batch-built reference index (one row per distinct content)
+    ref_idx = str(tmp_path / "fp_ref")
+    build_fingerprint_index(docs, ref_idx, n_buckets=16)
+    key = ["fp", "doc_id", "bucket"]
+    got_idx = {
+        tuple(r[c] for c in key) for r in spark.read.parquet(idx).collect()
+    }
+    want_idx = {
+        tuple(r[c] for c in key) for r in spark.read.parquet(ref_idx).collect()
+    }
+    assert got_idx == want_idx
+
+    # restart on the same checkpoint: no new data => no growth, no re-emit
+    q2 = start_fingerprint_index_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        verdicts_out,
+        ckpt,
+        n_buckets=16,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == len(want_idx)
+    assert spark.read.parquet(verdicts_out).count() == 310
