@@ -878,6 +878,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new, prior = _cross_split(spark, sf)
         return cross_neardup(new, prior, threshold=0.5)
 
+    def pipe_bloom_dedup(spark, sf):
+        """Bloom-gated cross-corpus verdict: per NEW doc, probe the PRIOR
+        corpus's broadcast bitset (m=2048 bits, k=2 — sized small so the
+        gate's false-positive path executes).  One-sided: false means
+        definitely new (no false negatives)."""
+        from kafka_connect_tablestore_spark.operators.dedup import bloom_dedup
+
+        new, prior = _cross_split(spark, sf)
+        return bloom_dedup(new, prior, m_bits=2048, k=2)
+
+    def pipe_bloom_verified(spark, sf):
+        """Bloom gate + exact confirmation join of only the flagged docs —
+        the production composition; equals cross_dedup_exact bit-for-bit."""
+        from kafka_connect_tablestore_spark.operators.dedup import bloom_dedup
+
+        new, prior = _cross_split(spark, sf)
+        return bloom_dedup(new, prior, m_bits=2048, k=2, verify=True)
+
     def pipe_bpe_merges(spark, sf):
         """Top adjacent-character-pair counts over pre-tokenized pieces —
         BPE training's first-merge statistic."""
@@ -1206,6 +1224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
+        pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
         pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
         pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
         pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
@@ -2048,6 +2068,28 @@ WITH {_CROSS_SPLIT},
 pfp AS (SELECT DISTINCT {FP} AS fp FROM priordocs)
 SELECT n.doc_id, {FP} AS fp, (p.fp IS NOT NULL) AS in_prior
 FROM newdocs n LEFT JOIN pfp p ON {FP} = p.fp
+"""
+
+#: Bloom gate twin — same md5-hash positions math as the Spark bitset
+#: (position_i = hash64(fp, 'bl<i>') mod m); membership = every probe
+#: position present in the prior corpus's set-position set.
+_BLOOM_M, _BLOOM_K = 2048, 2
+_BLOOM_DEDUP_SQL = f"""
+WITH {_CROSS_SPLIT},
+pfp AS (SELECT DISTINCT {FP} AS fp FROM priordocs),
+pos AS (
+  SELECT DISTINCT {H('fp', 'bl0')} % {_BLOOM_M} AS p FROM pfp
+  UNION
+  SELECT DISTINCT {H('fp', 'bl1')} % {_BLOOM_M} AS p FROM pfp
+),
+nfp AS (SELECT doc_id, {FP} AS fp FROM newdocs),
+probe AS (
+  SELECT doc_id, fp,
+    unnest([{H('fp', 'bl0')} % {_BLOOM_M}, {H('fp', 'bl1')} % {_BLOOM_M}]) AS p
+  FROM nfp
+)
+SELECT doc_id, fp, bool_and(p IN (SELECT p FROM pos)) AS maybe_in_prior
+FROM probe GROUP BY doc_id, fp
 """
 
 _CROSS_NEARDUP_SQL = f"""
@@ -3128,6 +3170,8 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        "pipe_bloom_dedup": _BLOOM_DEDUP_SQL,
+        "pipe_bloom_verified": _CROSS_EXACT_SQL,
         "pipe_cross_exact": _CROSS_EXACT_SQL,
         "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
         "pipe_bpe_merges": _BPE_PAIRS_SQL,

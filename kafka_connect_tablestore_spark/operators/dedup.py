@@ -912,3 +912,144 @@ def cross_neardup(
             ).alias("is_dup"),
         )
     )
+
+
+def _bloom_validate(m_bits: int, k: int) -> None:
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def build_bloom_bitset(
+    prior: DataFrame,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed Bloom-filter bitset over a PRIOR corpus's content
+    fingerprints (Bloom 1970): at most ``m_bits/64`` rows of
+    ``(word_idx int, word long)``, each word the bitwise-OR of every set
+    bit it holds.  The membership structure Dolma (Soldaini et al. 2024,
+    arXiv:2402.00159) uses for crawl-over-crawl dedup: the prior corpus is
+    read ONCE, reduced to a bitset measured in gigabytes (2^33 bits =
+    1 GiB covers ~10^9 docs at 1% FP with k=7), and every later crawl
+    probes the broadcast bitset instead of joining the full fingerprint
+    set.
+
+    Shape at scale: one map-only distinct on the fingerprint, one explode
+    to k positions, one ``groupBy(word_idx).agg(bit_or)`` — the OR is
+    map-side combined, so the shuffle carries at most ``m_bits/64`` rows
+    per input partition regardless of corpus size.  No window, no driver
+    state."""
+    _bloom_validate(m_bits, k)
+    fp = prior.select(doc_fingerprint(text_col).alias("fp")).distinct()
+    pos = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(hash64(F.col("fp"), f"bl{i}"), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_dedup(
+    new: DataFrame,
+    prior: DataFrame | None = None,
+    *,
+    bitset: DataFrame | None = None,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = False,
+) -> DataFrame:
+    """Bloom-gated cross-corpus dedup: per NEW document, probe the prior
+    corpus's Bloom bitset.  ``verify=False`` returns the raw one-sided
+    verdict ``(id, fp, maybe_in_prior)`` — false means DEFINITELY new
+    (Bloom filters have no false negatives), true means "present with
+    probability 1-(1-e^(-kn/m))^k of being a false positive".
+    ``verify=True`` composes the production pipeline: only Bloom-positive
+    docs enter an exact fingerprint join against ``prior``, and the output
+    ``(id, fp, in_prior)`` equals :func:`cross_dedup_exact` bit-for-bit —
+    but the exact join's probe side shrank from the whole crawl to the
+    Bloom-positive subset (true dups + the FP-rate sliver).
+
+    At 100 TB: ``cross_dedup_exact`` shuffles every new fingerprint against
+    the full distinct-fp set of the prior corpus — at 10^10 prior docs
+    that right side is ~500 GB of fingerprints, never broadcastable.  The
+    bitset is ``m_bits/64`` longs (fixed at build time, e.g. 1 GiB),
+    broadcast once; the crawl-side probe is map-only + one per-doc
+    aggregate, and the residual exact join handles only the flagged
+    fraction.  Pass a pre-built ``bitset`` (from :func:`build_bloom_bitset`,
+    persisted once per prior snapshot) to skip rebuilding per batch."""
+    _bloom_validate(m_bits, k)
+    if bitset is None:
+        if prior is None:
+            raise ValueError("bloom_dedup needs either prior= or bitset=")
+        bitset = build_bloom_bitset(prior, m_bits, k, text_col)
+
+    new_fp = new.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+    probes = new_fp.select(
+        F.col(id_col),
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(hash64(F.col("fp"), f"bl{i}"), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("_i", "pos"),
+    ).select(
+        F.col(id_col),
+        "fp",
+        F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+        ).alias("mask"),
+    )
+    verdict = (
+        probes.join(F.broadcast(bitset), "word_idx", "left")
+        .withColumn(
+            "_set",
+            F.coalesce(
+                F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"),
+                F.lit(False),
+            ),
+        )
+        .groupBy(id_col, "fp")
+        .agg(F.bool_and("_set").alias("maybe_in_prior"))
+    )
+    if not verify:
+        return verdict
+    if prior is None:
+        raise ValueError("verify=True needs the prior frame for the exact join")
+    flagged = verdict.where("maybe_in_prior").select(id_col, "fp")
+    prior_fp = (
+        prior.select(doc_fingerprint(text_col).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    confirmed = flagged.join(prior_fp, "fp", "left").select(
+        F.col(id_col),
+        "fp",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_prior"),
+    )
+    clean = verdict.where(~F.col("maybe_in_prior")).select(
+        F.col(id_col), "fp", F.lit(False).alias("in_prior")
+    )
+    return clean.unionByName(confirmed)
