@@ -1053,3 +1053,100 @@ def bloom_dedup(
         F.col(id_col), "fp", F.lit(False).alias("in_prior")
     )
     return clean.unionByName(confirmed)
+
+
+def build_bloom_index(
+    prior: DataFrame,
+    path: str,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+) -> None:
+    """Persist the Bloom bitset as the SEVENTH incremental index: parquet
+    rows of ``(word_idx, word)`` plus a ``.meta`` sidecar pinning
+    ``(m_bits, k)`` so every later probe/append uses the same position
+    math (a mismatched m or k silently breaks one-sidedness — hence the
+    hard check in :func:`incremental_bloom_dedup`).
+
+    Append model: appends add MORE ``(word_idx, word)`` rows; readers OR
+    duplicate word rows back together (``groupBy(word_idx).agg(bit_or)``,
+    bounded by m_bits/64 output rows however many appends accumulated) —
+    bitwise OR is associative/idempotent, so replayed appends are
+    harmless.  :func:`compact_bloom_index` rewrites to one row per word."""
+    import json
+    import os
+
+    _bloom_validate(m_bits, k)
+    build_bloom_bitset(prior, m_bits, k, text_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    meta_tmp = path.rstrip("/") + ".meta.tmp"
+    meta = path.rstrip("/") + ".meta"
+    with open(meta_tmp, "w") as f:
+        json.dump({"m_bits": m_bits, "k": k}, f)
+    os.replace(meta_tmp, meta)
+
+
+def _bloom_meta(path: str) -> tuple[int, int]:
+    import json
+
+    with open(path.rstrip("/") + ".meta") as f:
+        meta = json.load(f)
+    return int(meta["m_bits"]), int(meta["k"])
+
+
+def incremental_bloom_dedup(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Probe a new batch against the persisted Bloom index and produce the
+    rows that extend it: returns ``(verdicts, new_bits)`` — per-doc
+    ``(id, fp, maybe_in_prior)`` plus the batch's own ``(word_idx, word)``
+    bitset rows, ready for :func:`append_to_bloom_index` once the batch
+    commits.  ALL batch fingerprints enter the appended bits (not only
+    survivors): Bloom insertion is idempotent under OR, and a bloom index
+    has no ownership semantics — it answers "seen anywhere before",
+    including earlier in today's batch stream.
+
+    At scale the probe reads the whole index once (m_bits/64 words ×
+    appends — compact periodically), re-ORs it map-side, and broadcasts;
+    the crawl side stays map-only + one per-doc aggregate, exactly the
+    :func:`bloom_dedup` shape."""
+    m_bits, k = _bloom_meta(index_path)
+    bitset = (
+        spark.read.parquet(index_path)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    verdicts = bloom_dedup(
+        new_docs,
+        bitset=bitset,
+        m_bits=m_bits,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    new_bits = build_bloom_bitset(new_docs, m_bits, k, text_col)
+    return verdicts, new_bits
+
+
+def append_to_bloom_index(new_bits: DataFrame, path: str) -> None:
+    """Append a committed batch's bitset rows (idempotent under replay —
+    duplicate rows OR away at read time)."""
+    new_bits.write.mode("append").parquet(path)
+
+
+def compact_bloom_index(spark, path: str) -> None:
+    """Rewrite the index to one row per word (atomic pointer-free rewrite:
+    read fully, then overwrite — run it from the single writer that owns
+    the index, the same discipline as the other six indexes)."""
+    compacted = (
+        spark.read.parquet(path)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .localCheckpoint(eager=True)  # sever lineage from the files being replaced
+    )
+    compacted.write.mode("overwrite").parquet(path)

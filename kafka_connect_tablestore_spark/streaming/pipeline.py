@@ -635,3 +635,97 @@ def start_view_maintenance_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_bloom_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    *,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "bloom-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted Bloom bitset index from a document stream —
+    the streaming twin of the ``incremental_bloom_dedup`` loop (seventh
+    index, sixth stream-driven).  Per micro-batch: probe the index
+    (first batch: everything is definitely-new), write per-doc
+    ``(id, fp, maybe_in_prior)`` verdicts to ``verdicts_path/batch_id=N``
+    with ``overwrite``, append the batch's bitset rows, commit the batch
+    id to the sidecar manifest (tmp + rename).  Crash between append and
+    commit re-appends bitset rows on replay — idempotent under OR, never
+    a correctness risk.  Unlike the fingerprint index there is NO
+    monotone-id precondition: the bitset is a set of content bits, blind
+    to ids and arrival order."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.functions.text import doc_fingerprint
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_bloom_index,
+        build_bloom_index,
+        incremental_bloom_dedup,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_docs: int, n_flagged: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "n_docs": n_docs, "n_flagged": n_flagged},
+                f,
+            )
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        if n_docs == 0:
+            _commit(batch_id, 0, 0)
+            return
+        spark = docs.sparkSession
+        slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        if os.path.exists(index_path.rstrip("/") + ".meta"):
+            verdicts, new_bits = incremental_bloom_dedup(
+                spark, index_path, docs, text_col, id_col
+            )
+            verdicts = verdicts.localCheckpoint(eager=True)
+            verdicts.write.mode("overwrite").parquet(slice_dir)
+            append_to_bloom_index(new_bits, index_path)
+            n_flagged = verdicts.where("maybe_in_prior").count()
+        else:
+            verdicts = docs.select(
+                F.col(id_col),
+                doc_fingerprint(text_col).alias("fp"),
+                F.lit(False).alias("maybe_in_prior"),
+            ).localCheckpoint(eager=True)
+            verdicts.write.mode("overwrite").parquet(slice_dir)
+            build_bloom_index(docs, index_path, m_bits, k, text_col)
+            n_flagged = 0
+        _commit(batch_id, n_docs, n_flagged)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

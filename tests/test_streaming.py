@@ -365,3 +365,84 @@ def test_fingerprint_index_stream_matches_batch_recompute(spark, tmp_path):
     q2.awaitTermination(300)
     assert spark.read.parquet(idx).count() == len(want_idx)
     assert spark.read.parquet(verdicts_out).count() == 310
+
+
+def test_bloom_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted Bloom bitset driven by the STREAMING engine across
+    three micro-batches: each batch's verdict slice must equal the
+    two-frame recompute against the union of all earlier batches (bitset
+    OR is associative), and a checkpoint restart is a no-op.  (Sixth
+    stream-driven index; no monotone-id precondition.)"""
+    from kafka_connect_tablestore_spark.operators.dedup import bloom_dedup
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_bloom_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 300")
+    )
+    dup = base.where("doc_id < 10").selectExpr("doc_id + 5000 AS doc_id", "text")
+    docs = base.unionByName(dup).cache()
+    slices = [(0, 100), (100, 200), (200, 10000)]
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate(slices):
+        docs.where(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "bloom_idx")
+    verdicts_out = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_bloom_index_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        verdicts_out,
+        ckpt,
+        m_bits=4096,
+        k=3,
+    )
+    q.awaitTermination(300)
+
+    all_v = spark.read.parquet(verdicts_out)
+    assert all_v.count() == 310
+    for i, (lo, hi) in enumerate(slices):
+        got = {
+            (r["doc_id"], r["maybe_in_prior"])
+            for r in all_v.where(f"batch_id = {i}").collect()
+        }
+        if i == 0:
+            want = {
+                (r["doc_id"], False)
+                for r in docs.where(f"doc_id >= {lo} and doc_id < {hi}").collect()
+            }
+        else:
+            day = docs.where(f"doc_id >= {lo} and doc_id < {hi}")
+            prior = docs.where(f"doc_id < {lo}")
+            want = {
+                (r["doc_id"], r["maybe_in_prior"])
+                for r in bloom_dedup(day, prior, m_bits=4096, k=3).collect()
+            }
+        assert got == want, f"batch {i} diverged"
+    flagged = {r["doc_id"] for r in all_v.where("maybe_in_prior").collect()}
+    assert all(5000 + i in flagged for i in range(10))
+
+    # restart on the same checkpoint: no re-emit, no index growth
+    n_idx = spark.read.parquet(idx).count()
+    q2 = start_bloom_index_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        verdicts_out,
+        ckpt,
+        m_bits=4096,
+        k=3,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(idx).count() == n_idx
+    assert spark.read.parquet(verdicts_out).count() == 310
