@@ -896,6 +896,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new, prior = _cross_split(spark, sf)
         return bloom_dedup(new, prior, m_bits=2048, k=2, verify=True)
 
+    def pipe_lsh_plan(spark, sf):
+        """MinHash-LSH (bands, rows) planner: s-curve FP/FN masses for every
+        divisor split of 128 hashes at threshold 0.8, argmin flagged."""
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            lsh_parameter_plan,
+        )
+
+        return lsh_parameter_plan(spark, n_hashes=128, threshold=0.8)
+
     def pipe_bpe_merges(spark, sf):
         """Top adjacent-character-pair counts over pre-tokenized pieces —
         BPE training's first-merge statistic."""
@@ -1226,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 changes / previously gate-skipped --------------------------
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
         pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
+        pipe_lsh_plan=pipe_lsh_plan,                # r5: new operator (close)
         pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
         pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
         pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
@@ -2090,6 +2100,45 @@ probe AS (
 )
 SELECT doc_id, fp, bool_and(p IN (SELECT p FROM pos)) AS maybe_in_prior
 FROM probe GROUP BY doc_id, fp
+"""
+
+#: LSH planner twin — pure math over generate_series, no tables; mirrors the
+#: Spark planner's 6dp rounding and (cost, bands) argmin tie rule exactly.
+_LSH_PLAN_N, _LSH_PLAN_T, _LSH_PLAN_G = 128, 0.8, 200
+_LSH_PLAN_SQL = f"""
+WITH splits AS (
+  SELECT b::INT AS bands, ({_LSH_PLAN_N}//b)::INT AS rows_per_band
+  FROM generate_series(1, {_LSH_PLAN_N}) t(b) WHERE {_LSH_PLAN_N} % b = 0
+),
+grid AS (
+  SELECT (i + 0.5)/{_LSH_PLAN_G}.0 AS s
+  FROM generate_series(0, {_LSH_PLAN_G - 1}) t(i)
+),
+curves AS (
+  SELECT bands, rows_per_band,
+    CASE WHEN s < {_LSH_PLAN_T}
+      THEN 1 - pow(1 - pow(s, rows_per_band), bands) ELSE 0 END AS fpp,
+    CASE WHEN s >= {_LSH_PLAN_T}
+      THEN pow(1 - pow(s, rows_per_band), bands) ELSE 0 END AS fnp
+  FROM splits, grid
+),
+scored AS (
+  SELECT bands, rows_per_band,
+    round(1 - pow(1 - pow({_LSH_PLAN_T}, rows_per_band), bands), 6)
+      AS p_at_threshold,
+    round(sum(fpp)/{_LSH_PLAN_G}, 6) AS fp_mass,
+    round(sum(fnp)/{_LSH_PLAN_G}, 6) AS fn_mass,
+    round(round(sum(fpp)/{_LSH_PLAN_G}, 6)
+        + round(sum(fnp)/{_LSH_PLAN_G}, 6), 6) AS cost
+  FROM curves GROUP BY bands, rows_per_band
+),
+best AS (
+  SELECT cost AS bc, min(bands) AS bb FROM scored
+  WHERE cost = (SELECT min(cost) FROM scored) GROUP BY cost
+)
+SELECT s.bands, s.rows_per_band, s.p_at_threshold, s.fp_mass, s.fn_mass,
+  s.cost, (s.cost = b.bc AND s.bands = b.bb) AS is_best
+FROM scored s, best b
 """
 
 _CROSS_NEARDUP_SQL = f"""
@@ -3172,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipe_bloom_dedup": _BLOOM_DEDUP_SQL,
         "pipe_bloom_verified": _CROSS_EXACT_SQL,
+        "pipe_lsh_plan": _LSH_PLAN_SQL,
         "pipe_cross_exact": _CROSS_EXACT_SQL,
         "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
         "pipe_bpe_merges": _BPE_PAIRS_SQL,

@@ -1150,3 +1150,87 @@ def compact_bloom_index(spark, path: str) -> None:
         .localCheckpoint(eager=True)  # sever lineage from the files being replaced
     )
     compacted.write.mode("overwrite").parquet(path)
+
+
+def lsh_parameter_plan(
+    spark,
+    n_hashes: int = 128,
+    threshold: float = 0.8,
+    n_grid: int = 200,
+) -> DataFrame:
+    """The (bands, rows) planning step for MinHash-LSH (the datasketch-style
+    optimizer, computed exactly rather than sampled): for every divisor
+    split ``n_hashes = bands x rows_per_band``, evaluate the s-curve
+    ``P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands`` on a midpoint
+    grid and report the false-positive mass below the threshold, the
+    false-negative mass above it, and the total cost — flagging the
+    argmin split.  Run it BEFORE sizing :func:`minhash_lsh_pairs` /
+    :func:`build_lsh_index`: re-banding a persisted LSH index later means
+    rebuilding it over the full corpus, so the 100-TB-relevant work
+    happens here, on rows counted in dozens.
+
+    Determinism: every probability is rounded to 6dp before comparison or
+    output, and the argmin tie-breaks on smaller ``bands`` via a
+    ``min(struct(cost, bands))`` 1-row broadcast — no window, engine-
+    portable."""
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    splits = (
+        spark.range(1, n_hashes + 1)
+        .select(F.col("id").cast("int").alias("bands"))
+        .where(F.lit(n_hashes) % F.col("bands") == 0)
+        .withColumn(
+            "rows_per_band", (F.lit(n_hashes) / F.col("bands")).cast("int")
+        )
+    )
+    s = (F.col("_i") + 0.5) / F.lit(float(n_grid))
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("rows_per_band")), F.col("bands")
+    )
+    curves = splits.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.sequence(F.lit(0), F.lit(n_grid - 1))).alias("_i"),
+    ).select(
+        "bands",
+        "rows_per_band",
+        F.when(s < F.lit(threshold), p).otherwise(F.lit(0.0)).alias("_fp"),
+        F.when(s >= F.lit(threshold), F.lit(1.0) - p)
+        .otherwise(F.lit(0.0))
+        .alias("_fn"),
+    )
+    p_at_t = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.lit(threshold), F.col("rows_per_band")),
+        F.col("bands"),
+    )
+    scored = (
+        curves.groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(F.sum("_fp") / n_grid, 6).alias("fp_mass"),
+            F.round(F.sum("_fn") / n_grid, 6).alias("fn_mass"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(p_at_t, 6).alias("p_at_threshold"),
+            "fp_mass",
+            "fn_mass",
+            F.round(F.col("fp_mass") + F.col("fn_mass"), 6).alias("cost"),
+        )
+    )
+    best = scored.agg(
+        F.min(F.struct(F.col("cost"), F.col("bands"))).alias("_b")
+    ).select(F.col("_b.cost").alias("_bc"), F.col("_b.bands").alias("_bb"))
+    return scored.crossJoin(F.broadcast(best)).select(
+        "bands",
+        "rows_per_band",
+        "p_at_threshold",
+        "fp_mass",
+        "fn_mass",
+        "cost",
+        ((F.col("cost") == F.col("_bc")) & (F.col("bands") == F.col("_bb"))).alias(
+            "is_best"
+        ),
+    )

@@ -186,3 +186,38 @@ def test_bloom_index_meta_mismatch_raises(spark, tmp_path):
     # params come from the sidecar, not the caller — same verdict either way
     v, _ = incremental_bloom_dedup(spark, idx, docs)
     assert v.where("NOT maybe_in_prior").count() == 0  # all content indexed
+
+
+def test_lsh_parameter_plan_known_values(spark):
+    """128 hashes at threshold 0.8: the planner must reproduce the
+    hand-computed s-curve table and flag (bands=8, rows=16) as argmin."""
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        lsh_parameter_plan,
+    )
+
+    plan = {
+        r["bands"]: r
+        for r in lsh_parameter_plan(spark, n_hashes=128, threshold=0.8).collect()
+    }
+    assert set(plan) == {1, 2, 4, 8, 16, 32, 64, 128}
+    assert all(r["rows_per_band"] == 128 // b for b, r in plan.items())
+    best = plan[8]
+    assert best["is_best"] and best["rows_per_band"] == 16
+    assert best["p_at_threshold"] == pytest.approx(0.204202, abs=1e-6)
+    assert best["fp_mass"] == pytest.approx(0.010075, abs=1e-6)
+    assert best["fn_mass"] == pytest.approx(0.056295, abs=1e-6)
+    assert sum(1 for r in plan.values() if r["is_best"]) == 1
+    # monotone structure of the s-curve family: more bands => higher p at t
+    ps = [plan[b]["p_at_threshold"] for b in (1, 2, 4, 8, 16, 32)]
+    assert ps == sorted(ps)
+
+
+def test_lsh_parameter_plan_validation(spark):
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        lsh_parameter_plan,
+    )
+
+    with pytest.raises(ValueError, match="n_hashes"):
+        lsh_parameter_plan(spark, n_hashes=0)
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_parameter_plan(spark, threshold=1.0)
