@@ -108,6 +108,9 @@ def main() -> None:
                    help="parquet dir of an earlier crawl/corpus: drop new "
                         "docs whose content already ships there (exact "
                         "fingerprint), before any within-corpus dedup")
+    p.add_argument("--bloom-bits", type=int, default=1 << 22,
+                   help="Bloom bitset size for the cross-corpus exact strike "
+                        "(0 = plain fingerprint join without the Bloom gate)")
     p.add_argument("--prior-jaccard", type=float, default=0.0,
                    help="additionally drop near-dups of prior docs at this "
                         "exact n-gram Jaccard (0 = exact-only)")
@@ -157,12 +160,22 @@ def main() -> None:
     # join; the optional near-dup strike adds the bipartite LSH + verify.
     if args.prior_docs:
         from kafka_connect_tablestore_spark.operators.dedup import (
+            bloom_dedup,
             cross_dedup_exact,
             cross_neardup,
         )
 
         prior = spark.read.parquet(args.prior_docs)
-        hit = cross_dedup_exact(docs, prior).where("in_prior")
+        if args.bloom_bits > 0:
+            # Bloom-gated strike (verdict-identical to the plain join): the
+            # prior corpus reduces once to a broadcast bitset, and only the
+            # flagged sliver enters the exact confirmation join — at crawl
+            # scale the prior fingerprint set never ships to the new side.
+            hit = bloom_dedup(
+                docs, prior, m_bits=args.bloom_bits, k=4, verify=True
+            ).where("in_prior")
+        else:
+            hit = cross_dedup_exact(docs, prior).where("in_prior")
         docs = docs.join(hit.select("doc_id"), "doc_id", "left_anti")
         if args.prior_jaccard > 0:
             nd = cross_neardup(
