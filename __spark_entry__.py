@@ -905,6 +905,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lsh_parameter_plan(spark, n_hashes=128, threshold=0.8)
 
+    def pipe_doc_chunks(spark, sf):
+        """Sliding-window document chunking: 64-word windows every 48 words
+        (16-word overlap), no zero-new-content tail chunks."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            chunk_documents,
+        )
+
+        return chunk_documents(_docs(spark, sf), max_words=64, stride=48)
+
     def pipe_bpe_merges(spark, sf):
         """Top adjacent-character-pair counts over pre-tokenized pieces —
         BPE training's first-merge statistic."""
@@ -1236,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
         pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
         pipe_lsh_plan=pipe_lsh_plan,                # r5: new operator (close)
+        pipe_doc_chunks=pipe_doc_chunks,            # r5: new operator (close)
         pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
         pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
         pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
@@ -2100,6 +2110,29 @@ probe AS (
 )
 SELECT doc_id, fp, bool_and(p IN (SELECT p FROM pos)) AS maybe_in_prior
 FROM probe GROUP BY doc_id, fp
+"""
+
+#: Sliding-window chunking twin — 64-word windows every 48 words; last start
+#: index = ceil((n-64)/48) when n > 64 else 0 (no zero-new-content tails).
+_CHUNK_MAXW, _CHUNK_STRIDE = 64, 48
+_DOC_CHUNKS_SQL = f"""
+WITH meta AS (SELECT doc_id, {W} AS w, len({W})::INT AS n FROM documents),
+spans AS (
+  SELECT doc_id, w, n,
+    unnest(generate_series(0,
+      CASE WHEN n > {_CHUNK_MAXW}
+        THEN (n - {_CHUNK_MAXW} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+        ELSE 0 END))::INT AS chunk_id
+  FROM meta
+)
+SELECT doc_id, chunk_id,
+  (chunk_id * {_CHUNK_STRIDE})::INT AS start_word,
+  least({_CHUNK_MAXW}, n - chunk_id * {_CHUNK_STRIDE})::INT AS n_words,
+  array_to_string(
+    list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
+               least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_MAXW}, n)), ' ')
+    AS chunk_text
+FROM spans
 """
 
 #: LSH planner twin — pure math over generate_series, no tables; mirrors the
@@ -3222,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
         "pipe_bloom_dedup": _BLOOM_DEDUP_SQL,
         "pipe_bloom_verified": _CROSS_EXACT_SQL,
         "pipe_lsh_plan": _LSH_PLAN_SQL,
+        "pipe_doc_chunks": _DOC_CHUNKS_SQL,
         "pipe_cross_exact": _CROSS_EXACT_SQL,
         "pipe_cross_neardup": _CROSS_NEARDUP_SQL,
         "pipe_bpe_merges": _BPE_PAIRS_SQL,

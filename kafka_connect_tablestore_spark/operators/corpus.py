@@ -1156,3 +1156,69 @@ def c4_clean(
         & ~F.col("has_brace")
     )
     return d.withColumn("keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_words: int = 256,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split LONG documents into overlapping context windows — the stage
+    between cleaning and :func:`pack_sequences`: packing concatenates
+    SHORT docs up to the budget, this splits docs LONGER than the budget
+    into ``max_words``-word chunks starting every ``stride`` words (the
+    sliding-window truncation HF tokenizers call ``return_overflowing_
+    tokens`` + ``stride``; overlap = ``max_words - stride`` words carries
+    context across boundaries).
+
+    Window rule: starts ``0, stride, 2·stride, …`` while the PREVIOUS
+    chunk did not already reach the end of the doc — so a tail start whose
+    window would be fully contained in its predecessor is never emitted
+    (no zero-new-content chunks), and every document emits at least one
+    chunk.  Output: ``(id, chunk_id, start_word, n_words, chunk_text)``.
+
+    Shape at scale: map-only — one split, one bounded ``sequence`` explode
+    per row, no shuffle, no window; chunk count per doc is
+    ``1 + ceil((len-max)/stride)``."""
+    stride = max_words if stride is None else stride
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    if not 1 <= stride <= max_words:
+        raise ValueError(
+            f"stride must be in [1, max_words={max_words}], got {stride}"
+        )
+    from kafka_connect_tablestore_spark.functions.text import words
+
+    base = df.select(F.col(id_col), words(text_col).alias("_w")).withColumn(
+        "_n", F.size("_w")
+    )
+    last_i = F.when(
+        F.col("_n") > max_words,
+        F.floor((F.col("_n") - max_words + stride - 1) / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    return (
+        base.select(
+            F.col(id_col),
+            "_w",
+            "_n",
+            F.explode(F.sequence(F.lit(0), last_i)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_word"),
+            F.least(
+                F.lit(max_words), F.col("_n") - F.col("chunk_id") * stride
+            ).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_w"),
+                    F.col("chunk_id") * stride + 1,
+                    F.lit(max_words),
+                ),
+            ).alias("chunk_text"),
+        )
+    )

@@ -372,3 +372,72 @@ def test_source_scorecard_dup_rate_and_tokens(spark):
     # doc 3 duplicates doc 1 across sources; doc 4 is clean
     assert (s2["n_docs"], s2["total_tokens"], s2["dup_rate"]) == (2, 5, 0.5)
     assert s2["mean_tokens"] == 2.5
+
+
+# ---- sliding-window document chunking --------------------------------------
+
+def test_chunk_documents_known_windows(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {
+        r["chunk_id"]: r
+        for r in chunk_documents(df, max_words=8, stride=4).collect()
+    }
+    # n=10, max=8, stride=4: starts 0 (w0..w7) and 4 (w4..w9); start 8 would
+    # add nothing (fully inside the chunk at 4) and must not be emitted
+    assert set(rows) == {0, 1}
+    assert rows[0]["start_word"] == 0 and rows[0]["n_words"] == 8
+    assert rows[0]["chunk_text"] == " ".join(f"w{i}" for i in range(8))
+    assert rows[1]["start_word"] == 4 and rows[1]["n_words"] == 6
+    assert rows[1]["chunk_text"] == " ".join(f"w{i}" for i in range(4, 10))
+
+
+def test_chunk_documents_short_doc_one_chunk(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_text"])
+        for r in chunk_documents(df, max_words=8, stride=4).collect()
+    }
+    # short doc: one whole chunk; empty text splits to [''] (1 "word"), the
+    # same convention every words()-based operator shares
+    assert got == {(1, 0, 3, "a b c"), (2, 0, 1, "")}
+
+
+def test_chunk_documents_no_overlap_default_reconstructs(spark):
+    from kafka_connect_tablestore_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_words=8).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride defaults to max_words: disjoint cover, concatenation == doc
+    assert [r["n_words"] for r in rows] == [8, 8, 7]
+    assert " ".join(r["chunk_text"] for r in rows) == text
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from kafka_connect_tablestore_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, max_words=8, stride=9)
+    with _pytest.raises(ValueError, match="max_words"):
+        chunk_documents(df, max_words=0)
+    plan = (
+        chunk_documents(df, max_words=8, stride=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # map-only: no shuffle, no window
+    assert "BatchEvalPython" not in plan
