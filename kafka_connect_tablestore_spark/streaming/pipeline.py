@@ -729,3 +729,113 @@ def start_bloom_index_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_ivf_index_stream(
+    vecs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "ivf-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted IVF inverted file from an embedding stream —
+    the seventh stream-driven index, completing the set (LSH, chunk,
+    fingerprint, semantic, view, Bloom, and now IVF; the IVF-PQ index
+    shares this coarse layer).
+
+    Batch 0 trains the centroids with the same deterministic 'first' rule
+    as ``build_ivf_index(train='first')`` (the first ``n_cells`` vectors by
+    id) and persists them in an atomic sidecar JSON — the query-side
+    contract every later batch and every probe reuses.  Under the
+    monotone-id ingest precondition (day 0 holds the smallest ids) those
+    are the same vectors the one-shot batch build would pick, so the
+    streamed index is content-equal to ``build_ivf_index`` +
+    ``append_to_ivf_index`` over the same slices.
+
+    Idempotency is STRUCTURAL here, not manifest-dependent: unlike the
+    OR-idempotent Bloom bitset or the ANY-match semantic survivors, a
+    duplicated IVF row would occupy a second top-k rank slot at probe
+    time, so blind re-append on crash-replay is NOT safe.  Each batch
+    therefore lands as a dynamic partition overwrite of its own
+    ``batch_id=N/cell=C`` slice — a replayed batch rewrites, never
+    duplicates, its rows (the manifest remains as a fast-skip).  Partition
+    pruning on ``cell`` is unaffected by the extra ``batch_id`` level:
+    ``ann_ivf_indexed_topk``'s probed-cell filter still prunes to the
+    probed directories.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        _norm,
+        ivf_assign,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+    centroids_file = index_path.rstrip("/") + ".centroids.json"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_vecs: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "n_vecs": n_vecs}, f)
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        n_vecs = vecs.count()
+        if n_vecs == 0:
+            _commit(batch_id, 0)
+            return
+        if os.path.exists(centroids_file):
+            with open(centroids_file) as f:
+                centroids = json.load(f)
+        else:
+            centroids = [
+                [float(x) for x in r[vec_col]]
+                for r in vecs.orderBy(id_col).limit(n_cells).collect()
+            ]
+            tmp = centroids_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(centroids, f)
+            os.replace(tmp, centroids_file)
+        vd = F.col(vec_col).cast("array<double>")
+        (
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"),
+                vd.alias("cv"),
+                _norm(vd).alias("cn"),
+                ivf_assign(F.col(vec_col), centroids).alias("cell"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell")
+            .parquet(index_path)
+        )
+        _commit(batch_id, n_vecs)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -446,3 +446,117 @@ def test_bloom_index_stream_matches_batch_recompute(spark, tmp_path):
     q2.awaitTermination(300)
     assert spark.read.parquet(idx).count() == n_idx
     assert spark.read.parquet(verdicts_out).count() == 310
+
+
+def test_ivf_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted IVF inverted file driven by the STREAMING engine
+    (foreachBatch) across four micro-batches: content-equal to the
+    build+append batch loop, probe-equal to the in-memory ANN over the
+    union, pruning intact through the extra batch_id partition level, and
+    replay-idempotent WITHOUT the manifest (dynamic partition overwrite —
+    a duplicated IVF row would steal a top-k rank slot, so structural
+    idempotency is load-bearing here, not belt-and-braces)."""
+    import json
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_indexed_topk,
+        ann_ivf_topk,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_ivf_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    vecs = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    src = str(tmp_path / "src")
+    slices = [(0, 125), (125, 250), (250, 375), (375, 500)]
+    for i, (lo, hi) in enumerate(slices):
+        vecs.where(f"vec_id >= {lo} and vec_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "ivf_idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = start_ivf_index_stream(stream, idx, ckpt, n_cells=8)
+    q.awaitTermination(300)
+
+    with open(idx + ".centroids.json") as f:
+        cents = json.load(f)
+
+    def idx_rows(path):
+        return {
+            (r["neighbor_id"], r["cell"], r["cn"], tuple(r["cv"]))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    # content equality with the hand-driven batch loop over the same slices
+    ref_idx = str(tmp_path / "ivf_ref")
+    ref_cents = build_ivf_index(
+        vecs.where("vec_id < 125"), ref_idx, n_cells=8, train="first"
+    )
+    assert ref_cents == cents  # monotone-id ingest => same 'first' centroids
+    for lo, hi in slices[1:]:
+        append_to_ivf_index(
+            vecs.where(f"vec_id >= {lo} and vec_id < {hi}"), ref_idx, ref_cents
+        )
+    got_idx = idx_rows(idx)
+    assert got_idx == idx_rows(ref_idx) and len(got_idx) == 500
+
+    # probe equality with the in-memory ANN over the full union
+    queries = vecs.where(F.col("vec_id") < 5)
+    got = ann_ivf_indexed_topk(spark, idx, cents, queries, k=5, nprobe=2)
+    want = ann_ivf_topk(vecs, queries, k=5, nprobe=2, n_cells=8, train="first")
+    key = lambda d: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in d.collect()
+    }
+    assert key(got) == key(want) and len(key(got)) > 0
+
+    # pruning survives the extra batch_id partition level
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "cell" in m.group(0)
+
+    # restart on the same checkpoint: no new data => no index change
+    q2 = start_ivf_index_stream(
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        ckpt,
+    )
+    q2.awaitTermination(300)
+    assert idx_rows(idx) == got_idx
+
+    # full crash-replay: wipe checkpoint AND manifests (keep index +
+    # centroid sidecar) — every batch re-runs and must OVERWRITE its own
+    # slice, never duplicate it
+    import shutil
+
+    shutil.rmtree(ckpt)
+    shutil.rmtree(idx + ".batches")
+    q3 = start_ivf_index_stream(
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        idx,
+        str(tmp_path / "ckpt2"),
+        n_cells=8,
+    )
+    q3.awaitTermination(300)
+    assert idx_rows(idx) == got_idx
+    assert spark.read.parquet(idx).count() == 500
