@@ -909,10 +909,13 @@ def _ivfpq_corpus_plan(
     vec_col: str,
     train: str,
     encode: str,
+    codebooks: list | None = None,
 ):
     """The IVFADC encode pass as a (plan, codebooks) pair — shared by the
     persisted index build and the one-shot in-memory query: a map-only
     chain producing ``(neighbor_id, codes, rn, cell)`` per vector.
+    When ``codebooks`` is given (the incremental-append path) training is
+    skipped and the batch is encoded under the index's fixed contract.
 
     The chain is deliberately STAGED across selects: the residual and the
     code array are bound as named columns, not inlined expressions.
@@ -938,10 +941,11 @@ def _ivfpq_corpus_plan(
         staged = df.select(
             F.col(id_col), cell.alias("cell"), resid.alias("_resid")
         )
-        codebooks = train_pq_codebooks(
-            staged.select(F.col(id_col), F.col("_resid").alias(vec_col)),
-            m, n_codes, dim, id_col, vec_col, train,
-        )
+        if codebooks is None:
+            codebooks = train_pq_codebooks(
+                staged.select(F.col(id_col), F.col("_resid").alias(vec_col)),
+                m, n_codes, dim, id_col, vec_col, train,
+            )
         coded = staged.select(
             F.col(id_col), "cell",
             pq_encode(F.col("_resid"), codebooks).alias("codes"),
@@ -950,9 +954,10 @@ def _ivfpq_corpus_plan(
             F.col("codes"), codebooks, F.element_at(cl, F.col("cell") + 1)
         )
     else:
-        codebooks = train_pq_codebooks(
-            df, m, n_codes, dim, id_col, vec_col, train
-        )
+        if codebooks is None:
+            codebooks = train_pq_codebooks(
+                df, m, n_codes, dim, id_col, vec_col, train
+            )
         coded = df.select(
             F.col(id_col), cell.alias("cell"),
             pq_encode(F.col(vec_col), codebooks).alias("codes"),
@@ -965,6 +970,37 @@ def _ivfpq_corpus_plan(
         F.col("cell"),
     )
     return corpus, codebooks
+
+
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    meta: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch's vectors to an existing IVFADC index under the
+    INDEX'S contract — the centroids AND codebooks fixed at build time
+    (``build_ivfpq_index``'s return value): assign cells, residual-encode
+    against the frozen codebooks, append into the same ``partitionBy(cell)``
+    layout.  Ids must be disjoint from the indexed corpus.  Neither
+    quantizer retrains here (retraining either would silently change the
+    meaning of every previously stored code); when drift accumulates,
+    rebuild — the standard IVF/PQ re-index cadence."""
+    codebooks = meta["codebooks"]
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dim = m * len(codebooks[0][0])
+    corpus, _ = _ivfpq_corpus_plan(
+        df, meta["centroids"], m, n_codes, dim, id_col, vec_col,
+        "first", meta["encode"], codebooks=codebooks,
+    )
+    (
+        corpus.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ann_ivfpq_topk(

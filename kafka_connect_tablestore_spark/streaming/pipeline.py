@@ -839,3 +839,110 @@ def start_ivf_index_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_ivfpq_index_stream(
+    vecs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    encode: str = "residual",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "ivfpq-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted IVFADC (IVF-PQ) index from an embedding
+    stream — the eighth stream-driven index and the production ANN shape:
+    batch 0 trains BOTH quantizer levels with the deterministic 'first'
+    rules (coarse centroids = first ``n_cells`` vectors by id; PQ
+    codebooks = first ``n_codes`` residuals by id, exactly what
+    ``build_ivfpq_index(train='first')`` would pick under the monotone-id
+    ingest precondition) and freezes them in an atomic sidecar JSON — the
+    query-side contract (``ann_ivfpq_indexed_topk``'s ``meta``) that every
+    later batch encodes under, unchanged (retraining mid-stream would
+    silently re-define every previously stored code).
+
+    Idempotency is structural, exactly as in ``start_ivf_index_stream``
+    and for the same reason (a duplicated row steals a top-k rank slot):
+    each batch lands as a dynamic partition overwrite of its own
+    ``batch_id=N/cell=C`` slice; the manifest is a fast-skip only.
+    Partition pruning on ``cell`` survives the extra level."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        _ivfpq_corpus_plan,
+    )
+
+    manifest_dir = index_path.rstrip("/") + ".batches"
+    meta_file = index_path.rstrip("/") + ".meta.json"
+
+    def _committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def _commit(batch_id: int, n_vecs: int) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "n_vecs": n_vecs}, f)
+        os.replace(tmp, final)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(batch_id):
+            return
+        vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        n_vecs = vecs.count()
+        if n_vecs == 0:
+            _commit(batch_id, 0)
+            return
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                meta = json.load(f)
+            centroids, codebooks = meta["centroids"], meta["codebooks"]
+        else:
+            centroids = [
+                [float(x) for x in r[vec_col]]
+                for r in vecs.orderBy(id_col).limit(n_cells).collect()
+            ]
+            codebooks = None  # batch 0 trains them inside the encode plan
+        corpus, codebooks = _ivfpq_corpus_plan(
+            vecs, centroids, m, n_codes, dim, id_col, vec_col,
+            "first", encode, codebooks=codebooks,
+        )
+        if not os.path.exists(meta_file):
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"centroids": centroids, "codebooks": codebooks,
+                     "encode": encode}, f,
+                )
+            os.replace(tmp, meta_file)
+        (
+            corpus.withColumn("batch_id", F.lit(batch_id))
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "cell")
+            .parquet(index_path)
+        )
+        _commit(batch_id, n_vecs)
+
+    writer = (
+        vecs_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -203,3 +203,52 @@ def test_semantic_probe_prunes_index_partitions(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert m and "cell" in m.group(0)
+
+
+def test_ivfpq_index_three_day_cycle(spark, tmp_path):
+    """The IVFADC index through three append/probe cycles: appends encode
+    under the index's FROZEN contract (build-time centroids AND codebooks);
+    with train='first' and monotone ids the union-rebuild would train the
+    identical contract (both 'first' samples live in day 0), so the
+    incrementally-grown index must probe-match the one-shot in-memory
+    operator on the union after every cycle."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivfpq_indexed_topk,
+        ann_ivfpq_topk,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    def _emb(lo, hi):
+        return (
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .where(f"vec_id >= {lo} and vec_id < {hi}")
+        )
+
+    idx = str(tmp_path / "ivfpq")
+    corpus = _emb(*SLICES[0])
+    meta = build_ivfpq_index(
+        corpus, idx, n_cells=8, m=4, n_codes=16, dim=64, train="first",
+        encode="residual",
+    )
+    queries = corpus.where("vec_id < 5")
+    seen = corpus
+    key = lambda rows: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"]) for r in rows
+    }
+    for lo, hi in SLICES[1:]:
+        day = _emb(lo, hi)
+        append_to_ivfpq_index(day, idx, meta)
+        seen = seen.unionByName(day)
+        got = key(
+            ann_ivfpq_indexed_topk(
+                spark, idx, meta, queries, k=5, nprobe=2
+            ).collect()
+        )
+        want = key(
+            ann_ivfpq_topk(
+                seen, queries, k=5, nprobe=2, n_cells=8, m=4, n_codes=16,
+                dim=64, train="first", encode="residual",
+            ).collect()
+        )
+        assert got == want and len(got) > 0

@@ -560,3 +560,102 @@ def test_ivf_index_stream_matches_batch_recompute(spark, tmp_path):
     q3.awaitTermination(300)
     assert idx_rows(idx) == got_idx
     assert spark.read.parquet(idx).count() == 500
+
+
+def test_ivfpq_index_stream_matches_batch_recompute(spark, tmp_path):
+    """The persisted IVFADC (IVF-PQ) index driven by the STREAMING engine
+    across four micro-batches: batch 0 freezes the two-level quantizer
+    contract in the sidecar; the streamed index must be content-equal to
+    the build+append batch loop, probe-equal to it through
+    ann_ivfpq_indexed_topk, and idempotent under a full wiped-checkpoint
+    re-ingest (dynamic partition overwrite — same structural argument as
+    the IVF stream)."""
+    import json
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivfpq_indexed_topk,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+    from kafka_connect_tablestore_spark.streaming.pipeline import (
+        start_ivfpq_index_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    vecs = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    src = str(tmp_path / "src")
+    slices = [(0, 125), (125, 250), (250, 375), (375, 500)]
+    for i, (lo, hi) in enumerate(slices):
+        vecs.where(f"vec_id >= {lo} and vec_id < {hi}").coalesce(1).write.parquet(
+            os.path.join(src, f"day{i}")
+        )
+
+    idx = str(tmp_path / "ivfpq_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema(vecs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+
+    q = start_ivfpq_index_stream(
+        _stream(), idx, ckpt, n_cells=8, m=4, n_codes=16, dim=64
+    )
+    q.awaitTermination(300)
+
+    with open(idx + ".meta.json") as f:
+        meta = json.load(f)
+
+    # contract equality with the one-shot batch build on day 0
+    ref_idx = str(tmp_path / "ivfpq_ref")
+    ref_meta = build_ivfpq_index(
+        vecs.where("vec_id < 125"), ref_idx, n_cells=8, m=4, n_codes=16,
+        dim=64, train="first", encode="residual",
+    )
+    assert ref_meta["centroids"] == meta["centroids"]
+    assert ref_meta["codebooks"] == meta["codebooks"]
+    for lo, hi in slices[1:]:
+        append_to_ivfpq_index(
+            vecs.where(f"vec_id >= {lo} and vec_id < {hi}"), ref_idx, ref_meta
+        )
+
+    def idx_rows(path):
+        return {
+            (r["neighbor_id"], tuple(r["codes"]), r["rn"], r["cell"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got_idx = idx_rows(idx)
+    assert got_idx == idx_rows(ref_idx) and len(got_idx) == 500
+
+    # probe equality through the shared query path
+    queries = vecs.where("vec_id < 5")
+    key = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["pq_cos"])
+        for r in df.collect()
+    }
+    got = key(ann_ivfpq_indexed_topk(spark, idx, meta, queries, k=5, nprobe=2))
+    want = key(
+        ann_ivfpq_indexed_topk(spark, ref_idx, ref_meta, queries, k=5, nprobe=2)
+    )
+    assert got == want and len(got) > 0
+
+    # full crash-replay: wipe checkpoint AND manifests (keep index + meta
+    # sidecar) — every batch re-runs and must overwrite, never duplicate
+    import shutil
+
+    shutil.rmtree(ckpt)
+    shutil.rmtree(idx + ".batches")
+    q2 = start_ivfpq_index_stream(
+        _stream(), idx, str(tmp_path / "ckpt2"), n_cells=8, m=4, n_codes=16,
+        dim=64,
+    )
+    q2.awaitTermination(300)
+    assert idx_rows(idx) == got_idx
+    assert spark.read.parquet(idx).count() == 500
