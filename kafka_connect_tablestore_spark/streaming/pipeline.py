@@ -744,9 +744,9 @@ def start_ivf_index_stream(
     query_name: str = "ivf-index-ingest",
 ) -> StreamingQuery:
     """Maintain the persisted IVF inverted file from an embedding stream —
-    the seventh stream-driven index, completing the set (LSH, chunk,
-    fingerprint, semantic, view, Bloom, and now IVF; the IVF-PQ index
-    shares this coarse layer).
+    the seventh stream-driven index (LSH, chunk, fingerprint, semantic,
+    view, Bloom, then this; :func:`start_ivfpq_index_stream` adds the
+    PQ-coded variant on the same coarse layer).
 
     Batch 0 trains the centroids with the same deterministic 'first' rule
     as ``build_ivf_index(train='first')`` (the first ``n_cells`` vectors by
