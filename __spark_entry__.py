@@ -878,6 +878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         new, prior = _cross_split(spark, sf)
         return cross_neardup(new, prior, threshold=0.5)
 
+    def pipe_dup_spans(spark, sf):
+        """ExactSubstr-style duplicated-span coverage: every 5-word window
+        hashed, windows in ≥2 distinct docs are duplicated, per-doc
+        coverage is the exact interval-union sweep (Lee et al. 2022)."""
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            dup_span_coverage,
+        )
+
+        return dup_span_coverage(_docs(spark, sf), n=5, min_df=2)
+
     def pipe_bloom_dedup(spark, sf):
         """Bloom-gated cross-corpus verdict: per NEW doc, probe the PRIOR
         corpus's broadcast bitset (m=2048 bits, k=2 — sized small so the
@@ -1242,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
         pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
         pipe_lsh_plan=pipe_lsh_plan,                # r5: new operator (close)
@@ -1642,6 +1653,39 @@ WITH sh AS (
   FROM hs
 )
 SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+"""
+
+_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {W} AS w FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS pos, w
+  FROM w WHERE len(w) >= 5
+), h AS (
+  SELECT doc_id, pos,
+    {H("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3] || ' ' || w[pos+4]", "dss")} AS h
+  FROM g
+), dup AS (
+  SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dpos AS (
+  SELECT doc_id, pos FROM h WHERE h IN (SELECT h FROM dup)
+), sweep AS (
+  SELECT doc_id, pos,
+    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM dpos
+), agg AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS dup_windows,
+    CAST(sum(CASE WHEN prev IS NULL THEN 5
+                  ELSE least(5, pos - prev) END) AS BIGINT) AS dup_words
+  FROM sweep GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(len({W}) AS BIGINT) AS n_words,
+  coalesce(a.dup_windows, 0) AS dup_windows,
+  coalesce(a.dup_words, 0) AS dup_words,
+  round(coalesce(a.dup_words, 0) / len({W}), 4) AS dup_coverage
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 _WINNOWING_OVERLAP_SQL = f"""
@@ -3252,6 +3296,7 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        "pipe_dup_spans": _DUP_SPANS_SQL,
         "pipe_bloom_dedup": _BLOOM_DEDUP_SQL,
         "pipe_bloom_verified": _CROSS_EXACT_SQL,
         "pipe_lsh_plan": _LSH_PLAN_SQL,

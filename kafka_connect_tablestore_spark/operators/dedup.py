@@ -633,6 +633,102 @@ def winnowing_overlap_pairs(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage (the per-document measure
+    behind Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): hash EVERY n-word window at every position, call a
+    window *duplicated* when it occurs in at least ``min_df`` DISTINCT
+    documents, and report per doc how much of the text those duplicated
+    windows cover.
+
+    Output: ``(id, n_words, dup_windows, dup_words, dup_coverage)`` where
+    ``dup_words`` is the size of the UNION of the duplicated windows'
+    ``[p, p+n-1]`` position intervals — an exact sweep, not ``count × n``:
+    consecutive duplicated windows overlap ``n-1`` positions, so each
+    window past the first contributes ``min(n, gap)`` via a per-doc
+    ``lag`` over its sorted duplicated positions.  ``dup_coverage`` is
+    ``dup_words / n_words``, the fraction a span-level dedup pass would
+    cut.  Differs from winnowing (samples one fingerprint per window —
+    detects overlap but cannot measure extent) and from the Gopher
+    repetition table (within-doc duplication only; this is cross-doc:
+    ``min_df`` counts distinct documents).
+
+    Scale shape: one shuffle keyed on the window hash for document
+    frequency (distinct ``(hash, id)`` first, then a key-local count), a
+    second on the same key to flag duplicated positions (Catalyst reuses
+    the partitioning), and a per-doc window bounded by DOCUMENT LENGTH —
+    the same per-key bound as ``tfidf_topk``'s per-doc rank, measured
+    unskewable in ``bench_skew_pipeline.py``.  Never all-pairs; the df
+    aggregate collapses boilerplate n-grams to one row per hash however
+    many billions of occurrences they have.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if min_df < 2:
+        raise ValueError("min_df < 2 would mark every window duplicated")
+    wdf = df.select(F.col(id_col), words(text_col).alias("_w"))
+    base = wdf.select(
+        F.col(id_col),
+        F.size("_w").alias("n_words"),
+        shingles_from_words(F.col("_w"), n).alias("_sh"),
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode("_sh").alias("_p0", "_g"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p0") + F.lit(1)).alias("pos"),
+        hash64(F.col("_g"), "dss").alias("_h"),
+    )
+    dup_hashes = (
+        grams.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    dpos = grams.join(dup_hashes, "_h").select(id_col, "pos")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    swept = dpos.withColumn("_prev", F.lag("pos").over(w)).select(
+        F.col(id_col),
+        F.when(F.col("_prev").isNull(), F.lit(n))
+        .otherwise(F.least(F.lit(n), F.col("pos") - F.col("_prev")))
+        .alias("_add"),
+    )
+    agg = swept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.sum("_add").alias("dup_words"),
+    )
+    return (
+        base.select(id_col, "n_words")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce(F.col("dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("dup_windows"),
+            F.coalesce(F.col("dup_words"), F.lit(0))
+            .cast("long")
+            .alias("dup_words"),
+            F.round(
+                F.coalesce(F.col("dup_words"), F.lit(0))
+                / F.col("n_words"),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 # ------------------------------------- persisted exact-dedup fingerprint index
 def build_fingerprint_index(
     df: DataFrame,
