@@ -19,6 +19,9 @@ family, in dependency order:
   1. exact dedup            (operators/dedup.py::dedup_exact)
   2. near-dup dedup         (MinHash-LSH candidates → Jaccard verify →
                              connected components, keep cluster minima)
+  2b. span-dup gate         (operators/dedup.py::dup_span_coverage, optional
+                             — drop docs mostly made of cross-doc duplicated
+                             n-word runs the doc-level passes can't see)
   3. benchmark decontam     (operators/decontam.py::benchmark_overlap)
   3a. semantic decontam     (operators/decontam.py::semantic_decontaminate,
                              optional — embedding-cosine strike against a
@@ -76,6 +79,12 @@ def main() -> None:
     p.add_argument("--budget", type=int, default=2048, help="tokens per packed sequence")
     p.add_argument("--min-tokens", type=int, default=10)
     p.add_argument("--max-dup-word-frac", type=float, default=0.9)
+    p.add_argument("--max-span-dup", type=float, default=1.0,
+                   help="drop docs whose cross-doc duplicated-span coverage "
+                        "(ExactSubstr measure) exceeds this fraction "
+                        "(1.0 = gate off)")
+    p.add_argument("--span-n", type=int, default=20,
+                   help="window width in words for the span-dup gate")
     p.add_argument("--mixture", default="", help="lang=pct comma list, e.g. en=60,de=25,fr=15")
     p.add_argument("--temperature", type=float, default=None,
                    help="temperature alpha for data-derived language rates "
@@ -190,6 +199,24 @@ def main() -> None:
         dedup_neardup(docs).where(F.col("is_survivor")).select("doc_id")
     )
     docs = docs.join(keep_nd, "doc_id")
+
+    # 2b: optional span-level dedup gate — the ExactSubstr measure (Lee et
+    # al. 2022): docs whose cross-doc duplicated-window coverage exceeds
+    # the threshold are mostly re-shipped content the doc-level passes
+    # above can't see (partial mirrors, quote farms).  Runs AFTER doc-level
+    # dedup so whole-doc twins are already gone and the df aggregate is
+    # smaller; one window-hash shuffle + a doc-key verdict join.
+    if args.max_span_dup < 1.0:
+        from kafka_connect_tablestore_spark.operators.dedup import (
+            dup_span_coverage,
+        )
+
+        spanny = (
+            dup_span_coverage(docs, n=args.span_n, min_df=2)
+            .where(F.col("dup_coverage") > args.max_span_dup)
+            .select("doc_id")
+        )
+        docs = docs.join(spanny, "doc_id", "left_anti")
 
     # 3: strike benchmark-contaminated docs
     if args.benchmark:
