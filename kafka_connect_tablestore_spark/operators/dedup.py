@@ -660,9 +660,10 @@ def dup_span_coverage(
     ``min_df`` counts distinct documents).
 
     Scale shape: one shuffle keyed on the window hash for document
-    frequency (distinct ``(hash, id)`` first, then a key-local count), a
-    second on the same key to flag duplicated positions (Catalyst reuses
-    the partitioning), and a per-doc window bounded by DOCUMENT LENGTH —
+    frequency (``countDistinct`` plans as a two-phase partial aggregate on
+    ``(hash, id)``, so boilerplate grams collapse map-side), a second on
+    the same key to flag duplicated positions (Catalyst reuses the
+    partitioning), and a per-doc window bounded by DOCUMENT LENGTH —
     the same per-key bound as ``tfidf_topk``'s per-doc rank, measured
     unskewable in ``bench_skew_pipeline.py``.  Never all-pairs; the df
     aggregate collapses boilerplate n-grams to one row per hash however
@@ -673,24 +674,34 @@ def dup_span_coverage(
     if min_df < 2:
         raise ValueError("min_df < 2 would mark every window duplicated")
     wdf = df.select(F.col(id_col), words(text_col).alias("_w"))
-    base = wdf.select(
-        F.col(id_col),
-        F.size("_w").alias("n_words"),
-        shingles_from_words(F.col("_w"), n).alias("_sh"),
+    # n_words comes straight off the word array: rebuilding shingles on the
+    # join-back side would re-run the gram+md5 map stage a third time.
+    nw = wdf.select(F.col(id_col), F.size("_w").alias("n_words"))
+    # Explode a CHEAP position sequence and build each gram string AFTER
+    # the Generate, not before: GenerateExec re-evaluates its generator
+    # expression per OUTPUT row, so posexplode(shingles(...)) rebuilds the
+    # whole gram array once per emitted window — O(windows x doc_windows)
+    # string work (measured 70x slower on this exact stage).  Positions
+    # are 1-based; docs shorter than n emit nothing.
+    positions = F.when(
+        F.size("_w") >= n,
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(
+        " ", *[F.element_at("_w", F.col("pos") + j) for j in range(n)]
     )
-    grams = base.select(
-        F.col(id_col),
-        F.posexplode("_sh").alias("_p0", "_g"),
-    ).select(
-        F.col(id_col),
-        (F.col("_p0") + F.lit(1)).alias("pos"),
-        hash64(F.col("_g"), "dss").alias("_h"),
+    grams = (
+        wdf.select(
+            F.col(id_col), F.col("_w"), F.posexplode(positions).alias("_i", "pos")
+        )
+        .select(F.col(id_col), "pos", hash64(gram, "dss").alias("_h"))
     )
+    # countDistinct plans as a two-phase partial aggregate on (_h, id) —
+    # one shuffle instead of the distinct-then-count pair, still skew-safe
+    # (boilerplate grams collapse map-side however hot).
     dup_hashes = (
-        grams.select("_h", id_col)
-        .distinct()
-        .groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        grams.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
         .where(F.col("_df") >= min_df)
         .select("_h")
     )
@@ -709,8 +720,7 @@ def dup_span_coverage(
         F.sum("_add").alias("dup_words"),
     )
     return (
-        base.select(id_col, "n_words")
-        .join(agg, id_col, "left")
+        nw.join(agg, id_col, "left")
         .select(
             F.col(id_col),
             F.col("n_words").cast("long").alias("n_words"),
