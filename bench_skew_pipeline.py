@@ -178,6 +178,40 @@ def main() -> None:
         lambda: _noop(cap_single_window(hot_cap, max_docs=100))
     )
 
+    # ---- dup_span_coverage -----------------------------------------------
+    # The fourth window user: the interval-union lag sweep partitions by
+    # doc.  Hot shape: ONE document holding ~300k words drawn from a tiny
+    # vocabulary (so virtually every window is cross-doc duplicated and
+    # ALL ~300k of its positions flow through its single per-doc window
+    # task) among many 40-word docs from the same vocabulary.  The bound
+    # is the document's own length — the same argument as tfidf's per-doc
+    # rank — so hot must degrade by at most the serial sweep of one doc.
+    from kafka_connect_tablestore_spark.operators.dedup import (
+        dup_span_coverage,
+    )
+
+    span_n = n_docs
+    sids = spark.range(span_n).withColumnRenamed("id", "doc_id")
+    uni_span = sids.select(
+        "doc_id",
+        synth_words(F.lit(40), 500, F.col("doc_id"), "s").alias("text"),
+    ).localCheckpoint(eager=True)
+    hot_span = sids.select(
+        "doc_id",
+        synth_words(
+            F.when(F.col("doc_id") == 0, 300_000).otherwise(F.lit(40)),
+            500,
+            F.col("doc_id"),
+            "s",
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    results["span_uniform_secs"] = _best(
+        lambda: _noop(dup_span_coverage(uni_span, n=5, min_df=2))
+    )
+    results["span_hot_secs"] = _best(
+        lambda: _noop(dup_span_coverage(hot_span, n=5, min_df=2))
+    )
+
     out = {
         "metric": "pipeline window-operator skew resilience (best-of-2)",
         "n_docs_tfidf": n_docs,
@@ -205,14 +239,20 @@ def main() -> None:
             f"| one domain holds 90% of docs |\n"
             f"| cap_per_domain single-window (pre-r5 contrast) | — | "
             f"{results['cap_window_hot_secs']} s | same hot input, unsalted "
-            f"row_number |\n\n"
+            f"row_number |\n"
+            f"| dup_span_coverage ({span_n:,} docs) | "
+            f"{results['span_uniform_secs']} s | {results['span_hot_secs']} s "
+            f"| one doc holds 300k words, tiny vocab (every window "
+            f"duplicated) |\n\n"
             "tfidf's hot doc costs one window task of 500k rows (bounded by the "
             "doc's vocabulary, not the corpus); pack's group key is a hash of "
             "the id, so even a single-partition sorted input spreads across all "
             "32 group streams after one shuffle; the salted cap bounds "
             "per-domain window volume at n_salts x max_docs rows however hot "
             "the domain, while the unsalted contrast funnels the hot domain's "
-            "full row set through one task.\n"
+            "full row set through one task; dup_span's sweep is per-doc, so "
+            "its hot cost is the serial lag scan of the one giant doc's own "
+            "positions — bounded by document length, never corpus size.\n"
         )
 
 
