@@ -44,7 +44,11 @@ from kafka_connect_tablestore_spark.operators.lww import (
     lww_dedup_salted,
     lww_dedup_window,
 )
-from kafka_connect_tablestore_spark.operators.changefeed import snapshot_diff
+from kafka_connect_tablestore_spark.operators.changefeed import (
+    asof_enrich,
+    scd2_history,
+    snapshot_diff,
+)
 from kafka_connect_tablestore_spark.operators.corpus import (
     EMAIL_RE,
     IPV4_RE,
@@ -535,6 +539,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_and_featurize(d, fake=True).select(
             "media_id", "kind", "width", "height", "payload_sha256"
         )
+
+    def cdc_scd2_history(spark, sf):
+        """History leg: SCD-type-2 version intervals from the change log —
+        every non-DELETE change becomes a version row with
+        [valid_from, valid_to) bounds (DELETEs close intervals), so
+        ``WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)``
+        reconstructs the table as of any t without replaying the log.
+        One per-key window shuffle."""
+        return scd2_history(_log(spark, sf))
+
+    def cdc_asof_enrich(spark, sf):
+        """Event-time state lookup: enrich each purchase event with the
+        dimension state AS OF its own timestamp (latest change with
+        ts <= fact_ts; a DELETE in effect yields nulls).  Implemented as
+        union + per-key last-ignorenulls window — ONE key shuffle, no
+        range join.  The fact's key deliberately differs from its own
+        changelog row (path from 7*event_id+3) so the lookup reads real
+        history, not itself."""
+        e = _events(spark, sf)
+        facts = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("offset"),
+            F.concat(
+                F.lit("repo_"), F.pmod(F.col("user_id"), F.lit(40)).cast("string")
+            ).alias("repo"),
+            F.concat(
+                F.lit("src/f"),
+                F.pmod(F.col("event_id") * 7 + 3, F.lit(25)).cast("string"),
+                F.lit(".py"),
+            ).alias("path"),
+            F.expr(
+                "timestampdiff(MILLISECOND, timestamp_ntz'1970-01-01 00:00:00', "
+                "cast(ts as timestamp_ntz))"
+            ).alias("fact_ts"),
+        )
+        return asof_enrich(facts, _log(spark, sf))
 
     def cdc_snapshot_diff(spark, sf):
         """Changefeed leg: final state at offset ≤ 5000 vs full replay,
@@ -1252,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        cdc_scd2_history=cdc_scd2_history,          # r5: new operator (history)
+        cdc_asof_enrich=cdc_asof_enrich,            # r5: new operator (history)
         pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
         pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
@@ -3296,6 +3337,50 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        # SCD2 version intervals: lead() over ALL changes (DELETEs included,
+        # so they close the prior interval), then non-DELETE rows survive
+        "cdc_scd2_history": f"""
+WITH {LOG},
+ordered AS (
+  SELECT repo, path, "commit", lang, content, op,
+         CAST(commit_ts AS BIGINT) AS valid_from,
+         CAST(lead(commit_ts) OVER (
+           PARTITION BY repo, path ORDER BY commit_ts, "offset"
+         ) AS BIGINT) AS valid_to
+  FROM log)
+SELECT repo, path, "commit", lang, content, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM ordered WHERE op <> 'DELETE'
+""",
+        # as-of enrichment: the oracle is the DECLARATIVE interval lookup
+        # against the SCD2 history — intervals per key are disjoint by
+        # construction, so the left join matches at most one version
+        "cdc_asof_enrich": f"""
+WITH {LOG},
+facts AS (
+  SELECT event_id AS fact_id,
+         'repo_' || CAST(user_id % 40 AS VARCHAR) AS repo,
+         'src/f' || CAST((event_id * 7 + 3) % 25 AS VARCHAR) || '.py' AS path,
+         epoch_ms(ts) AS fact_ts
+  FROM events WHERE event_type = 'purchase'),
+hist AS (
+  SELECT * FROM (
+    SELECT repo, path, "commit", lang, content, op,
+           CAST(commit_ts AS BIGINT) AS valid_from,
+           CAST(lead(commit_ts) OVER (
+             PARTITION BY repo, path ORDER BY commit_ts, "offset"
+           ) AS BIGINT) AS valid_to
+    FROM log)
+  WHERE op <> 'DELETE')
+SELECT f.fact_id, f.repo, f.path, f.fact_ts,
+       h."commit" AS asof_commit, h.lang AS asof_lang,
+       h.content AS asof_content
+FROM facts f
+LEFT JOIN hist h
+  ON h.repo = f.repo AND h.path = f.path
+ AND h.valid_from <= f.fact_ts
+ AND (h.valid_to IS NULL OR h.valid_to > f.fact_ts)
+""",
         "pipe_dup_spans": _DUP_SPANS_SQL,
         "pipe_bloom_dedup": _BLOOM_DEDUP_SQL,
         "pipe_bloom_verified": _CROSS_EXACT_SQL,

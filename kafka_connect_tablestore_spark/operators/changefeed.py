@@ -164,3 +164,133 @@ def maintain_aggregate(
         )
         .where(F.col(n_col) > 0)
     )
+
+
+def scd2_history(
+    log: DataFrame,
+    pk_cols: tuple[str, ...] = ("repo", "path"),
+    attr_cols: tuple[str, ...] = ("commit", "lang", "content"),
+    ts_col: str = "commit_ts",
+    seq_col: str = "offset",
+) -> DataFrame:
+    """Build the SCD-type-2 version history of a table from its change log.
+
+    Every non-DELETE change event becomes one version row carrying the
+    event's attribute values, ``valid_from`` = its change timestamp and
+    ``valid_to`` = the timestamp of the NEXT change to the same key
+    (whatever its op — an UPDATE supersedes, a DELETE closes).  A version
+    with no successor is open-ended (``valid_to`` null, ``is_current``
+    true); a key whose final event is a DELETE ends with a closed interval
+    and no current row — the same final-state semantics the fold engine
+    (plans/merge.py, reference ``RowChangeTransformer``:
+    ``transform/RowChangeTransformer.java:35-120``) produces, extended
+    backwards in time.  This is the point-in-time/history leg a CDC lake
+    exists for: ``WHERE valid_from <= t AND (valid_to IS NULL OR
+    valid_to > t)`` reconstructs the table as of any ``t`` without
+    replaying the log.
+
+    Ordering within a key is ``(ts_col, seq_col)`` — the log's commit
+    timestamp with the Kafka offset as the deterministic tiebreaker, the
+    same total order the LWW fold uses (operators/lww.py).
+
+    Shape at scale: ONE shuffle (the per-key window).  The per-task bound
+    is a single key's version count — inherent to the output, since each
+    version row needs its successor's timestamp; there is no cross-key
+    state.  A pathologically hot key degrades this exactly as it degrades
+    the LWW window strategy, and the same mitigation applies (process hot
+    keys' histories with the salted two-phase variant if profiling ever
+    shows one key dominating — not wired here because version counts are
+    bounded by per-key update rates, not corpus size).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*pk_cols)
+        .orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+    )
+    return (
+        log.withColumn("valid_to", F.lead(ts_col).over(w))
+        .where(F.col("op") != "DELETE")
+        .select(
+            *[F.col(c) for c in pk_cols],
+            *[F.col(c) for c in attr_cols],
+            F.col(ts_col).cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long").alias("valid_to"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def asof_enrich(
+    facts: DataFrame,
+    log: DataFrame,
+    pk_cols: tuple[str, ...] = ("repo", "path"),
+    attr_cols: tuple[str, ...] = ("commit", "lang", "content"),
+    fact_ts_col: str = "fact_ts",
+    ts_col: str = "commit_ts",
+    seq_col: str = "offset",
+) -> DataFrame:
+    """Enrich fact rows with the dimension state AS OF each fact's own
+    timestamp (latest change with ``ts <= fact_ts``; a DELETE in effect at
+    fact time yields nulls, same as "no version yet").
+
+    The classic CDC consumption pattern — join an event stream to the
+    slowly-changing state the connector maintains, at event time rather
+    than at query time — implemented WITHOUT a range join: both sides are
+    tagged and unioned, one per-key window computes
+    ``last(version STRUCT) IGNORE NULLS`` over ``(ts, side, seq)`` with
+    dimension rows ordered BEFORE facts at equal timestamps (so a change
+    committed at exactly the fact's timestamp is visible to it), and fact
+    rows are filtered back out carrying the filled struct.  The struct
+    fill (rather than per-attribute fills) keeps one version's attributes
+    atomic — a DELETE's nulls must not be skipped per-column back to the
+    prior version's values.
+
+    Shape at scale: ONE shuffle of facts ∪ changes on the key — the same
+    cost as the equi-join a naive enrichment would do anyway, with the
+    sort replacing the O(|facts| × |versions-per-key|) range-join blowup.
+    Per-task bound: one key's facts + versions.
+    """
+    from pyspark.sql import Window
+
+    ver = F.struct(
+        *[F.col(c).alias(c) for c in attr_cols],
+        F.col("op").alias("op"),
+    )
+    dim_side = log.select(
+        *[F.col(c) for c in pk_cols],
+        F.col(ts_col).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.lit(None).cast("long").alias("_fact_id"),
+        ver.alias("_ver"),
+    )
+    fact_side = facts.select(
+        *[F.col(c) for c in pk_cols],
+        F.col(fact_ts_col).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(seq_col).cast("long").alias("_seq"),
+        F.col(seq_col).cast("long").alias("_fact_id"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:string" for c in attr_cols) + ",op:string>"
+        ).alias("_ver"),
+    )
+    w = (
+        Window.partitionBy(*pk_cols)
+        .orderBy("_ts", "_side", "_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        dim_side.unionByName(fact_side)
+        .withColumn("_state", F.last("_ver", ignorenulls=True).over(w))
+    )
+    live = F.col("_state").isNotNull() & (F.col("_state.op") != "DELETE")
+    return filled.where(F.col("_side") == 1).select(
+        F.col("_fact_id").alias("fact_id"),
+        *[F.col(c) for c in pk_cols],
+        F.col("_ts").alias("fact_ts"),
+        *[
+            F.when(live, F.col(f"_state.{c}")).alias(f"asof_{c}")
+            for c in attr_cols
+        ],
+    )
