@@ -46,9 +46,11 @@ from kafka_connect_tablestore_spark.operators.lww import (
 )
 from kafka_connect_tablestore_spark.operators.changefeed import (
     asof_enrich,
+    log_asof_prefix,
     scd2_history,
     snapshot_diff,
 )
+from kafka_connect_tablestore_spark.operators.monitor import dedup_redelivered
 from kafka_connect_tablestore_spark.operators.corpus import (
     EMAIL_RE,
     IPV4_RE,
@@ -589,6 +591,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         old = state(log.where(F.col("offset") <= 5000))
         return snapshot_diff(old, state(log))
+
+    def cdc_point_in_time(spark, sf):
+        """Time travel without replaying the whole log: the table AS OF the
+        corpus-time midpoint = the final-state fold of the time prefix —
+        the replay-side dual of the SCD2 interval lookup (the oracle
+        reconstructs the same state declaratively from version intervals).
+        The bound is a broadcast scalar aggregate (no driver round-trip);
+        the ts filter sits on the scan where manifest/row-group stats
+        prune."""
+        log = log_asof_prefix(_log(spark, sf), fraction=0.5)
+        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+        return merge_into_state(None, clean, CFG, ATTRS).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+
+    def cdc_replay_idempotent(spark, sf):
+        """Exactly-once as a batch invariant: redeliver a slice of the log
+        (every 5th offset — an at-least-once consumer retry), collapse by
+        the manifest's record identity (topic, partition, offset), fold —
+        the result must hash-equal the clean replay, proving duplicated
+        delivery cannot change table state."""
+        log = _log(spark, sf)
+        dup = log.unionByName(log.where(F.pmod(F.col("offset"), F.lit(5)) == 0))
+        uniq = dedup_redelivered(dup)
+        clean, _ = split_errant(validate_and_classify(uniq, CFG, ATTRS), CFG)
+        return merge_into_state(None, clean, CFG, ATTRS).select(
+            "repo", "path", "commit", "lang", "content",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
 
     def pipe_pii_redact(spark, sf):
         """PII redaction over text with deterministically synthesized PII
@@ -1291,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # any budget truncation at the tail.
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        cdc_point_in_time=cdc_point_in_time,        # r5: new operator (history)
+        cdc_replay_idempotent=cdc_replay_idempotent,  # r5: new operator (eo)
         cdc_scd2_history=cdc_scd2_history,          # r5: new operator (history)
         cdc_asof_enrich=cdc_asof_enrich,            # r5: new operator (history)
         pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
@@ -3337,6 +3370,30 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        # point-in-time: the fold over the time prefix at the corpus-time
+        # midpoint; the bound is a scalar subquery, independently computed
+        "cdc_point_in_time": f"""
+WITH {LOG},
+b AS (SELECT min(commit_ts)
+             + ((max(commit_ts) - min(commit_ts)) * 500000) // 1000000 AS t
+      FROM log),
+plog AS (SELECT l.* FROM log l, b WHERE l.commit_ts <= b.t),
+{_fold_ctes("plog")}
+SELECT repo, path, "commit", lang, content FROM state
+""",
+        # exactly-once as a batch invariant: duplicated delivery collapsed
+        # on the manifest identity (topic, partition, offset) before the
+        # fold must reproduce the clean replay bit-for-bit
+        "cdc_replay_idempotent": f"""
+WITH {LOG},
+dup AS (SELECT * FROM log
+        UNION ALL SELECT * FROM log WHERE "offset" % 5 = 0),
+uniq AS (SELECT DISTINCT * FROM dup),
+{_fold_ctes("uniq")}
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256
+FROM state
+""",
         # SCD2 version intervals: lead() over ALL changes (DELETEs included,
         # so they close the prior interval), then non-DELETE rows survive
         "cdc_scd2_history": f"""

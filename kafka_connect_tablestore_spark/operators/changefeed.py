@@ -294,3 +294,43 @@ def asof_enrich(
             for c in attr_cols
         ],
     )
+
+
+def log_asof_prefix(
+    log: DataFrame,
+    ts_col: str = "commit_ts",
+    fraction: float = 0.5,
+) -> DataFrame:
+    """Restrict a change log to the events at or before the corpus-time
+    point ``min_ts + floor((max_ts - min_ts) * fraction)`` — the input to
+    point-in-time reconstruction ("the table as of t" = the final-state
+    fold of the log prefix, the replay-side dual of the SCD2 interval
+    lookup in :func:`scd2_history`).
+
+    The bound is computed as a 1-row broadcast aggregate cross-joined back
+    onto the log, NOT collected to the driver: the whole plan stays
+    cluster-side (a broadcast nested-loop of a scalar against the scan),
+    so a 10^10-row log never routes data through the driver and the
+    timestamp filter sits directly above the source scan where a format
+    with min/max statistics (parquet row groups, Iceberg manifests) can
+    prune files wholesale.
+
+    ``fraction`` uses integer floor division on the span so the bound is
+    bit-identical across engines (Spark ``div`` / DuckDB ``//``).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    num = int(round(fraction * 1000000))
+    bounds = log.agg(
+        F.min(ts_col).alias("_ts_min"), F.max(ts_col).alias("_ts_max")
+    ).select(
+        (
+            F.col("_ts_min")
+            + F.expr(f"((_ts_max - _ts_min) * {num}) div 1000000")
+        ).alias("_as_of")
+    )
+    return (
+        log.crossJoin(F.broadcast(bounds))
+        .where(F.col(ts_col) <= F.col("_as_of"))
+        .drop("_as_of")
+    )

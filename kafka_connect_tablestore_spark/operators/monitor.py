@@ -94,3 +94,27 @@ def arrival_stats(
             F.round(F.coalesce(F.avg("_lag"), F.lit(0.0)), 4).alias("avg_lag"),
         )
     )
+
+
+def dedup_redelivered(
+    log: DataFrame,
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Collapse at-least-once redeliveries to exactly-once input: keep one
+    row per ``(topic, partition, offset)`` — the same record identity the
+    batch manifest (lake/table.py) commits as offset ranges, applied here
+    INSIDE a batch rather than across batches.  A Kafka consumer rebalance
+    or producer retry re-emits byte-identical records under the same
+    coordinates (reference parity: the connector trusts this identity when
+    it commits offsets back — ``TableStoreSinkTask`` hands Kafka the same
+    (partition, offset) it consumed), so an arbitrary survivor is exact.
+
+    Shape at scale: one hash-aggregate on the record identity — the same
+    shuffle key as the log's native partitioning, and AQE coalesces the
+    mostly-empty duplicate side.  Used before the LWW fold it makes full
+    replay idempotent under duplicated delivery, which is the exactly-once
+    sink guarantee expressed as a batch invariant.
+    """
+    return log.dropDuplicates([topic_col, partition_col, offset_col])

@@ -142,3 +142,52 @@ def test_asof_enrich_plan_is_single_window_no_join(spark):
     plan = asof_enrich(facts, log)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union + window, never a range join
     assert "BatchEvalPython" not in plan
+
+
+def test_log_asof_prefix_midpoint_bound_and_plan(spark):
+    from kafka_connect_tablestore_spark.operators.changefeed import (
+        log_asof_prefix,
+    )
+
+    rows = [
+        ("t", 0, 1, 10, "PUT", "rA", "p", "c1", "py", "v1"),
+        ("t", 0, 2, 20, "PUT", "rA", "p", "c2", "py", "v2"),
+        ("t", 0, 3, 30, "PUT", "rA", "p", "c3", "py", "v3"),
+        ("t", 0, 4, 31, "PUT", "rB", "p", "c4", "py", "v4"),
+    ]
+    log = _log(spark, rows)
+    # span 10..31 -> midpoint 10 + (21 div 2) = 20: offsets 1 and 2 survive
+    got = log_asof_prefix(log).select("offset").orderBy("offset").collect()
+    assert [r.offset for r in got] == [1, 2]
+    # fraction=1.0 keeps everything; 0.0 keeps only the min-ts event
+    assert log_asof_prefix(log, fraction=1.0).count() == 4
+    assert log_asof_prefix(log, fraction=0.0).count() == 1
+    # the scalar bound must be broadcast, never a driver collect or a
+    # shuffled join
+    plan = log_asof_prefix(log)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_log_asof_prefix_rejects_bad_fraction(spark):
+    import pytest
+
+    from kafka_connect_tablestore_spark.operators.changefeed import (
+        log_asof_prefix,
+    )
+
+    with pytest.raises(ValueError):
+        log_asof_prefix(_mklog(spark), fraction=1.5)
+
+
+def test_dedup_redelivered_makes_replay_idempotent(spark):
+    from kafka_connect_tablestore_spark.operators.monitor import (
+        dedup_redelivered,
+    )
+
+    log = _mklog(spark)
+    # at-least-once: redeliver every record once, and one of them twice
+    dup = log.unionByName(log).unionByName(log.where(F.col("offset") == 2))
+    deduped = dedup_redelivered(dup)
+    assert deduped.count() == log.count()
+    base = {tuple(r) for r in log.collect()}
+    assert {tuple(r) for r in deduped.collect()} == base
