@@ -416,7 +416,10 @@ def ann_ivf_topk(
                 _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
             ).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup: each corpus vector lives in exactly ONE cell and a
+        # query's probe cells are distinct, so a (query, neighbor) pair
+        # can occur at most once — a dropDuplicates here would be a no-op
+        # costing a full shuffle of the candidate set
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -486,7 +489,10 @@ def knn_graph(
                 _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
             ).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup: each corpus vector lives in exactly ONE cell and a
+        # query's probe cells are distinct, so a (query, neighbor) pair
+        # can occur at most once — a dropDuplicates here would be a no-op
+        # costing a full shuffle of the candidate set
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -614,7 +620,10 @@ def ann_ivf_indexed_topk(
                 _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
             ).alias("cos_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup: each corpus vector lives in exactly ONE cell and a
+        # query's probe cells are distinct, so a (query, neighbor) pair
+        # can occur at most once — a dropDuplicates here would be a no-op
+        # costing a full shuffle of the candidate set
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -732,6 +741,47 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     return F.array(*codes)
 
 
+def _pq_encode_staged(frame, vec, codebooks, keep):
+    """:func:`pq_encode` with each subspace's distance array bound ONCE as
+    a named column.  The expression form inlines ``darr`` into both
+    ``array_min`` (find the best distance) and ``array_position`` (find
+    its index), so the n_codes interpreted distance folds run TWICE per
+    row and the codebook literal is duplicated in the tree; the staged
+    projection materializes each ``_d{j}`` once per row and the argmin
+    reads the column.  Same distances, same first-min tie rule — codes
+    are bit-identical (covered by the PQ equality/oracle tests).
+
+    ``keep`` lists passthrough Columns/names for the staged select.
+    Returns ``(staged_frame, codes_expr)``.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vd = vec.cast("array<double>")
+
+    def dist_fn(vv, vj):
+        return lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c)
+
+    d_cols = []
+    for j in range(m):
+        vj = F.slice(vd, j * sub + 1, sub)
+        vv = _dot(vj, vj)
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        d_cols.append(F.transform(cb, dist_fn(vv, vj)).alias(f"_d{j}"))
+    staged = frame.select(*keep, *d_cols)
+    codes = F.array(
+        *[
+            (
+                F.array_position(
+                    F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}"))
+                )
+                - 1
+            ).cast("int")
+            for j in range(m)
+        ]
+    )
+    return staged, codes
+
+
 def _pq_score(qv, codes, codebooks):
     """ADC inner product ⟨q, x̂⟩ and reconstruction norm |x̂| from the code
     array — unrolled per subspace (m is small), every term a left-fold dot
@@ -749,6 +799,46 @@ def _pq_score(qv, codes, codebooks):
         ip = term if ip is None else ip + term
         rn2 = norm_term if rn2 is None else rn2 + norm_term
     return ip, F.sqrt(rn2)
+
+
+def _pq_score_staged(joined, codebooks, keep):
+    """:func:`_pq_score` with the per-subspace SELECTED codeword bound ONCE
+    as a named column.  The inline form repeats ``element_at(codebook_lit,
+    code+1)`` — and through it the whole n_codes×sub literal table — at
+    every reference (the ip term, the norm term), so the expression tree
+    carries thousands of duplicated literal nodes and the driver pays for
+    them twice: once in py4j construction, once per analyzer/optimizer
+    walk.  Staging keeps one literal per subspace and, because the aliases
+    are expensive and multiply-referenced, Catalyst's CollapseProject
+    leaves the projection boundary in place so each codeword is also
+    MATERIALIZED once per row instead of re-evaluated per term.  The folds
+    over the bound columns keep the exact association order of
+    :func:`_pq_score`, so scores are bit-identical (equality asserted by
+    the PQ test family and the DuckDB twins).
+
+    ``joined`` must carry ``qv`` and ``codes``; ``keep`` lists the
+    passthrough columns.  Returns ``(staged_frame, ip_expr, rn_expr)`` —
+    callers with a stored reconstruction norm simply ignore the third.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cw_cols = [
+        F.element_at(
+            F.lit([[float(x) for x in c] for c in codebooks[j]]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ).alias(f"_cw{j}")
+        for j in range(m)
+    ]
+    staged = joined.select(*[F.col(c) for c in keep], F.col("qv"), *cw_cols)
+    ip = None
+    rn2 = None
+    for j in range(m):
+        cw = F.col(f"_cw{j}")
+        term = _dot(F.slice(F.col("qv"), j * sub + 1, sub), cw)
+        norm_term = _dot(cw, cw)
+        ip = term if ip is None else ip + term
+        rn2 = norm_term if rn2 is None else rn2 + norm_term
+    return staged, ip, F.sqrt(rn2)
 
 
 def ann_pq_topk(
@@ -778,23 +868,25 @@ def ann_pq_topk(
         df, m, n_codes, dim, id_col, vec_col, train
     )
     vd = F.col(vec_col).cast("array<double>")
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    dstage, codes_expr = _pq_encode_staged(
+        df, F.col(vec_col), codebooks, [F.col(id_col).alias("neighbor_id")]
     )
+    corpus = dstage.select("neighbor_id", codes_expr.alias("codes"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.slice(vd, 1, dim).alias("qv"),
     )
     qn = _norm(F.col("qv"))
-    ip, rn = _pq_score(F.col("qv"), F.col("codes"), codebooks)
-    scored = (
-        corpus.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(ip / (qn * rn), 4).alias("pq_cos"),
-        )
+    joined = corpus.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    staged, ip, rn = _pq_score_staged(
+        joined, codebooks, ["query_id", "neighbor_id"]
+    )
+    scored = staged.select(
+        "query_id",
+        "neighbor_id",
+        F.round(ip / (qn * rn), 4).alias("pq_cos"),
     )
     from pyspark.sql import Window
 
@@ -946,10 +1038,10 @@ def _ivfpq_corpus_plan(
                 staged.select(F.col(id_col), F.col("_resid").alias(vec_col)),
                 m, n_codes, dim, id_col, vec_col, train,
             )
-        coded = staged.select(
-            F.col(id_col), "cell",
-            pq_encode(F.col("_resid"), codebooks).alias("codes"),
+        dstage, codes_expr = _pq_encode_staged(
+            staged, F.col("_resid"), codebooks, [F.col(id_col), F.col("cell")]
         )
+        coded = dstage.select(F.col(id_col), "cell", codes_expr.alias("codes"))
         rn = _pq_recon_norm_with_centroid(
             F.col("codes"), codebooks, F.element_at(cl, F.col("cell") + 1)
         )
@@ -958,10 +1050,10 @@ def _ivfpq_corpus_plan(
             codebooks = train_pq_codebooks(
                 df, m, n_codes, dim, id_col, vec_col, train
             )
-        coded = df.select(
-            F.col(id_col), cell.alias("cell"),
-            pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        dstage, codes_expr = _pq_encode_staged(
+            df, F.col(vec_col), codebooks, [F.col(id_col), cell.alias("cell")]
         )
+        coded = dstage.select(F.col(id_col), "cell", codes_expr.alias("codes"))
         rn = _pq_recon_norm(F.col("codes"), codebooks)
     corpus = coded.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1052,20 +1144,23 @@ def ann_ivfpq_topk(
         .withColumn("cell", F.explode(F.col("_probes")))
         .drop("_probes")
     )
-    ip, _ = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    joined = corpus.join(F.broadcast(qp), ["cell"]).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    staged, ip, _ = _pq_score_staged(
+        joined, codebooks, ["query_id", "neighbor_id", "rn", "cell"]
+    )
     if encode == "residual":
         cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
         ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
     qn = _norm(F.col("qv"))
-    scored = (
-        corpus.join(F.broadcast(qp), ["cell"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # no dedup: one cell per vector + distinct probe cells means a
+    # (query, neighbor) pair occurs at most once; a dropDuplicates here
+    # would be a no-op costing a full shuffle of the candidate set
+    scored = staged.select(
+        "query_id",
+        "neighbor_id",
+        F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
     return (
@@ -1111,21 +1206,25 @@ def ann_ivfpq_indexed_topk(
     )
     qp = q.withColumn("cell", F.explode(F.col("_probes"))).drop("_probes")
     probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
-    ip, _ = _pq_score(F.col("qv"), F.col("codes"), codebooks)
+    joined = (
+        corpus.where(F.col("cell").isin(probed))
+        .join(F.broadcast(qp), ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    staged, ip, _ = _pq_score_staged(
+        joined, codebooks, ["query_id", "neighbor_id", "rn", "cell"]
+    )
     if meta.get("encode", "raw") == "residual":
         cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
         ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
     qn = _norm(F.col("qv"))
-    scored = (
-        corpus.where(F.col("cell").isin(probed))
-        .join(F.broadcast(qp), ["cell"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # no dedup: one cell per vector + distinct probe cells means a
+    # (query, neighbor) pair occurs at most once; a dropDuplicates here
+    # would be a no-op costing a full shuffle of the candidate set
+    scored = staged.select(
+        "query_id",
+        "neighbor_id",
+        F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
     return (

@@ -750,3 +750,41 @@ def test_ann_ivfpq_topk_matches_indexed_variant(spark, tmp_path):
         ).collect()
     }
     assert mem == want and len(mem) == 25
+
+
+def test_ivf_and_ivfpq_probe_plans_have_single_window_shuffle(spark, tmp_path):
+    """The cell equijoin cannot produce duplicate (query, neighbor) pairs —
+    each corpus vector lives in exactly one cell and a query's probe cells
+    are distinct — so the probe path must carry exactly ONE hash exchange
+    (the top-k window's) and no dedup shuffle of the candidate set."""
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_indexed_topk,
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+    )
+
+    df = _clustered_corpus(spark, dim=16)
+    queries = df.where(F.col("vec_id") < 5)
+
+    def final_plan(frame):
+        s = frame._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]  # AQE prints both plans
+
+    for frame in (
+        ann_ivf_topk(df, queries, k=5),
+        ann_ivfpq_topk(
+            df, queries, k=5, n_cells=8, m=4, n_codes=16, dim=16,
+            nprobe=2, train="first",
+        ),
+    ):
+        frame.count()  # materialize AQE's final plan
+        assert final_plan(frame).count("Exchange hashpartitioning") <= 1
+
+    idx = str(tmp_path / "ivfpq_plan_probe")
+    meta = build_ivfpq_index(
+        df, idx, n_cells=8, m=4, n_codes=16, dim=16, train="first",
+    )
+    probe = ann_ivfpq_indexed_topk(spark, idx, meta, queries, k=5, nprobe=2)
+    probe.count()
+    assert final_plan(probe).count("Exchange hashpartitioning") == 1
