@@ -108,8 +108,9 @@ def dedup_redelivered(
     INSIDE a batch rather than across batches.  A Kafka consumer rebalance
     or producer retry re-emits byte-identical records under the same
     coordinates (reference parity: the connector trusts this identity when
-    it commits offsets back — ``TableStoreSinkTask`` hands Kafka the same
-    (partition, offset) it consumed), so an arbitrary survivor is exact.
+    it commits offsets back — ``TableStoreSinkTask.java:106-122`` writes
+    whatever ``put()`` was handed and leaves offset bookkeeping to the
+    framework, at-least-once), so an arbitrary survivor is exact.
 
     Shape at scale: one hash-aggregate on the record identity — the same
     shuffle key as the log's native partitioning, and AQE coalesces the
