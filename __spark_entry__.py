@@ -3375,7 +3375,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_in_time": f"""
 WITH {LOG},
 b AS (SELECT min(commit_ts)
-             + ((max(commit_ts) - min(commit_ts)) * 500000) // 1000000 AS t
+             + ((max(commit_ts) - min(commit_ts)) // 1000000) * 500000
+             + (((max(commit_ts) - min(commit_ts)) % 1000000) * 500000)
+               // 1000000 AS t
       FROM log),
 plog AS (SELECT l.* FROM log l, b WHERE l.commit_ts <= b.t),
 {_fold_ctes("plog")}

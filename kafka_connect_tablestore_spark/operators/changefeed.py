@@ -316,7 +316,12 @@ def log_asof_prefix(
     prune files wholesale.
 
     ``fraction`` uses integer floor division on the span so the bound is
-    bit-identical across engines (Spark ``div`` / DuckDB ``//``).
+    bit-identical across engines (Spark ``div`` / DuckDB ``//``).  The
+    span is split as ``span = q·10^6 + r`` before scaling —
+    ``floor(span·f) = q·num + floor(r·num / 10^6)`` exactly — so neither
+    product can exceed int64 for any timestamp unit (a naive
+    ``span * num`` wraps for microsecond logs spanning ~107 days under
+    non-ANSI Spark arithmetic, silently emptying the prefix).
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
@@ -326,7 +331,10 @@ def log_asof_prefix(
     ).select(
         (
             F.col("_ts_min")
-            + F.expr(f"((_ts_max - _ts_min) * {num}) div 1000000")
+            + F.expr(
+                f"((_ts_max - _ts_min) div 1000000) * {num}"
+                f" + (((_ts_max - _ts_min) % 1000000) * {num}) div 1000000"
+            )
         ).alias("_as_of")
     )
     return (

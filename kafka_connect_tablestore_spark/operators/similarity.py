@@ -548,20 +548,51 @@ def build_ivf_index(
     return centroids
 
 
+def _assert_ids_disjoint(df: DataFrame, path: str, id_col: str) -> None:
+    """Enforce the append contract: batch ids must not already exist in the
+    persisted index.  The probe paths rank candidates WITHOUT a dedup
+    shuffle because one-cell-per-vector makes (query, neighbor) pairs
+    unique — a duplicated id would silently consume a top-k slot, so the
+    contract is checked, not just documented.  Cost: one column-pruned id
+    scan of the index semi-joined against the (small) batch, paid once per
+    append; callers at extreme scale can opt out via ``validate_ids=False``
+    after establishing disjointness upstream (e.g. a monotonic id
+    allocator)."""
+    existing = df.sparkSession.read.parquet(path).select("neighbor_id")
+    clash = (
+        df.select(F.col(id_col).alias("neighbor_id"))
+        .join(existing, "neighbor_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        ids = [r["neighbor_id"] for r in clash]
+        raise ValueError(
+            f"append batch re-uses ids already in the index at {path}: "
+            f"{ids} — appends must be id-disjoint (duplicates would "
+            "silently displace true neighbors from top-k results); "
+            "rebuild the index or re-key the batch"
+        )
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_ids: bool = True,
 ) -> None:
     """Append a new batch's vectors to an existing inverted file using the
     INDEX'S centroids (the query-side contract fixed at build time) — the
     daily-ingest path: assign cells map-only over the batch, append into
     the same ``partitionBy(cell)`` layout.  Ids must be disjoint from the
-    indexed corpus.  Centroids are deliberately NOT retrained here; when
-    drift accumulates, rebuild with :func:`build_ivf_index` (the standard
-    IVF re-index cadence)."""
+    indexed corpus — enforced by :func:`_assert_ids_disjoint` unless
+    ``validate_ids=False``.  Centroids are deliberately NOT retrained here;
+    when drift accumulates, rebuild with :func:`build_ivf_index` (the
+    standard IVF re-index cadence)."""
+    if validate_ids:
+        _assert_ids_disjoint(df, path, id_col)
     vd = F.col(vec_col).cast("array<double>")
     (
         df.select(
@@ -715,6 +746,21 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_subspace_dists(vd, j, codebooks):
+    """Distance array of subvector ``j`` against its codebook — the ONE
+    definition of the numerically sensitive L2 expansion
+    ``|v|² − 2⟨v,c⟩ + |c|²`` whose fold order is load-bearing for oracle
+    bit-equality; shared by :func:`pq_encode` and
+    :func:`_pq_encode_staged` so the two paths cannot drift."""
+    sub = len(codebooks[j][0])
+    vj = F.slice(vd, j * sub + 1, sub)
+    vv = _dot(vj, vj)
+    cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+    # closure, not a default-kwarg lambda: the latter would read as 3-ary
+    # to PySpark's higher-order-function arity inspection
+    return F.transform(cb, lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c))
+
+
 def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     """``array<int>`` of ``m`` code indices: subvector j is assigned to its
     L2-nearest codeword (same algebraic expansion and first-min tie rule as
@@ -723,20 +769,10 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     that lets a 10^10-vector index live in memory."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     vd = v.cast("array<double>")
-
-    def dist_fn(vv, vj):
-        # closure factory: a default-kwarg lambda would read as 3-ary to
-        # PySpark's higher-order-function arity inspection
-        return lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c)
-
     codes = []
     for j in range(m):
-        vj = F.slice(vd, j * sub + 1, sub)
-        vv = _dot(vj, vj)
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        darr = F.transform(cb, dist_fn(vv, vj))
+        darr = _pq_subspace_dists(vd, j, codebooks)
         codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
     return F.array(*codes)
 
@@ -755,18 +791,10 @@ def _pq_encode_staged(frame, vec, codebooks, keep):
     Returns ``(staged_frame, codes_expr)``.
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     vd = vec.cast("array<double>")
-
-    def dist_fn(vv, vj):
-        return lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c)
-
-    d_cols = []
-    for j in range(m):
-        vj = F.slice(vd, j * sub + 1, sub)
-        vv = _dot(vj, vj)
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        d_cols.append(F.transform(cb, dist_fn(vv, vj)).alias(f"_d{j}"))
+    d_cols = [
+        _pq_subspace_dists(vd, j, codebooks).alias(f"_d{j}") for j in range(m)
+    ]
     staged = frame.select(*keep, *d_cols)
     codes = F.array(
         *[
@@ -1070,15 +1098,19 @@ def append_to_ivfpq_index(
     meta: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_ids: bool = True,
 ) -> None:
     """Append a new batch's vectors to an existing IVFADC index under the
     INDEX'S contract — the centroids AND codebooks fixed at build time
     (``build_ivfpq_index``'s return value): assign cells, residual-encode
     against the frozen codebooks, append into the same ``partitionBy(cell)``
-    layout.  Ids must be disjoint from the indexed corpus.  Neither
+    layout.  Ids must be disjoint from the indexed corpus — enforced by
+    :func:`_assert_ids_disjoint` unless ``validate_ids=False``.  Neither
     quantizer retrains here (retraining either would silently change the
     meaning of every previously stored code); when drift accumulates,
     rebuild — the standard IVF/PQ re-index cadence."""
+    if validate_ids:
+        _assert_ids_disjoint(df, path, id_col)
     codebooks = meta["codebooks"]
     m = len(codebooks)
     n_codes = len(codebooks[0])

@@ -252,3 +252,43 @@ def test_ivfpq_index_three_day_cycle(spark, tmp_path):
             ).collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_ivf_and_ivfpq_appends_reject_overlapping_ids(spark, tmp_path):
+    """The probe paths rank without a pair-dedup shuffle because ids are
+    unique by contract — so the append paths must ENFORCE disjointness,
+    not just document it (a duplicated id would silently displace a true
+    neighbor from top-k)."""
+    import pytest
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        append_to_ivf_index,
+        append_to_ivfpq_index,
+        build_ivf_index,
+        build_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = emb.where(F.col("vec_id") < 40)
+    batch = emb.where(
+        (F.col("vec_id") >= 35) & (F.col("vec_id") < 45)
+    )  # ids 35-39 overlap the index
+
+    ivf_idx = str(tmp_path / "ivf_guard")
+    cents = build_ivf_index(df, ivf_idx, n_cells=4, train="first")
+    with pytest.raises(ValueError, match="id-disjoint"):
+        append_to_ivf_index(batch, ivf_idx, cents)
+    # a disjoint batch passes the default check
+    append_to_ivf_index(batch.where(F.col("vec_id") >= 40), ivf_idx, cents)
+    # the opt-out is explicit (for callers with upstream id allocation)
+    append_to_ivf_index(
+        batch.where(F.col("vec_id") >= 40), ivf_idx, cents, validate_ids=False
+    )
+
+    pq_idx = str(tmp_path / "ivfpq_guard")
+    meta = build_ivfpq_index(
+        df, pq_idx, n_cells=4, m=4, n_codes=8, dim=16, train="first",
+    )
+    with pytest.raises(ValueError, match="id-disjoint"):
+        append_to_ivfpq_index(batch, pq_idx, meta)
+    append_to_ivfpq_index(batch.where(F.col("vec_id") >= 40), pq_idx, meta)

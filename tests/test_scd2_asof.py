@@ -191,3 +191,25 @@ def test_dedup_redelivered_makes_replay_idempotent(spark):
     assert deduped.count() == log.count()
     base = {tuple(r) for r in log.collect()}
     assert {tuple(r) for r in deduped.collect()} == base
+
+
+def test_log_asof_prefix_survives_microsecond_scale_spans(spark):
+    """A naive span*1e6 product wraps int64 for microsecond logs spanning
+    months; the split-scaling bound must keep the exact floor semantics."""
+    from kafka_connect_tablestore_spark.operators.changefeed import (
+        log_asof_prefix,
+    )
+
+    base = 1_700_000_000_000_000  # epoch micros
+    span = 20_000_000_000_000  # ~231 days in micros: span*5e5 would wrap
+    rows = [
+        ("t", 0, 1, base, "PUT", "r", "p1", "c1", "py", "v1"),
+        ("t", 0, 2, base + span // 2, "PUT", "r", "p2", "c2", "py", "v2"),
+        ("t", 0, 3, base + span, "PUT", "r", "p3", "c3", "py", "v3"),
+    ]
+    log = _log(spark, rows)
+    got = sorted(
+        r.offset for r in log_asof_prefix(log).select("offset").collect()
+    )
+    assert got == [1, 2]  # midpoint bound lands exactly on the middle event
+    assert log_asof_prefix(log, fraction=1.0).count() == 3

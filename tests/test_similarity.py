@@ -752,39 +752,52 @@ def test_ann_ivfpq_topk_matches_indexed_variant(spark, tmp_path):
     assert mem == want and len(mem) == 25
 
 
-def test_ivf_and_ivfpq_probe_plans_have_single_window_shuffle(spark, tmp_path):
+def test_ivf_family_probe_plans_carry_no_pair_dedup_shuffle(spark, tmp_path):
     """The cell equijoin cannot produce duplicate (query, neighbor) pairs —
     each corpus vector lives in exactly one cell and a query's probe cells
-    are distinct — so the probe path must carry exactly ONE hash exchange
-    (the top-k window's) and no dedup shuffle of the candidate set."""
+    are distinct — so NO probe path may carry a dedup aggregate keyed on
+    the pair, and the broadcast-query paths must carry exactly ONE hash
+    exchange (the top-k window's).  knn_graph keeps its distributed
+    cell-join exchanges but must be equally dedup-free."""
     from kafka_connect_tablestore_spark.operators.similarity import (
+        ann_ivf_indexed_topk,
         ann_ivf_topk,
         ann_ivfpq_indexed_topk,
         ann_ivfpq_topk,
+        build_ivf_index,
         build_ivfpq_index,
+        knn_graph,
     )
 
     df = _clustered_corpus(spark, dim=16)
     queries = df.where(F.col("vec_id") < 5)
 
     def final_plan(frame):
+        frame.count()  # materialize AQE's final plan
         s = frame._jdf.queryExecution().executedPlan().toString()
         return s.split("== Initial Plan ==")[0]  # AQE prints both plans
 
-    for frame in (
+    ivf_idx = str(tmp_path / "ivf_plan_probe")
+    cents = build_ivf_index(df, ivf_idx, n_cells=8, train="first")
+    pq_idx = str(tmp_path / "ivfpq_plan_probe")
+    meta = build_ivfpq_index(
+        df, pq_idx, n_cells=8, m=4, n_codes=16, dim=16, train="first",
+    )
+    broadcast_probe_paths = [
         ann_ivf_topk(df, queries, k=5),
         ann_ivfpq_topk(
             df, queries, k=5, n_cells=8, m=4, n_codes=16, dim=16,
             nprobe=2, train="first",
         ),
-    ):
-        frame.count()  # materialize AQE's final plan
-        assert final_plan(frame).count("Exchange hashpartitioning") <= 1
+        ann_ivf_indexed_topk(spark, ivf_idx, cents, queries, k=5, nprobe=2),
+        ann_ivfpq_indexed_topk(spark, pq_idx, meta, queries, k=5, nprobe=2),
+    ]
+    for frame in broadcast_probe_paths:
+        plan = final_plan(frame)
+        # no dedup aggregate on the candidate pair anywhere in the plan
+        assert "keys=[query_id" not in plan
+        # exactly the top-k window's shuffle, no more and no fewer
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:400]
 
-    idx = str(tmp_path / "ivfpq_plan_probe")
-    meta = build_ivfpq_index(
-        df, idx, n_cells=8, m=4, n_codes=16, dim=16, train="first",
-    )
-    probe = ann_ivfpq_indexed_topk(spark, idx, meta, queries, k=5, nprobe=2)
-    probe.count()
-    assert final_plan(probe).count("Exchange hashpartitioning") == 1
+    graph_plan = final_plan(knn_graph(df, k=3, n_cells=8, train="first"))
+    assert "keys=[query_id" not in graph_plan  # distributed join, still dedup-free
