@@ -59,12 +59,15 @@ def snapshot_diff(
     j = o.join(n, list(pk_cols), "full_outer")
     in_old = F.col(f"_old{marker}").isNotNull()
     in_new = F.col(f"_new{marker}").isNotNull()
+    # initializer makes attr_cols=() legal: a key-only membership feed
+    # emits INSERT/DELETE rows and no UPDATEs (nothing can "change")
     changed = reduce(
         lambda a, b: a | b,
         [
             ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
             for c in attr_cols
         ],
+        F.lit(False),
     )
     op = (
         F.when(~in_old, F.lit("INSERT"))
@@ -257,6 +260,17 @@ def asof_enrich(
         *[F.col(c).alias(c) for c in attr_cols],
         F.col("op").alias("op"),
     )
+    # the fact side's null version must carry the LOG's attribute types —
+    # hardcoding string breaks the union for any non-string attribute
+    log_types = {f.name: f.dataType.simpleString() for f in log.schema.fields}
+    missing = [c for c in attr_cols if c not in log_types]
+    if missing:
+        raise ValueError(f"attr cols absent from log: {missing}")
+    null_ver_type = (
+        "struct<"
+        + ",".join(f"{c}:{log_types[c]}" for c in attr_cols)
+        + ",op:string>"
+    )
     dim_side = log.select(
         *[F.col(c) for c in pk_cols],
         F.col(ts_col).cast("long").alias("_ts"),
@@ -271,9 +285,7 @@ def asof_enrich(
         F.lit(1).alias("_side"),
         F.col(seq_col).cast("long").alias("_seq"),
         F.col(seq_col).cast("long").alias("_fact_id"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:string" for c in attr_cols) + ",op:string>"
-        ).alias("_ver"),
+        F.lit(None).cast(null_ver_type).alias("_ver"),
     )
     w = (
         Window.partitionBy(*pk_cols)

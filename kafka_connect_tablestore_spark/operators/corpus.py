@@ -633,6 +633,15 @@ def incremental_chunk_dedup(
     idx = spark.read.parquet(index_path)
     if probe_buckets:
         idx = idx.where(F.col("bucket").isin(probe_buckets))
+    # self-exclusion: index chunk rows owned by a batch id never testify
+    # against the batch — a crash-replay re-probing after its own append
+    # landed would otherwise mark every first-occurrence chunk indexed
+    # and commit n_kept=0 / clean_md5=md5('') for the whole batch.
+    idx = idx.join(
+        F.broadcast(new_docs.select(F.col(id_col)).distinct()),
+        id_col,
+        "left_anti",
+    )
     hits = (
         idx.join(
             F.broadcast(new_rows.select("chunk_md5").distinct()), "chunk_md5"

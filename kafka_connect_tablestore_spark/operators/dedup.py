@@ -814,6 +814,16 @@ def incremental_dedup_exact(
     idx = spark.read.parquet(index_path)
     if probe_buckets:
         idx = idx.where(F.col("bucket").isin(probe_buckets))
+    # self-exclusion: an index row owned by a batch id never testifies
+    # against the batch.  A no-op under the monotone-id precondition —
+    # but a crash-replay that re-probes after its own append landed
+    # (index rows carry this batch's ids) would otherwise flag every
+    # first occurrence as a duplicate of itself and commit n_kept=0.
+    idx = idx.join(
+        F.broadcast(new_rows.select(F.col(id_col)).distinct()),
+        id_col,
+        "left_anti",
+    )
     hits = (
         idx.join(F.broadcast(new_rows.select("fp").distinct()), "fp")
         .select("fp")

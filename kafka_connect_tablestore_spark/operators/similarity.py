@@ -1435,9 +1435,18 @@ def incremental_semantic_dedup(
     idx = spark.read.parquet(index_path)
     if probe_cells:
         idx = idx.where(F.col("cell").isin(probe_cells))
+    # the id inequality is self-exclusion: an index copy of a vector must
+    # never dominate the vector itself (cosine 1.0 ≥ any threshold).  A
+    # no-op under the monotone-id precondition, but a crash-replay that
+    # re-probes after its own survivor append landed would otherwise flip
+    # every survivor to dominated-by-its-own-copy.
     dominated_by_index = (
         idx.alias("i")
-        .join(batch.alias("b"), F.col("i.cell") == F.col("b.cell"))
+        .join(
+            batch.alias("b"),
+            (F.col("i.cell") == F.col("b.cell"))
+            & (F.col(f"i.{id_col}") != F.col(f"b.{id_col}")),
+        )
         .where(
             _dot(F.col("i.v"), F.col("b.v")) / (F.col("i.n") * F.col("b.n"))
             >= threshold
@@ -1510,8 +1519,13 @@ def incremental_semantic_dedup(
         .distinct()
         .withColumn("_dead", F.lit(True))
     )
-    per_vec = batch.join(dead, id_col, "left").select(
-        id_col, "cell", F.col("_dead").isNull().alias("is_survivor")
+    # checkpoint the verdicts (id+cell+bool — tiny) so the index-dominance
+    # join runs ONCE however many times the caller consumes per_vec /
+    # kept_rows (the stream writes, counts, and appends from these)
+    per_vec = (
+        batch.join(dead, id_col, "left")
+        .select(id_col, "cell", F.col("_dead").isNull().alias("is_survivor"))
+        .localCheckpoint(eager=True)
     )
     kept_rows = batch.join(
         per_vec.where(F.col("is_survivor")).select(id_col), id_col, "left_semi"

@@ -222,8 +222,11 @@ def start_chunk_index_stream(
 
     Crash between append and commit re-appends the batch's fingerprint
     rows on replay; duplicate index rows cost space, never correctness —
-    the probe's hit set is ``.distinct()`` on the fingerprint before the
-    keep decision.  PRECONDITION inherited from the batch operator: ids
+    the probe EXCLUDES index rows owned by the batch's own ids before
+    forming its hit set (so the replay's verdicts are identical to the
+    original run's, never self-contaminated), and the hit set is
+    ``.distinct()`` on the fingerprint before the keep decision.
+    PRECONDITION inherited from the batch operator: ids
     must arrive in monotone order across batches (the natural append-only
     ingest shape) for exact equality with the full-corpus recompute."""
     import json
@@ -313,7 +316,10 @@ def start_fingerprint_index_stream(
     to the sidecar manifest (tmp + rename) so a checkpoint-replayed batch
     is a no-op.  Crash between append and commit re-appends fingerprint
     rows on replay; duplicate index rows cost space, never correctness —
-    the probe distincts the hit set before the keep decision.
+    the probe EXCLUDES index rows owned by the batch's own ids before
+    forming its hit set (replay verdicts are identical to the original
+    run's, never self-contaminated), and distincts the hit set before
+    the keep decision.
     PRECONDITION inherited from the batch operator: monotone ids across
     batches (the natural append-only ingest shape) for exact equality
     with ``dedup_exact`` on the full corpus."""
@@ -424,9 +430,14 @@ def start_semantic_index_stream(
        so a checkpoint-replayed batch is a no-op.
 
     Crash-safety argument: a crash between steps 2 and 3 makes the replay
-    re-append the batch's survivor rows.  Duplicate index rows cost space,
-    never correctness: dominance is an ANY-match against same-cell index
-    survivors, so a duplicated survivor produces the identical verdicts.
+    re-probe against an index that already holds this batch's survivors,
+    then re-append them.  The probe's id self-exclusion makes the re-probe
+    exact (a vector's own index copy never dominates it at cosine 1.0;
+    every other contaminating copy is an original-run survivor, which only
+    dominates vectors the original run killed anyway — so replay verdicts
+    are identical).  The duplicate survivor rows the re-append leaves cost
+    space, never correctness: dominance is an ANY-match against same-cell
+    index survivors, so a duplicated survivor produces identical verdicts.
     Under the monotone-id ingest precondition the union of verdict slices
     equals full-corpus ``semantic_dedup`` restricted to arrived ids — the
     greedy scan is prefix-stable, so each vector's verdict is final the
@@ -490,6 +501,12 @@ def start_semantic_index_stream(
             n_surv = kept.count()
             append_to_semantic_index(kept, index_path)
         else:
+            if n_vecs < n_cells:
+                raise ValueError(
+                    f"first micro-batch must carry at least n_cells="
+                    f"{n_cells} vectors to train the cell centroids "
+                    f"(got {n_vecs}); lower n_cells or enlarge batch 0"
+                )
             per_vec = semantic_dedup(
                 vecs, threshold, n_cells, id_col, vec_col, train="first"
             )
@@ -607,18 +624,31 @@ def start_view_maintenance_stream(
             base = spark.read.parquet(prev_dir)
         else:
             # stream bootstrap: aggregate the pre-stream state ONCE; every
-            # later batch reads the persisted view.  A version-0 snapshot
-            # predates the schema (pk columns only), so its view is the
-            # empty frame, typed off the delta so the union lines up.
+            # later batch reads the persisted view.  A snapshot missing a
+            # view column (version-0 pk-only, or a column added later by
+            # schema evolution) aggregates with the absent columns as typed
+            # nulls — exactly what a recompute at that version produces.
+            # An empty base is only ever the aggregate OF an empty snapshot,
+            # never a silent drop of pre-stream rows.
             state0 = engine.table.read(version=v_before)
-            if all(c in state0.columns for c in {*group_cols, size_col}):
-                base = _aggregate(state0)
-            else:
-                base = changes.select(
-                    *[F.col(c) for c in group_cols],
-                    F.lit(0).cast("long").alias("n_rows"),
-                    F.lit(0).cast("long").alias("content_bytes"),
-                ).limit(0)
+            have = set(state0.columns)
+            delta_types = {f.name: f.dataType for f in changes.schema.fields}
+            proj = [
+                F.col(c) if c in have
+                else F.lit(None).cast(delta_types[c]).alias(c)
+                for c in (*group_cols, size_col)
+                if c in have or c in delta_types
+            ]
+            missing = [
+                c for c in (*group_cols, size_col)
+                if c not in have and c not in delta_types
+            ]
+            if missing:
+                raise ValueError(
+                    f"view columns {missing} absent from both the v{v_before} "
+                    "snapshot and the changefeed schema"
+                )
+            base = _aggregate(state0.select(*proj))
         view = maintain_aggregate(base, changes, group_cols, size_col)
         out_dir = _view_dir(v_after)
         view.write.mode("overwrite").parquet(out_dir)
@@ -637,31 +667,20 @@ def start_view_maintenance_stream(
     return writer.start()
 
 
-def start_bloom_index_stream(
-    docs_stream: DataFrame,
+def _make_bloom_apply(
     index_path: str,
     verdicts_path: str,
-    checkpoint_dir: str,
-    *,
-    m_bits: int = 1 << 22,
-    k: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    available_now: bool = True,
-    processing_time: str | None = None,
-    query_name: str = "bloom-index-ingest",
-) -> StreamingQuery:
-    """Maintain the persisted Bloom bitset index from a document stream —
-    the streaming twin of the ``incremental_bloom_dedup`` loop (seventh
-    index, sixth stream-driven).  Per micro-batch: probe the index
-    (first batch: everything is definitely-new), write per-doc
-    ``(id, fp, maybe_in_prior)`` verdicts to ``verdicts_path/batch_id=N``
-    with ``overwrite``, append the batch's bitset rows, commit the batch
-    id to the sidecar manifest (tmp + rename).  Crash between append and
-    commit re-appends bitset rows on replay — idempotent under OR, never
-    a correctness risk.  Unlike the fingerprint index there is NO
-    monotone-id precondition: the bitset is a set of content bits, blind
-    to ids and arrival order."""
+    m_bits: int,
+    k: int,
+    text_col: str,
+    id_col: str,
+):
+    """Build the per-micro-batch apply function for the Bloom index stream.
+
+    Module-level (rather than a closure inside the stream starter) so the
+    crash-replay protocol is directly testable: tests drive batches through
+    it, delete a manifest to simulate a crash inside the append→commit
+    window, and assert the replay's verdicts are untouched."""
     import json
     import os
 
@@ -669,7 +688,9 @@ def start_bloom_index_stream(
 
     from kafka_connect_tablestore_spark.functions.text import doc_fingerprint
     from kafka_connect_tablestore_spark.operators.dedup import (
+        _bloom_meta,
         append_to_bloom_index,
+        build_bloom_bitset,
         build_bloom_index,
         incremental_bloom_dedup,
     )
@@ -700,7 +721,19 @@ def start_bloom_index_stream(
             return
         spark = docs.sparkSession
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
-        if os.path.exists(index_path.rstrip("/") + ".meta"):
+        meta_exists = os.path.exists(index_path.rstrip("/") + ".meta")
+        if meta_exists and os.path.exists(os.path.join(slice_dir, "_SUCCESS")):
+            # crash-replay after the slice committed: the index may already
+            # hold this batch's bits, so re-probing would flag the whole
+            # batch against itself.  Reuse the durable verdicts, re-derive
+            # the bits map-only (no index read), re-OR (idempotent), commit.
+            m_bits_idx, k_idx = _bloom_meta(index_path)
+            new_bits = build_bloom_bitset(docs, m_bits_idx, k_idx, text_col)
+            append_to_bloom_index(new_bits, index_path)
+            n_flagged = (
+                spark.read.parquet(slice_dir).where("maybe_in_prior").count()
+            )
+        elif meta_exists:
             verdicts, new_bits = incremental_bloom_dedup(
                 spark, index_path, docs, text_col, id_col
             )
@@ -718,6 +751,47 @@ def start_bloom_index_stream(
             build_bloom_index(docs, index_path, m_bits, k, text_col)
             n_flagged = 0
         _commit(batch_id, n_docs, n_flagged)
+
+    return _apply
+
+
+def start_bloom_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    verdicts_path: str,
+    checkpoint_dir: str,
+    *,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    query_name: str = "bloom-index-ingest",
+) -> StreamingQuery:
+    """Maintain the persisted Bloom bitset index from a document stream —
+    the streaming twin of the ``incremental_bloom_dedup`` loop (seventh
+    index, sixth stream-driven).  Per micro-batch: probe the index
+    (first batch: everything is definitely-new), write per-doc
+    ``(id, fp, maybe_in_prior)`` verdicts to ``verdicts_path/batch_id=N``
+    with ``overwrite``, append the batch's bitset rows, commit the batch
+    id to the sidecar manifest (tmp + rename).
+
+    The append is idempotent under OR, but the PROBE is not replay-safe
+    against an index that already holds this batch's own bits (every doc
+    would flag ``maybe_in_prior`` against itself — and bits carry no ids
+    to exclude, unlike the fingerprint/chunk/semantic probes).  The
+    verdict slice is therefore the staged commit point: the index is only
+    appended AFTER the slice is durable (its ``_SUCCESS`` marker), and a
+    replay that finds the marker skips the probe entirely — it re-derives
+    the batch's bits map-only (never reading the index) and re-ORs them.
+    Every crash window is safe: before the marker the index is untouched
+    (clean recompute); after it the probe never runs again.  Unlike the
+    fingerprint index there is NO monotone-id precondition: the bitset is
+    a set of content bits, blind to ids and arrival order."""
+    _apply = _make_bloom_apply(
+        index_path, verdicts_path, m_bits, k, text_col, id_col
+    )
 
     writer = (
         docs_stream.writeStream.foreachBatch(_apply)
@@ -803,7 +877,22 @@ def start_ivf_index_stream(
         if os.path.exists(centroids_file):
             with open(centroids_file) as f:
                 centroids = json.load(f)
+            if len(centroids) != n_cells:
+                raise ValueError(
+                    f"ivf stream n_cells={n_cells} does not match the "
+                    f"persisted index ({len(centroids)} centroids); restart "
+                    "with the index's parameters"
+                )
         else:
+            if n_vecs < n_cells:
+                # training fewer centroids than n_cells would permanently
+                # cripple the index (every later vector squeezes into the
+                # few cells batch 0 happened to carry) — refuse loudly
+                raise ValueError(
+                    f"first micro-batch must carry at least n_cells="
+                    f"{n_cells} vectors to train the coarse quantizer "
+                    f"(got {n_vecs}); lower n_cells or enlarge batch 0"
+                )
             centroids = [
                 [float(x) for x in r[vec_col]]
                 for r in vecs.orderBy(id_col).limit(n_cells).collect()
@@ -908,7 +997,31 @@ def start_ivfpq_index_stream(
             with open(meta_file) as f:
                 meta = json.load(f)
             centroids, codebooks = meta["centroids"], meta["codebooks"]
+            # the persisted meta is the encoding contract; encoding a later
+            # batch under different parameters would silently re-define the
+            # distance math for every row it writes — reject the mismatch
+            got = (encode, m, n_codes, dim, n_cells)
+            want = (
+                meta.get("encode", encode),
+                len(codebooks),
+                len(codebooks[0]),
+                len(centroids[0]),
+                len(centroids),
+            )
+            if got != want:
+                raise ValueError(
+                    f"ivfpq stream params (encode, m, n_codes, dim, n_cells)"
+                    f"={got} do not match the persisted index meta {want}; "
+                    "restart with the index's parameters"
+                )
         else:
+            if n_vecs < max(n_cells, n_codes):
+                raise ValueError(
+                    f"first micro-batch must carry at least "
+                    f"max(n_cells, n_codes)={max(n_cells, n_codes)} vectors "
+                    f"to train both quantizer levels (got {n_vecs}); lower "
+                    "them or enlarge batch 0"
+                )
             centroids = [
                 [float(x) for x in r[vec_col]]
                 for r in vecs.orderBy(id_col).limit(n_cells).collect()
