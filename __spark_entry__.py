@@ -1326,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_replay_idempotent=cdc_replay_idempotent,  # r5: new operator (eo)
         cdc_scd2_history=cdc_scd2_history,          # r5: new operator (history)
         cdc_asof_enrich=cdc_asof_enrich,            # r5: new operator (history)
+        cdc_snapshot_diff=cdc_snapshot_diff,        # r5 final: attr_cols=() fix
         pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
         pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
@@ -1413,7 +1414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_repetition=pipe_repetition,
         pipe_tfidf_topk=pipe_tfidf_topk,
         pipe_unigram_ppl=pipe_unigram_ppl,
-        cdc_snapshot_diff=cdc_snapshot_diff,
         pipe_pii_redact=pipe_pii_redact,
         pipe_seq_pack=pipe_seq_pack,
         pipe_mixture_sample=pipe_mixture_sample,
