@@ -1316,7 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Enumeration order is the contract with the driver's correctness gate,
     # which covers a fixed prefix of the registry (50 queries per round vs
-    # 83 entries).  Queries whose implementation changed most recently — or
+    # 97 entries).  Queries whose implementation changed most recently — or
     # that the gate has never reached — enumerate FIRST so every change gets
     # a driver verdict the round it lands; long-stable CDC queries absorb
     # any budget truncation at the tail.
