@@ -1320,8 +1320,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that the gate has never reached — enumerate FIRST so every change gets
     # a driver verdict the round it lands; long-stable CDC queries absorb
     # any budget truncation at the tail.
+    def cdc_bootstrap_handoff(spark, sf):
+        """Initial-snapshot bootstrap → incremental-tail cutover with an
+        at-least-once overlap (every 3rd prefix event redelivered into the
+        tail): fold the time-prefix into a tombstone-retaining snapshot,
+        MERGE the tail onto it — must hash-equal the single-pass fold of
+        the full log (the oracle is exactly the final-state twin)."""
+        from kafka_connect_tablestore_spark.operators.changefeed import (
+            bootstrap_handoff,
+        )
+
+        res = bootstrap_handoff(
+            _log(spark, sf), CFG, ATTRS, fraction=0.5, redeliver_every=3
+        )
+        return res.select(
+            "repo", "path", "commit", "lang", "content",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+
+    def cdc_churn_stats(spark, sf):
+        """Per-repo change-log churn/lineage rollup: event volume, op mix,
+        distinct paths and source partitions, active time span."""
+        from kafka_connect_tablestore_spark.operators.monitor import churn_stats
+
+        return churn_stats(_log(spark, sf))
+
+    def pipe_len_quantiles(spark, sf):
+        """Per-lang exact length/token quantile profile (the filter-sizing
+        distribution table); same operator runs percentile_approx t-digest
+        sketches at scale (exact=False)."""
+        from kafka_connect_tablestore_spark.functions.text import (
+            length_quantiles,
+            token_count,
+        )
+
+        d = _docs(spark, sf).select(
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            token_count("text").cast("long").alias("n_tokens"),
+        )
+        return length_quantiles(d, ("n_chars", "n_tokens"), by="lang")
+
+    def pipe_vocab_growth(spark, sf):
+        """Heaps-law vocabulary growth at fixed doc-id checkpoints —
+        first-seen word aggregate + broadcast inequality join, never a
+        running distinct."""
+        from kafka_connect_tablestore_spark.functions.text import vocab_growth
+
+        return vocab_growth(_docs(spark, sf))
+
+    def pipe_novelty(spark, sf):
+        """Per-doc 3-gram novelty (distinct shingles first seen in this
+        doc vs total) — the incremental-crawl freshness score."""
+        from kafka_connect_tablestore_spark.operators.dedup import ngram_novelty
+
+        return ngram_novelty(_docs(spark, sf), k=3)
+
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        cdc_bootstrap_handoff=cdc_bootstrap_handoff,  # r5 close: new operator
+        cdc_churn_stats=cdc_churn_stats,            # r5 close: new operator
+        pipe_len_quantiles=pipe_len_quantiles,      # r5 close: new operator
+        pipe_vocab_growth=pipe_vocab_growth,        # r5 close: new operator
+        pipe_novelty=pipe_novelty,                  # r5 close: new operator
         cdc_point_in_time=cdc_point_in_time,        # r5: new operator (history)
         cdc_replay_idempotent=cdc_replay_idempotent,  # r5: new operator (eo)
         cdc_scd2_history=cdc_scd2_history,          # r5: new operator (history)
@@ -3370,6 +3431,72 @@ def oracle_sql() -> dict[str, str]:
         'PARTITION BY repo, path ORDER BY commit_ts DESC, "offset" DESC) = 1'
     )
     return {
+        # bootstrap handoff: snapshot(prefix) + tail(+redelivery) must equal
+        # the single-pass fold of the full log — the oracle IS the
+        # final-state twin (plus sha256), proving the handoff is invisible
+        "cdc_bootstrap_handoff": _FINAL_STATE_SQL,
+        # per-repo churn/lineage rollup straight off the log
+        "cdc_churn_stats": f"""
+WITH {LOG}
+SELECT repo,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN op = 'PUT' THEN 1 ELSE 0 END) AS BIGINT) AS n_puts,
+  CAST(sum(CASE WHEN op = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+  CAST(sum(CASE WHEN op = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+  CAST(count(DISTINCT "partition") AS BIGINT) AS n_partitions,
+  CAST(min(commit_ts) AS BIGINT) AS first_ts,
+  CAST(max(commit_ts) AS BIGINT) AS last_ts
+FROM log GROUP BY repo
+""",
+        # per-lang exact quantiles: quantile_cont mirrors Spark's
+        # linear-interpolating percentile on the same integer inputs
+        "pipe_len_quantiles": f"""
+WITH t AS (
+  SELECT lang, n_chars, CAST(len({W}) AS BIGINT) AS n_tokens FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  round(quantile_cont(n_chars, 0.25), 4) AS n_chars_p25,
+  round(quantile_cont(n_chars, 0.50), 4) AS n_chars_p50,
+  round(quantile_cont(n_chars, 0.75), 4) AS n_chars_p75,
+  round(quantile_cont(n_chars, 0.95), 4) AS n_chars_p95,
+  round(quantile_cont(n_tokens, 0.25), 4) AS n_tokens_p25,
+  round(quantile_cont(n_tokens, 0.50), 4) AS n_tokens_p50,
+  round(quantile_cont(n_tokens, 0.75), 4) AS n_tokens_p75,
+  round(quantile_cont(n_tokens, 0.95), 4) AS n_tokens_p95
+FROM t GROUP BY lang
+""",
+        # Heaps-law growth: first-seen per word + inequality join against
+        # the checkpoint list — same decomposition as the Spark plan
+        "pipe_vocab_growth": f"""
+WITH cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp),
+w AS (SELECT doc_id, unnest({W}) AS word FROM documents),
+fs AS (SELECT word, min(doc_id) AS fs FROM w WHERE word <> '' GROUP BY word),
+v AS (SELECT cp, CAST(count(*) AS BIGINT) AS vocab_size
+      FROM fs, cps WHERE fs <= cp GROUP BY cp),
+t AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({W})) AS BIGINT) AS n_tokens
+      FROM documents, cps WHERE doc_id <= cp GROUP BY cp)
+SELECT t.cp, n_docs, n_tokens,
+       CAST(COALESCE(vocab_size, 0) AS BIGINT) AS vocab_size
+FROM t LEFT JOIN v ON t.cp = v.cp
+""",
+        # per-doc shingle novelty: distinct doc×gram, global first-seen,
+        # rollup — null-text docs re-enter with zeros via the left join
+        "pipe_novelty": f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, unnest({SHINGLES}) AS gram FROM documents)
+), fs AS (SELECT gram, min(doc_id) AS fs FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN fs.fs = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN fs USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
         # point-in-time: the fold over the time prefix at the corpus-time
         # midpoint; the bound is a scalar subquery, independently computed
         "cdc_point_in_time": f"""

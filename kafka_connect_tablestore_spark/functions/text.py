@@ -1185,3 +1185,88 @@ def bpe_segment(
             F.coalesce(F.sum("_nsub"), F.lit(0)).cast("long").alias("n_subwords"),
         )
     )
+
+
+def length_quantiles(
+    df,
+    value_cols: tuple[str, ...] = ("n_chars",),
+    by: str = "lang",
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+):
+    """Per-group size/length quantile profile — the distribution table a
+    curator reads before setting min/max-length filters (mean alone, as in
+    ``source_scorecard``, hides the tail that the Gopher length gates cut).
+
+    ``exact=True`` computes the true linear-interpolated quantile
+    (``percentile`` — a sort-based exact aggregate, and the form the DuckDB
+    ``quantile_cont`` oracle reproduces bit-for-bit after rounding).
+    ``exact=False`` switches every column to ``percentile_approx`` — the
+    one-pass, mergeable t-digest sketch that is the 100-TB path: partial
+    sketches combine map-side, so no per-group sort ever materializes.
+    Same schema either way; the exact form is the correctness gate, the
+    approx form is what a production profile run ships.
+
+    Shape at scale: ONE group-key aggregate, output |groups| rows.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for c in value_cols:
+        for p in probs:
+            name = f"{c}_p{int(round(p * 100)):02d}"
+            q = (
+                F.percentile(F.col(c), F.lit(float(p)))
+                if exact
+                else F.percentile_approx(F.col(c), F.lit(float(p)))
+            )
+            aggs.append(F.round(q.cast("double"), 4).alias(name))
+    return df.groupBy(by).agg(*aggs)
+
+
+def vocab_growth(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: tuple[int, ...] = (100, 200, 300, 400, 500),
+):
+    """Heaps-law vocabulary-growth profile: for each checkpoint c, the doc
+    count, whitespace-token count, and DISTINCT-word vocabulary size of the
+    corpus prefix ``id <= c`` — the curve whose flattening says "new data
+    has stopped adding new language" (sub-linear vocab growth, Heaps 1978),
+    read next to :func:`ngram_novelty`'s per-doc view of the same question.
+
+    Shape at scale: NOT a running distinct (which would serialize through
+    one state): one word-key aggregate finds each word's first-seen doc id
+    (map-side combined min), one doc-key projection counts tokens, and each
+    joins the tiny checkpoint list by broadcast inequality — the only
+    per-row work is against |checkpoints| constants, and the final rollup
+    is |checkpoints| rows.
+    """
+    spark = df.sparkSession
+    cps = spark.createDataFrame([(int(c),) for c in checkpoints], "cp long")
+    w = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("_w")
+    ).where(F.col("_w") != "")
+    first_seen = w.groupBy("_w").agg(F.min("_id").alias("_fs"))
+    vocab = (
+        first_seen.join(F.broadcast(cps), F.col("_fs") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            token_count(text_col).cast("long").alias("_tok"),
+        )
+        .join(F.broadcast(cps), F.col("_id") <= F.col("cp"))
+        .groupBy("cp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    return toks.join(vocab, "cp", "left").select(
+        "cp",
+        "n_docs",
+        "n_tokens",
+        F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+    )

@@ -312,12 +312,15 @@ def log_asof_prefix(
     log: DataFrame,
     ts_col: str = "commit_ts",
     fraction: float = 0.5,
+    keep: str = "prefix",
 ) -> DataFrame:
     """Restrict a change log to the events at or before the corpus-time
     point ``min_ts + floor((max_ts - min_ts) * fraction)`` — the input to
     point-in-time reconstruction ("the table as of t" = the final-state
     fold of the log prefix, the replay-side dual of the SCD2 interval
-    lookup in :func:`scd2_history`).
+    lookup in :func:`scd2_history`).  ``keep="suffix"`` returns the strict
+    complement (events AFTER the bound) — the incremental tail a
+    bootstrap-then-stream cutover consumes (:func:`bootstrap_handoff`).
 
     The bound is computed as a 1-row broadcast aggregate cross-joined back
     onto the log, NOT collected to the driver: the whole plan stays
@@ -337,6 +340,8 @@ def log_asof_prefix(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if keep not in ("prefix", "suffix"):
+        raise ValueError(f"keep must be 'prefix' or 'suffix', got {keep!r}")
     num = int(round(fraction * 1000000))
     bounds = log.agg(
         F.min(ts_col).alias("_ts_min"), F.max(ts_col).alias("_ts_max")
@@ -349,8 +354,63 @@ def log_asof_prefix(
             )
         ).alias("_as_of")
     )
-    return (
-        log.crossJoin(F.broadcast(bounds))
-        .where(F.col(ts_col) <= F.col("_as_of"))
-        .drop("_as_of")
+    cond = (
+        F.col(ts_col) <= F.col("_as_of")
+        if keep == "prefix"
+        else F.col(ts_col) > F.col("_as_of")
     )
+    return log.crossJoin(F.broadcast(bounds)).where(cond).drop("_as_of")
+
+
+def bootstrap_handoff(
+    log: DataFrame,
+    config,
+    attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
+    *,
+    ts_col: str = "commit_ts",
+    offset_col: str = "offset",
+    fraction: float = 0.5,
+    redeliver_every: int | None = 3,
+) -> DataFrame:
+    """Initial-snapshot bootstrap → incremental-tail cutover, with the
+    at-least-once overlap a real handoff produces: fold the log prefix up
+    to the corpus-time bound into a tombstone-retaining snapshot
+    (``emit_meta=True`` — versions + retained tombstones), then MERGE the
+    tail onto it.  ``redeliver_every`` re-delivers every n-th PREFIX event
+    into the tail (the tail consumer deliberately starts before the
+    snapshot bound so the cutover can never drop an event; duplicates are
+    the price), and the versioned fold must absorb them: a redelivered
+    event is never newer than the snapshot row's stored version, so it
+    loses every per-column ``max_by`` race — including the
+    update-after-delete case, where only the RETAINED tombstone's virtual
+    DELETE outranks a stale partial UPDATE (a snapshot that dropped deleted
+    rows would resurrect them here).
+
+    The result must equal the single-pass fold of the full log — the
+    bootstrap dual of :func:`~kafka_connect_tablestore_spark.operators.
+    monitor.dedup_redelivered`'s within-batch invariant, proved across the
+    snapshot/tail boundary instead.  Shape at scale: two folds (one key
+    aggregate each, map-side combined) and no extra shuffle beyond them;
+    both prefix and tail bounds are broadcast scalar aggregates, never
+    driver round-trips.
+    """
+    from kafka_connect_tablestore_spark.operators.rowchange import (
+        split_errant,
+        validate_and_classify,
+    )
+    from kafka_connect_tablestore_spark.plans.merge import merge_into_state
+
+    prefix = log_asof_prefix(log, ts_col, fraction, keep="prefix")
+    clean_p, _ = split_errant(
+        validate_and_classify(prefix, config, attr_fields), config
+    )
+    snapshot = merge_into_state(None, clean_p, config, attr_fields, emit_meta=True)
+    tail = log_asof_prefix(log, ts_col, fraction, keep="suffix")
+    if redeliver_every:
+        tail = tail.unionByName(
+            prefix.where(F.pmod(F.col(offset_col), F.lit(redeliver_every)) == 0)
+        )
+    clean_t, _ = split_errant(
+        validate_and_classify(tail, config, attr_fields), config
+    )
+    return merge_into_state(snapshot, clean_t, config, attr_fields)

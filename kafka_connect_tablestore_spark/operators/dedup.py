@@ -1350,3 +1350,44 @@ def lsh_parameter_plan(
             "is_best"
         ),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of a doc's DISTINCT k-word shingles,
+    how many appear in NO earlier document (first-seen = min doc id)?  The
+    per-doc freshness score that ranks an incremental crawl batch — a doc
+    whose shingles are all old is recombined boilerplate even when its
+    exact fingerprint is unique, the signal between exact dedup (too
+    strict) and MinHash similarity (pairwise, not per-doc).
+
+    Shape at scale: doc×shingle distinct (ONE dedup shuffle on the
+    (gram, id) pair), first-seen per gram (map-side-combined min on the
+    gram key), join back on the gram key (co-partitioned with the dedup —
+    AQE reuses the exchange), per-doc rollup.  Never all-pairs, no window;
+    the gram key is content-hashed so a hot template spreads by value.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    g = df.select(
+        F.col(id_col),
+        F.explode(shingles_from_words(words(text_col), k)).alias("_g"),
+    ).dropDuplicates([id_col, "_g"])
+    fs = g.groupBy("_g").agg(F.min(id_col).alias("_fs"))
+    per = (
+        g.join(fs, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_fs") == F.col(id_col)).cast("long")).alias("n_novel"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )

@@ -119,3 +119,39 @@ def dedup_redelivered(
     sink guarantee expressed as a batch invariant.
     """
     return log.dropDuplicates([topic_col, partition_col, offset_col])
+
+
+def churn_stats(
+    log: DataFrame,
+    key_col: str = "repo",
+    op_col: str = "op",
+    path_col: str = "path",
+    partition_col: str = "partition",
+    ts_col: str = "commit_ts",
+) -> DataFrame:
+    """Per-key change-log churn rollup — the lineage/metrics table an
+    operator reads to find hot entities before they hurt: event volume and
+    PUT/UPDATE/DELETE mix, distinct sub-keys touched, distinct source
+    partitions, and the key's active time span.  The reference surfaces
+    per-task counters through the Kafka Connect metrics registry
+    (``TableStoreSinkTask`` relies on framework counters); a lake-native
+    replay engine can compute the same operational profile relationally,
+    per key, from the log itself.
+
+    Shape at scale: ONE key aggregate — counts and min/max pre-reduce
+    map-side, and the two distinct counts are expanded by Spark into a
+    two-phase (key, value)-distinct aggregate, so a hot repo's duplicate
+    (path, partition) values collapse before the final shuffle.  Output is
+    |keys| rows; no window, no join.
+    """
+    op = F.col(op_col)
+    return log.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((op == F.lit("PUT")).cast("long")).alias("n_puts"),
+        F.sum((op == F.lit("UPDATE")).cast("long")).alias("n_updates"),
+        F.sum((op == F.lit("DELETE")).cast("long")).alias("n_deletes"),
+        F.countDistinct(path_col).cast("long").alias("n_paths"),
+        F.countDistinct(partition_col).cast("long").alias("n_partitions"),
+        F.min(ts_col).cast("long").alias("first_ts"),
+        F.max(ts_col).cast("long").alias("last_ts"),
+    )
