@@ -182,6 +182,45 @@ class CdcEngine:
             before_commit=before_commit,
         )
 
+    # ----------------------------------------------------------- bootstrap
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        batch_id: str = "bootstrap-0",
+        topic: str = "bootstrap",
+        version: tuple[int, int] = (-1, -1),
+    ) -> dict:
+        """Initial-load bootstrap: commit an existing state snapshot as the
+        engine's first batch, so a subsequent :meth:`replay` of the
+        change-log tail merges onto it — the Debezium-style
+        snapshot-then-stream cutover as an engine lifecycle step (the
+        operator-level dual, with redelivery-overlap algebra, is
+        ``operators/changefeed.bootstrap_handoff``).
+
+        Snapshot rows enter as PUT events at ``version`` (default
+        ``(-1, -1)`` — strictly before every real event, the same sentinel
+        ``plans/merge.py`` uses for meta-less targets), so any tail event
+        outranks them per column.  The snapshot must carry the PK and attr
+        columns; it flows through the ordinary ``apply_batch`` path and
+        therefore gets a manifest, exactly-once skip on re-run, and
+        crash-resume like any other batch.  Caveat (same as the operator):
+        a plain state snapshot has no tombstones, so the tail must be the
+        STRICT suffix of the log — redelivering pre-snapshot events of
+        deleted keys would resurrect them; use ``bootstrap_handoff`` (which
+        retains tombstones) when the tail overlaps the snapshot.
+        """
+        pk = list(self.config.pk_fields)
+        ev = snapshot.select(
+            F.lit(topic).alias("topic"),
+            F.lit(0).cast("int").alias("partition"),
+            F.lit(int(version[1])).cast("long").alias("offset"),
+            F.lit(int(version[0])).cast("long").alias("commit_ts"),
+            F.lit("PUT").alias("op"),
+            *[F.col(c) for c in pk],
+            *[F.col(c) for c in self.attr_fields],
+        )
+        return self.apply_batch(ev, batch_id)
+
     # -------------------------------------------------------------- replay
     def replay(
         self,

@@ -213,3 +213,43 @@ def test_ngram_novelty_intra_doc_repeat_counts_once(spark):
     r = ngram_novelty(df).first()
     # distinct grams: {a b c, b c a, c a b, a b c(dup)} → 3 distinct, all novel
     assert (r["n_grams"], r["n_novel"]) == (3, 3)
+
+
+# --------------------------------------------------------------------------
+# CdcEngine.bootstrap (engine-level snapshot-then-stream cutover)
+# --------------------------------------------------------------------------
+
+def test_engine_bootstrap_then_tail_replay(spark, tmp_path):
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+
+    log = synth_changelog(spark, 2000, seed=17)
+    prefix = log_asof_prefix(log, fraction=0.5)
+    tail = log_asof_prefix(log, fraction=0.5, keep="suffix")
+    snap = _full_fold(prefix)  # plain state: pk + attrs, no meta
+
+    eng = CdcEngine(spark, CFG, str(tmp_path / "lake"))
+    eng.bootstrap(snap)
+    assert eng.state().count() == snap.count()
+    eng.replay(tail, n_batches=3)
+
+    full = CdcEngine(spark, CFG, str(tmp_path / "lake_full"))
+    full.replay(log, n_batches=3)
+
+    cols = ["repo", "path", *ATTRS]
+    got = sorted(tuple(r) for r in eng.state().select(*cols).collect())
+    want = sorted(tuple(r) for r in full.state().select(*cols).collect())
+    assert got == want
+
+
+def test_engine_bootstrap_is_exactly_once(spark, tmp_path):
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+
+    log = synth_changelog(spark, 300, seed=19)
+    snap = _full_fold(log_asof_prefix(log, fraction=0.5))
+    eng = CdcEngine(spark, CFG, str(tmp_path / "lake"))
+    eng.bootstrap(snap)
+    again = eng.bootstrap(snap)  # same batch_id → committed-batch skip
+    assert again.get("skipped")
+    cols = ["repo", "path", *ATTRS]
+    assert sorted(map(tuple, eng.state().select(*cols).collect())) == \
+        sorted(map(tuple, snap.select(*cols).collect()))
