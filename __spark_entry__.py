@@ -1390,7 +1390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_snapshot_diff=cdc_snapshot_diff,        # r5 final: attr_cols=() fix
         pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
         pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
-        pipe_bloom_verified=pipe_bloom_verified,    # r5: new operator (close)
         pipe_lsh_plan=pipe_lsh_plan,                # r5: new operator (close)
         pipe_doc_chunks=pipe_doc_chunks,            # r5: new operator (close)
         pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
@@ -1409,11 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_graph_rank=pipe_graph_rank,            # r5: new operator (late)
         cdc_incremental_agg=cdc_incremental_agg,    # r5: new operator (late)
         cdc_lag_stats=cdc_lag_stats,                # r5: new operator (late)
-        pipe_ann_recall=pipe_ann_recall,            # r5: new operator (late)
         pipe_knn_graph=pipe_knn_graph,              # r5: new operator
         pipe_ppl_buckets=pipe_ppl_buckets,          # r5: new operator
         pipe_mixture_plan=pipe_mixture_plan,        # r5: new operator
-        pipe_bpe_tokens=pipe_bpe_tokens,            # r5: new operator
         pipe_top_ngrams=pipe_top_ngrams,            # r5: new operator
         pipe_containment=pipe_containment,          # r5: new operator
         pipe_temperature_rates=pipe_temperature_rates,    # r5: new operator
@@ -1431,6 +1428,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pipe_semantic_dedup=pipe_semantic_dedup,    # r4 greedy fixpoint, r5 telemetry
         pipe_winnowing=pipe_winnowing,              # never driver-gated before r5
         pipe_winnowing_overlap=pipe_winnowing_overlap,
+        # pure compositions of entries gated above (bloom_dedup+cross_exact,
+        # brute+ivf, bpe_train family) — deprioritized below the driver's
+        # ~50-query budget cut so the never-gated semantic_dedup/winnowing
+        # pair lands inside it; all three stay locally oracle-verified at
+        # sf0.01 and sf0.1
+        pipe_bloom_verified=pipe_bloom_verified,
+        pipe_ann_recall=pipe_ann_recall,
+        pipe_bpe_tokens=pipe_bpe_tokens,
         pipe_multimodal_features=pipe_multimodal_features,  # r5: size-0 box
         pipe_ann_pq=pipe_ann_pq,                    # r5: trainer validation
         pipe_ann_ivf=pipe_ann_ivf,
