@@ -212,6 +212,30 @@ def main() -> None:
         lambda: _noop(dup_span_coverage(hot_span, n=5, min_df=2))
     )
 
+    # ---- ngram_novelty ----------------------------------------------------
+    # The joinless rollup claim: novelty needs no per-gram join back, so a
+    # boilerplate gram shared by EVERY document (the key that would funnel
+    # all its owners through one join task in the naive plan) only flows
+    # through the map-side-combined min/first-seen aggregate.  Hot shape:
+    # the same 5-word header prepended to every doc (5 corpus-wide hot
+    # grams across doc boundaries) vs fully distinct texts.
+    from kafka_connect_tablestore_spark.operators.dedup import ngram_novelty
+
+    nov_ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    uni_nov = nov_ids.select(
+        "doc_id",
+        synth_words(F.lit(40), 2_000_000, F.col("doc_id"), "n").alias("text"),
+    ).localCheckpoint(eager=True)
+    hot_nov = nov_ids.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header words one two three "),
+            synth_words(F.lit(40), 2_000_000, F.col("doc_id"), "n"),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    results["novelty_uniform_secs"] = _best(lambda: _noop(ngram_novelty(uni_nov)))
+    results["novelty_hot_secs"] = _best(lambda: _noop(ngram_novelty(hot_nov)))
+
     out = {
         "metric": "pipeline window-operator skew resilience (best-of-2)",
         "n_docs_tfidf": n_docs,

@@ -1366,10 +1366,14 @@ def ngram_novelty(
     strict) and MinHash similarity (pairwise, not per-doc).
 
     Shape at scale: doc×shingle distinct (ONE dedup shuffle on the
-    (gram, id) pair), first-seen per gram (map-side-combined min on the
-    gram key), join back on the gram key (co-partitioned with the dedup —
-    AQE reuses the exchange), per-doc rollup.  Never all-pairs, no window;
-    the gram key is content-hashed so a hot template spreads by value.
+    (gram, id) pair), then two independent rollups — per-doc distinct-gram
+    counts off the dedup directly, and per-doc NOVEL counts straight off
+    the first-seen aggregate (``groupBy(first_seen).count()``): each gram
+    contributes novelty only to its min-id doc, so the per-gram join back
+    that a naive plan would do — and with it the hot-gram skew hazard of
+    co-shuffling 10^8 owners of one boilerplate shingle into a single join
+    task — is unnecessary.  The only joins are doc-id-keyed left joins of
+    |docs|-bounded aggregates.  Never all-pairs, no window.
     The gram string is assembled ABOVE the Generate from an exploded
     position sequence (GenerateExec re-evaluates its generator per OUTPUT
     row — exploding a computed gram array re-runs the whole shingle build
@@ -1391,17 +1395,20 @@ def ngram_novelty(
         .select(F.col(id_col), gram.alias("_g"))
         .dropDuplicates([id_col, "_g"])
     )
-    fs = g.groupBy("_g").agg(F.min(id_col).alias("_fs"))
-    per = (
-        g.join(fs, "_g")
+    totals = g.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    novel = (
+        g.groupBy("_g")
+        .agg(F.min(id_col).alias(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum((F.col("_fs") == F.col(id_col)).cast("long")).alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
-    return df.select(F.col(id_col)).join(per, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    return (
+        df.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
     )
