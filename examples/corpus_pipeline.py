@@ -434,6 +434,19 @@ def main() -> None:
         card.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(args.out + "_scorecard")
         )
+        # the distribution table next to the means: per-group token-length
+        # quantiles of the shipped corpus (approx t-digest path — the
+        # one-pass form a production profile run ships; exact=True is the
+        # oracle-gated twin)
+        from kafka_connect_tablestore_spark.functions.text import (
+            length_quantiles,
+        )
+
+        q = length_quantiles(
+            shipped.select(F.col(src_col), token_count("text").alias("n_tokens")),
+            ("n_tokens",), by=src_col, exact=False,
+        )
+        q.orderBy(src_col).show(50, truncate=False)
 
 
 if __name__ == "__main__":
