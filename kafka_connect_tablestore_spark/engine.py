@@ -253,6 +253,11 @@ class CdcEngine:
         """Current table state, or AS OF ``version`` (snapshot time travel)."""
         return self.table.read(version=version)
 
+    def lineage(self) -> DataFrame:
+        """Committed per-batch per-partition lineage as a DataFrame
+        (see :meth:`LakeTable.lineage`)."""
+        return self.table.lineage()
+
 
 class MultiTableCdcEngine:
     """Topic-routed multi-table sink: the reference task's per-record

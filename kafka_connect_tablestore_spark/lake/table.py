@@ -160,6 +160,45 @@ class LakeTable:
     def committed_batches(self) -> dict[str, dict]:
         return self.snapshot()["batches"] if self.exists() else {}
 
+    def lineage(self) -> "DataFrame":
+        """The per-batch per-partition lineage manifests as ONE queryable
+        DataFrame: ``(batch_id, partition, start_offset, end_offset, rows,
+        errant_rows, committed_at_version, wall_secs)`` — the audit table
+        behind "resumable from checkpoint with per-partition lineage and
+        metrics".  Covers both manifest shapes: per-partition lineage rows
+        and the observed-mode ``_global`` row (one aggregate row per batch
+        when lineage rides the merge job via ``Dataset.observe``).
+
+        Manifests are snapshot METADATA (one small dict per batch), so
+        building this frame from the driver-side snapshot is not a
+        driver-data-path violation — it is the same JSON a reader must
+        parse to plan time travel; at 10^5 batches this is megabytes.
+        """
+        rows = []
+        for bid, m in self.committed_batches().items():
+            parts = m.get("partitions") or {}
+            for p, ln in parts.items():
+                if not isinstance(ln, dict) or "rows" not in ln:
+                    continue  # e.g. the pre-observation {"_observed": True}
+                rows.append(
+                    (
+                        bid,
+                        str(p),
+                        ln.get("start_offset"),
+                        ln.get("end_offset"),
+                        ln.get("rows"),
+                        ln.get("errant_rows"),
+                        m.get("committed_at_version"),
+                        m.get("wall_secs"),
+                    )
+                )
+        schema = (
+            "batch_id string, partition string, start_offset long, "
+            "end_offset long, rows long, errant_rows long, "
+            "committed_at_version long, wall_secs double"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def schema(self) -> dict[str, str]:
         return dict(self.snapshot()["schema"])
 

@@ -253,3 +253,41 @@ def test_engine_bootstrap_is_exactly_once(spark, tmp_path):
     cols = ["repo", "path", *ATTRS]
     assert sorted(map(tuple, eng.state().select(*cols).collect())) == \
         sorted(map(tuple, snap.select(*cols).collect()))
+
+
+# --------------------------------------------------------------------------
+# lineage view
+# --------------------------------------------------------------------------
+
+def test_lineage_frame_covers_replay(spark, tmp_path):
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+
+    log = synth_changelog(spark, 900, seed=23)
+    cfg = SinkConfig(
+        insert_mode=InsertMode.PUT,
+        delete_mode=DeleteMode.ROW,
+        lineage_per_partition=True,
+    )
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(log, n_batches=3)
+    lin = eng.lineage()
+    rows = lin.collect()
+    assert {r["batch_id"] for r in rows} == {"replay-0", "replay-1", "replay-2"}
+    # per-partition lineage: rows sum to the clean event count, offsets
+    # nest inside each batch's slice
+    assert sum(r["rows"] for r in rows) == 900
+    for r in rows:
+        assert r["start_offset"] <= r["end_offset"]
+        assert r["errant_rows"] == 0
+        assert r["committed_at_version"] >= 1
+
+
+def test_lineage_frame_observed_mode(spark, tmp_path):
+    from kafka_connect_tablestore_spark.engine import CdcEngine
+
+    log = synth_changelog(spark, 400, seed=29)
+    eng = CdcEngine(spark, CFG, str(tmp_path / "lake"))  # observed default
+    eng.replay(log, n_batches=2)
+    rows = eng.lineage().collect()
+    assert {r["partition"] for r in rows} == {"_global"}
+    assert sum(r["rows"] for r in rows) == 400
