@@ -590,13 +590,11 @@ class LakeTable:
         self._commit(meta)
         return {"version": version, "n_buckets": len(buckets)}
 
-    def vacuum(self) -> list[str]:
-        """Delete data directories not referenced by the current snapshot
-        (crash orphans + superseded bucket files).  Run after ``compact``."""
+    def _gc_data_dirs(self, live: set[str]) -> list[str]:
+        """Delete top-level ``data/`` entries referenced by no path in
+        ``live`` (crash orphans + superseded snapshot/bucket dirs)."""
         import shutil
 
-        snap = self.snapshot()
-        live = {os.path.normpath(d) for ds in snap["buckets"].values() for d in ds}
         data = os.path.join(self.dir, "data")
         removed = []
         for sd in sorted(os.listdir(data)):
@@ -606,6 +604,63 @@ class LakeTable:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
         return removed
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories not referenced by the current snapshot
+        (crash orphans + superseded bucket files).  Run after ``compact``.
+
+        This is the aggressive keep-current-only GC: every older version's
+        data is dropped (its meta stays, and time-travel to it raises a
+        clear error).  Production retention — keep the newest K versions
+        time-travelable while bounding storage AND metadata — is
+        :meth:`expire_snapshots`."""
+        snap = self.snapshot()
+        live = {os.path.normpath(d) for ds in snap["buckets"].values() for d in ds}
+        return self._gc_data_dirs(live)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention maintenance, the Iceberg ``expireSnapshots`` analogue:
+        keep the newest ``keep_last`` snapshots fully time-travelable,
+        delete the meta files of everything older, then GC data
+        directories referenced by no retained snapshot.
+
+        The current version is always retained.  After expiry,
+        :meth:`snapshots` catalogs only the retained window, and
+        :meth:`read`/:meth:`changefeed` over versions inside the window
+        behave exactly as before: liveness is computed from the RETAINED
+        snapshots' bucket maps, so a data directory first written under an
+        expired version but still referenced by a retained descendant
+        (bucket maps accrete across appends) is preserved — only
+        directories no retained snapshot can reach are deleted.  Reads of
+        expired versions raise
+        ``FileNotFoundError`` with the no-snapshot message rather than a
+        mid-scan path error.
+
+        Everything here is driver-side metadata work (list + delete of
+        O(versions) small JSON files and O(snapshots × buckets) directory
+        names) — no Spark job, no data read; safe to run as a cron
+        maintenance task concurrent with readers of retained versions.
+        Returns ``{"expired": [versions], "removed_dirs": [paths]}``."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        snaps = self.snapshots()
+        current = self.current_version()
+        keep_versions = {s["version"] for s in snaps[-keep_last:]} | {current}
+        expired = []
+        for s in snaps:
+            v = s["version"]
+            if v not in keep_versions:
+                os.remove(self._meta_path(v))
+                expired.append(v)
+        live = {
+            os.path.normpath(d)
+            for s in snaps
+            if s["version"] in keep_versions
+            for ds in s["buckets"].values()
+            for d in ds
+        }
+        removed = self._gc_data_dirs(live)
+        return {"expired": expired, "removed_dirs": removed}
 
     def amend_lineage(self, batch_id: str, lineage: dict) -> None:
         """Attach post-hoc lineage metrics (from ``Dataset.observe``) to an

@@ -170,3 +170,75 @@ def test_changefeed_across_schema_evolution(spark, tmp_path):
         .unionByName(upserts)
     )
     assert sorted(map(tuple, applied.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_expire_snapshots_retains_window_and_bounds_metadata(spark, tmp_path):
+    """Iceberg-style retention: keep_last=2 leaves the newest two versions
+    fully time-travelable (including data dirs first written under expired
+    versions but still referenced by retained bucket maps), drops the meta
+    of everything older, and GCs only unreachable data directories."""
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 2000, seed=7).cache()
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(events, n_batches=3)
+    assert [s["version"] for s in eng.table.snapshots()] == [0, 1, 2, 3]
+
+    # reference state at version 2 (first two of three offset slices)
+    ref = CdcEngine(spark, cfg, str(tmp_path / "lake_ref"))
+    lo, hi = events.select(F.min("offset"), F.max("offset")).first()
+    span = (hi - lo + 1 + 3 - 1) // 3
+    ref.replay(events.where(F.col("offset") < lo + 2 * span))
+    key = lambda df: {(r["repo"], r["path"], r["content_sha256"]) for r in df.collect()}
+    want_v2, want_v3 = key(ref.state()), key(eng.state())
+
+    out = eng.table.expire_snapshots(keep_last=2)
+    assert out["expired"] == [0, 1]
+    # catalog now shows only the retained window
+    assert [s["version"] for s in eng.table.snapshots()] == [2, 3]
+    # both retained versions reconstruct exactly — batch-2 rows live in
+    # data dirs written under the now-expired version 2's commit, proving
+    # liveness came from retained bucket maps, not version numbers
+    assert key(eng.state(version=2)) == want_v2
+    assert key(eng.state(version=3)) == want_v3
+    # changefeed across the retained window still works
+    assert eng.table.changefeed(2, 3).count() > 0
+    # expired versions read as missing snapshots, not mid-scan path errors
+    try:
+        eng.state(version=1)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "no snapshot" in str(e)
+
+    # idempotent: a second run expires nothing and removes nothing
+    again = eng.table.expire_snapshots(keep_last=2)
+    assert again == {"expired": [], "removed_dirs": []}
+
+    # keep_last=1 degenerates to the vacuum retention: current only
+    eng.table.expire_snapshots(keep_last=1)
+    assert [s["version"] for s in eng.table.snapshots()] == [3]
+    assert key(eng.state()) == want_v3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.table.expire_snapshots(keep_last=0)
+
+
+def test_expire_snapshots_gc_drops_compaction_superseded_dirs(spark, tmp_path):
+    """After compact(), expire_snapshots(keep_last=1) removes every
+    pre-compaction data directory (the compacted snapshot references only
+    its own rewrite) while the compacted state stays byte-identical."""
+    import os as _os
+
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(synth_changelog(spark, 1000, seed=11), n_batches=2)
+    key = lambda df: {(r["repo"], r["path"], r["content_sha256"]) for r in df.collect()}
+    want = key(eng.state())
+    eng.table.compact()
+    out = eng.table.expire_snapshots(keep_last=1)
+    assert out["removed_dirs"], "pre-compaction dirs should be GC'd"
+    data = _os.path.join(eng.table.dir, "data")
+    v = eng.table.current_version()
+    assert _os.listdir(data) == [f"snap{v:06d}"]
+    assert key(eng.state()) == want
