@@ -662,6 +662,49 @@ class LakeTable:
         removed = self._gc_data_dirs(live)
         return {"expired": expired, "removed_dirs": removed}
 
+    def rollback(self, version: int) -> dict:
+        """Roll the table back to snapshot ``version`` — the Iceberg
+        ``rollback_to_snapshot`` analogue and the bad-batch recovery move:
+        a corrupting deploy committed garbage, roll back, fix, re-apply.
+
+        Metadata-only and history-preserving: a NEW snapshot is committed
+        whose visible state (schema, bucket map) is copied from the
+        target, so no data moves and the bad versions stay
+        time-travelable (until :meth:`expire_snapshots` retires them —
+        do NOT vacuum between rollback and inspection of the bad run).
+        The exactly-once ledger rewinds with the state: the new
+        snapshot's ``batches`` set is the target's, so batches committed
+        after ``version`` leave the committed set and a corrected batch
+        re-applied under the SAME batch_id is accepted rather than
+        idempotently skipped — replaying the tail from the rollback
+        point reconverges the table.  Schema changes introduced by the
+        rolled-back batches revert too; re-applied batches re-evolve the
+        schema through the ordinary diff path."""
+        snap = self.snapshot(version)  # raises if missing/expired
+        gone = [
+            d for ds in snap["buckets"].values() for d in ds if not os.path.exists(d)
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"table {self.name} version {version} has been vacuumed "
+                f"({len(gone)} data dirs removed); cannot roll back to it"
+            )
+        cur = self.snapshot()
+        new_version = cur["version"] + 1
+        meta = {
+            "version": new_version,
+            "schema": snap["schema"],
+            "buckets": snap["buckets"],
+            "batches": snap["batches"],
+            "parent": cur["version"],
+            "rolled_back_to": version,
+            "pk_fields": snap.get("pk_fields", list(self.config.pk_fields)),
+            "pk_types": snap.get("pk_types", list(self.config.pk_types)),
+            "n_buckets": snap.get("n_buckets", self.config.n_buckets),
+        }
+        self._commit(meta)
+        return {"version": new_version, "rolled_back_to": version}
+
     def amend_lineage(self, batch_id: str, lineage: dict) -> None:
         """Attach post-hoc lineage metrics (from ``Dataset.observe``) to an
         already-committed batch as a sidecar — the snapshot itself stays

@@ -242,3 +242,70 @@ def test_expire_snapshots_gc_drops_compaction_superseded_dirs(spark, tmp_path):
     v = eng.table.current_version()
     assert _os.listdir(data) == [f"snap{v:06d}"]
     assert key(eng.state()) == want
+
+
+def test_rollback_rewinds_state_and_exactly_once_ledger(spark, tmp_path):
+    """Bad-batch recovery: a garbage batch commits, rollback() restores the
+    prior state metadata-only (history preserved), and — because the
+    exactly-once ledger rewinds with the snapshot — the CORRECTED batch
+    re-applies under the same batch_id instead of being skipped, after
+    which the table equals a clean replay."""
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    events = synth_changelog(spark, 2000, seed=13).cache()
+    lo, hi = events.select(F.min("offset"), F.max("offset")).first()
+    mid = lo + (hi - lo + 1) // 2
+    good_head = events.where(F.col("offset") < mid)
+    good_tail = events.where(F.col("offset") >= mid)
+    # the "bad deploy": tail content corrupted before apply
+    bad_tail = good_tail.withColumn(
+        "content", F.concat(F.lit("CORRUPT:"), F.col("content"))
+    )
+
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.apply_batch(good_head, "b-0")
+    eng.apply_batch(bad_tail, "b-1")
+    key = lambda df: {(r["repo"], r["path"], r["content_sha256"]) for r in df.collect()}
+
+    ref = CdcEngine(spark, cfg, str(tmp_path / "lake_ref"))
+    ref.apply_batch(good_head, "b-0")
+    want_head = key(ref.state())
+    ref.apply_batch(good_tail, "b-1")
+    want_full = key(ref.state())
+    assert key(eng.state()) != want_full  # corruption landed
+
+    out = eng.table.rollback(1)
+    assert out == {"version": 3, "rolled_back_to": 1}
+    # visible state is the pre-bad-batch table; the bad version stays
+    # time-travelable for postmortem until expired
+    assert key(eng.state()) == want_head
+    assert key(eng.state(version=2)) != want_full
+    assert "b-1" not in eng.table.committed_batches()
+    assert "b-0" in eng.table.committed_batches()
+
+    # corrected batch under the SAME id applies (not skipped) and reconverges
+    m = eng.apply_batch(good_tail, "b-1")
+    assert not m.get("skipped")
+    assert key(eng.state()) == want_full
+    # while the untouched head batch remains exactly-once
+    assert eng.apply_batch(good_head, "b-0").get("skipped")
+
+    # retention then retires the bad lineage
+    eng.table.expire_snapshots(keep_last=1)
+    assert [s["version"] for s in eng.table.snapshots()] == [4]
+    assert key(eng.state()) == want_full
+
+
+def test_rollback_refuses_vacuumed_target(spark, tmp_path):
+    """rollback() onto a snapshot whose data dirs were vacuumed must fail
+    up front with a clear error, not leave a head that errors mid-scan."""
+    import pytest
+
+    cfg = SinkConfig(delete_mode=DeleteMode.ROW)
+    eng = CdcEngine(spark, cfg, str(tmp_path / "lake"))
+    eng.replay(synth_changelog(spark, 500, seed=3), n_batches=2)
+    eng.table.compact()  # v3 references only its own rewrite
+    eng.table.vacuum()   # v1/v2 data dirs gone, metas remain
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        eng.table.rollback(1)
+    # and the head is still perfectly readable
+    assert eng.state().count() > 0
