@@ -103,6 +103,41 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the deterministic URL synthesis shared by the
+    url/domain query family (the corpus text carries no URLs of its own):
+    every doc gains one URL on a subdomain of one of 13 ``site<k>.com``
+    sites, every 4th doc a second URL on the shared CDN host, every 5th
+    doc a URL under a ``.co.uk`` public suffix — mirrored verbatim in the
+    DuckDB ``aug`` CTEs."""
+    did = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://sub"),
+            (did % 7).cast("string"),
+            F.lit(".site"),
+            (did % 13).cast("string"),
+            F.lit(".com/p/"),
+            did.cast("string"),
+            F.when(
+                did % 4 == 0, F.lit(" and http://cdn.shared.net/x")
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" or https://shop"),
+                    (did % 3).cast("string"),
+                    F.lit(".store"),
+                    (did % 11).cast("string"),
+                    F.lit(".co.uk/y"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
 def _log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_from_events(_events(spark, sf_dir))
 
@@ -1376,8 +1411,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_docs(spark, sf), k=3)
 
+    def pipe_hash_split(spark, sf):
+        """Deterministic train/val/test assignment: hash64(id,'split') %
+        10000 against cumulative thresholds over SORTED labels — stable
+        under repartitioning and appends, unlike randomSplit."""
+        from kafka_connect_tablestore_spark.operators.corpus import hash_split
+
+        return hash_split(
+            _docs(spark, sf), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).select("doc_id", "split")
+
+    def pipe_blocklist(spark, sf):
+        """Domain-blocklist verdict over the same synthesized URLs as
+        pipe_url_domains: one .com site, the shared CDN host, and one
+        ccTLD registrant are blocked; every doc gets a (doc_id, blocked)
+        row via the broadcast semi-join gate."""
+        from kafka_connect_tablestore_spark.operators.corpus import (
+            filter_blocked_domains,
+        )
+
+        return filter_blocked_domains(
+            _docs_with_urls(spark, sf),
+            ["site3.com", "shared.net", "store7.co.uk"],
+        )
+
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_hash_split=pipe_hash_split,            # r5 close2: new operator
+        pipe_blocklist=pipe_blocklist,              # r5 close2: new operator
         cdc_bootstrap_handoff=cdc_bootstrap_handoff,  # r5 close: new operator
         cdc_churn_stats=cdc_churn_stats,            # r5 close: new operator
         pipe_len_quantiles=pipe_len_quantiles,      # r5 close: new operator
@@ -1893,6 +1954,21 @@ WITH aug AS (
   FROM parts
 )
 SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain
+"""
+)
+
+#: blocklist twin: the url-domains CTE chain (aug → ex → parts → dom) reused
+#: verbatim (rsplit strips only the final aggregate), plus the IN-list gate —
+#: every document gets a verdict row, blocked iff ANY of its registrable
+#: domains is listed.
+_BLOCKLIST_SQL = (
+    _URL_DOMAINS_SQL.rsplit("SELECT domain,", 1)[0]
+    + """, blk AS (
+  SELECT DISTINCT doc_id FROM dom
+  WHERE domain IN ('site3.com', 'shared.net', 'store7.co.uk')
+)
+SELECT d.doc_id, (b.doc_id IS NOT NULL) AS blocked
+FROM documents d LEFT JOIN blk b ON d.doc_id = b.doc_id
 """
 )
 
@@ -3440,6 +3516,17 @@ def oracle_sql() -> dict[str, str]:
         # the single-pass fold of the full log — the oracle IS the
         # final-state twin (plus sha256), proving the handoff is invisible
         "cdc_bootstrap_handoff": _FINAL_STATE_SQL,
+        # deterministic hash split: identical md5 arithmetic, sorted-label
+        # cumulative thresholds over 10000 (test 0.05 | train 0.90 | val 0.05)
+        "pipe_hash_split": (
+            "SELECT doc_id, CASE WHEN "
+            + H("CAST(doc_id AS VARCHAR)", "split")
+            + " % 10000 < 500 THEN 'test' WHEN "
+            + H("CAST(doc_id AS VARCHAR)", "split")
+            + " % 10000 < 9500 THEN 'train' ELSE 'val' END AS split "
+            "FROM documents"
+        ),
+        "pipe_blocklist": _BLOCKLIST_SQL,
         # per-repo churn/lineage rollup straight off the log
         "cdc_churn_stats": f"""
 WITH {LOG}

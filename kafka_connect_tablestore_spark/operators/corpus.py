@@ -1231,3 +1231,104 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: add a ``split``
+    column mapping each row to one named split with probability
+    proportional to its weight, decided purely by
+    ``hash64(id, seed) % 10000`` against cumulative thresholds.
+
+    This is the reproducible alternative to ``df.randomSplit`` every
+    training pipeline eventually needs: ``randomSplit`` seeds its RNG per
+    partition, so the SAME document lands in DIFFERENT splits when the
+    corpus is repartitioned, appended to, or re-read with different file
+    splits — silently leaking held-out docs into train between pipeline
+    runs.  The hash gate is a pure per-row function of ``(id, seed)``:
+    stable under repartitioning, incremental appends (a new batch's docs
+    join their splits without reshuffling old ones), and engine choice
+    (the DuckDB twin runs the identical md5 arithmetic).
+
+    ``weights`` must be positive and sum to 1 (±1e-6).  Thresholds are
+    assigned over the hash range in SORTED label order so the mapping is a
+    function of the weights dict alone, not its insertion order; the last
+    label absorbs rounding remainders so every row is assigned.
+
+    Shape at scale: one constant-folded CASE expression fused into the
+    scan — map-only, no shuffle, no Python, no sampling pass."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    labels = sorted(weights)
+    h = hash64(F.col(id_col).cast("string"), seed) % 10000
+    expr = None
+    cum = 0.0
+    for name in labels[:-1]:
+        cum += weights[name]
+        thresh = int(round(cum * 10000))
+        cond = h < F.lit(thresh)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        expr.otherwise(F.lit(labels[-1]))
+        if expr is not None
+        else F.lit(labels[-1])
+    )
+    return df.withColumn("split", split)
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist verdict — the C4/CCNet "bad-word/bad-domain list"
+    gate applied at the source level: a document is blocked iff ANY URL
+    embedded in it resolves (via :func:`registrable_domain`, the embedded
+    public-suffix table) to a registrable domain on the blocklist.
+    Emits ``(id_col, blocked)`` for EVERY input document — callers filter
+    on ``~blocked`` and join survivors back, the same verdict-frame
+    convention as :func:`cap_per_domain`.
+
+    ``blocked`` is a one-column DataFrame (``domain`` string) or a plain
+    list; entries are lowercased and matched exactly against the
+    registrable domain (so listing ``example.com`` blocks every subdomain
+    — the standard blocklist contract — while ``a.co.uk`` blocks only
+    that registrant under the ccTLD suffix).
+
+    Shape at scale: real blocklists run 10^5-10^6 domains — far past the
+    constant-folding comfort zone but tiny beside the corpus — so the
+    list becomes a broadcast-hash LEFT SEMI join against the distinct
+    (doc, domain) pairs: the corpus is never shuffled, URL-less documents
+    never enter the join, and the verdict rejoin aggregates blocked ids
+    map-side before touching the doc frame."""
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(d,) for d in blocked], "domain string"
+        )
+    blocked = blocked.select(F.lower(F.col("domain")).alias("domain")).distinct()
+    hosts = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
+    doc_domains = (
+        df.select(F.col(id_col), F.explode(hosts).alias("host"))
+        .select(F.col(id_col), registrable_domain("host").alias("domain"))
+        .distinct()
+    )
+    blocked_ids = (
+        doc_domains.join(F.broadcast(blocked), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return df.select(id_col).join(blocked_ids, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked")
+    )
