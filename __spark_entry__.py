@@ -1411,6 +1411,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_docs(spark, sf), k=3)
 
+    def pipe_split_leakage(spark, sf):
+        """Cross-split contamination audit: LSH near-dup pairs (>= 6 of 8
+        matching minhashes) whose two sides land in DIFFERENT hash_split
+        splits — the leak a deterministic split does not prevent.  The
+        split labels are recomputed inline from the pair ids
+        (split_assign), so the audit adds zero joins beyond the LSH
+        bucket join."""
+        from kafka_connect_tablestore_spark.operators.corpus import split_leakage
+
+        return split_leakage(
+            _docs(spark, sf),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            min_match=6,
+        )
+
     def pipe_hash_split(spark, sf):
         """Deterministic train/val/test assignment: hash64(id,'split') %
         10000 against cumulative thresholds over SORTED labels — stable
@@ -1437,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         # round-5 changes / previously gate-skipped --------------------------
+        pipe_split_leakage=pipe_split_leakage,      # r5 close3: new operator
         pipe_hash_split=pipe_hash_split,            # r5 close2: new operator
         pipe_blocklist=pipe_blocklist,              # r5 close2: new operator
         cdc_bootstrap_handoff=cdc_bootstrap_handoff,  # r5 close: new operator
@@ -2251,6 +2267,31 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST({' + '.join(f'(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)' for j in range(8))} AS BIGINT) AS n_match
 FROM capped a JOIN capped b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+#: split label as a pure function of an id expression — the DuckDB twin of
+#: operators/corpus.py::split_assign at weights train .9 / val .05 / test .05
+#: (sorted-label cumulative thresholds: test < 500, train < 9500, else val).
+_SPLIT_CASE = lambda side: (  # noqa: E731
+    "CASE WHEN " + H(f"CAST({side} AS VARCHAR)", "split")
+    + " % 10000 < 500 THEN 'test' WHEN "
+    + H(f"CAST({side} AS VARCHAR)", "split")
+    + " % 10000 < 9500 THEN 'train' ELSE 'val' END"
+)
+
+#: cross-split near-dup audit: the LSH pair core, thresholded at 6/8
+#: matching minhashes, each side's split recomputed from its id (no join
+#: back to an assigned frame — mirrors the Spark side exactly).
+_SPLIT_LEAK_SQL = f"""
+WITH pairs AS (WITH {_LSH_PAIRS_CORE}),
+tagged AS (
+  SELECT doc_a, doc_b, n_match,
+    {_SPLIT_CASE('doc_a')} AS split_a,
+    {_SPLIT_CASE('doc_b')} AS split_b
+  FROM pairs WHERE n_match >= 6
+)
+SELECT doc_a, doc_b, n_match, split_a, split_b
+FROM tagged WHERE split_a <> split_b
 """
 
 _SIMHASH_NEARDUP_SQL_TMPL = """
@@ -3527,6 +3568,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "pipe_blocklist": _BLOCKLIST_SQL,
+        # cross-split near-dup leakage audit (LSH pairs + inline split CASE)
+        "pipe_split_leakage": _SPLIT_LEAK_SQL,
         # per-repo churn/lineage rollup straight off the log
         "cdc_churn_stats": f"""
 WITH {LOG}

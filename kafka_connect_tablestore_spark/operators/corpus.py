@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, words
@@ -1261,6 +1261,15 @@ def hash_split(
 
     Shape at scale: one constant-folded CASE expression fused into the
     scan — map-only, no shuffle, no Python, no sampling pass."""
+    return df.withColumn("split", split_assign(F.col(id_col), weights, seed))
+
+
+def split_assign(id_expr: Column, weights: dict[str, float], seed: str = "split") -> Column:
+    """The pure column expression behind :func:`hash_split`: the split
+    label as a function of an id expression alone.  Exposed separately so
+    downstream audits (:func:`split_leakage`) can recompute a row's split
+    from its id WITHOUT joining back to the assigned frame — the split is
+    a deterministic function, so no shuffle is ever needed to look it up."""
     if not weights:
         raise ValueError("weights must be non-empty")
     if any(w <= 0 for w in weights.values()):
@@ -1269,7 +1278,7 @@ def hash_split(
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"weights must sum to 1, got {total}")
     labels = sorted(weights)
-    h = hash64(F.col(id_col).cast("string"), seed) % 10000
+    h = hash64(id_expr.cast("string"), seed) % 10000
     expr = None
     cum = 0.0
     for name in labels[:-1]:
@@ -1277,12 +1286,55 @@ def hash_split(
         thresh = int(round(cum * 10000))
         cond = h < F.lit(thresh)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    split = (
+    return (
         expr.otherwise(F.lit(labels[-1]))
         if expr is not None
         else F.lit(labels[-1])
     )
-    return df.withColumn("split", split)
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_match: int = 6,
+    seed: str = "split",
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate document pairs that
+    straddle a :func:`hash_split` boundary — the classic "the test set
+    leaks into train via near-dups" check that a deterministic split does
+    NOT prevent (the hash assigns near-identical docs independently, so a
+    boilerplate pair lands train/test with probability 2·w_train·w_test).
+    Run it after splitting and either drop one side of each leaked pair or
+    move it; a held-out set with train-side near-dups overstates eval.
+
+    Emits ``(doc_a, doc_b, n_match, split_a, split_b)`` for every LSH
+    candidate pair with ``n_match >= min_match`` matching minhashes whose
+    two sides fall in DIFFERENT splits.
+
+    Shape at scale: the pair generation is :func:`~.dedup.minhash_lsh_pairs`
+    (banded bucket join, ``max_bucket``-cappable) and the split lookup is
+    :func:`split_assign` recomputed inline on each pair side — a pure
+    expression of the id, so the audit adds ZERO joins and ZERO shuffles
+    beyond the LSH join itself.  Never join back to the assigned frame for
+    this; two id-keyed joins against the full corpus would double the
+    query's shuffle volume for a value the id already encodes."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, bands, max_bucket=max_bucket
+    ).where(F.col("n_match") >= F.lit(min_match))
+    split_a = split_assign(F.col("doc_a"), weights, seed)
+    split_b = split_assign(F.col("doc_b"), weights, seed)
+    return (
+        pairs.withColumn("split_a", split_a)
+        .withColumn("split_b", split_b)
+        .where(F.col("split_a") != F.col("split_b"))
+    )
 
 
 def filter_blocked_domains(
