@@ -728,34 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_domain_stats,
         )
 
-        d = _docs(spark, sf)
-        did = F.col("doc_id")
-        aug = d.select(
-            "doc_id",
-            F.concat(
-                F.col("text"),
-                F.lit(" see https://sub"),
-                (did % 7).cast("string"),
-                F.lit(".site"),
-                (did % 13).cast("string"),
-                F.lit(".com/p/"),
-                did.cast("string"),
-                F.when(
-                    did % 4 == 0, F.lit(" and http://cdn.shared.net/x")
-                ).otherwise(F.lit("")),
-                F.when(
-                    did % 5 == 0,
-                    F.concat(
-                        F.lit(" or https://shop"),
-                        (did % 3).cast("string"),
-                        F.lit(".store"),
-                        (did % 11).cast("string"),
-                        F.lit(".co.uk/y"),
-                    ),
-                ).otherwise(F.lit("")),
-            ).alias("text"),
-        )
-        return url_domain_stats(aug)
+        return url_domain_stats(_docs_with_urls(spark, sf))
 
     def pipe_domain_cap(spark, sf):
         """Per-domain document caps over the same synthesized URLs as
@@ -1351,7 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Enumeration order is the contract with the driver's correctness gate,
     # which covers a fixed prefix of the registry (50 queries per round vs
-    # 97 entries).  Queries whose implementation changed most recently — or
+    # 105 entries).  Queries whose implementation changed most recently — or
     # that the gate has never reached — enumerate FIRST so every change gets
     # a driver verdict the round it lands; long-stable CDC queries absorb
     # any budget truncation at the tail.

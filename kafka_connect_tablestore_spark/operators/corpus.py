@@ -1281,11 +1281,29 @@ def split_assign(id_expr: Column, weights: dict[str, float], seed: str = "split"
     h = hash64(id_expr.cast("string"), seed) % 10000
     expr = None
     cum = 0.0
+    prev = 0
     for name in labels[:-1]:
         cum += weights[name]
         thresh = int(round(cum * 10000))
+        if thresh <= prev:
+            # the 1/10000 hash grid cannot represent this weight: the
+            # label's band rounds to zero width and it would silently
+            # receive NO rows — fail loudly instead (a pipeline relying
+            # on a tiny held-out split must widen it past 1e-4)
+            raise ValueError(
+                f"weight {weights[name]} for split {name!r} rounds to an "
+                "empty band on the 1/10000 hash grid; use weights >= 1e-4"
+            )
+        prev = thresh
         cond = h < F.lit(thresh)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if prev >= 10000:
+        # the LAST (sorted-order) label absorbs [prev, 10000); an earlier
+        # label's rounding must not swallow its whole band
+        raise ValueError(
+            f"weight {weights[labels[-1]]} for split {labels[-1]!r} rounds "
+            "to an empty band on the 1/10000 hash grid; use weights >= 1e-4"
+        )
     return (
         expr.otherwise(F.lit(labels[-1]))
         if expr is not None

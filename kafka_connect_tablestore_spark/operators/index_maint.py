@@ -79,6 +79,7 @@ def compact_index(
     path: str,
     partition_col: str,
     files_per_partition: int = 1,
+    collapse_batches: bool = False,
 ) -> dict:
     """Rewrite a persisted index to ``files_per_partition`` files per
     partition value, dropping exact-duplicate rows.  Returns a stats dict
@@ -95,6 +96,22 @@ def compact_index(
     per-partition file count is approximate (hash placement can merge
     shards).  The split is layout-only: readers list the same hive
     directories either way.
+
+    Stream-maintained IVF/IVF-PQ indexes (``start_ivf_index_stream`` /
+    ``start_ivfpq_index_stream``) are written ``partitionBy("batch_id",
+    <cell>)`` — the per-batch slice is the unit of the streams' replay
+    protocol (dynamic partition overwrite of a crash-replayed batch's own
+    slice).  Compaction detects the ``batch_id`` column and PRESERVES that
+    layout by default, so a resumed stream keeps appending without hive
+    directory conflicts and replay overwrite still targets intact slices.
+    To actually merge the one-directory-per-day growth, pass
+    ``collapse_batches=True``: all rows are rewritten under the HIGHEST
+    on-disk batch_id (one slice), which is safe only when every on-disk
+    batch has a committed manifest in ``<path>.batches/`` — re-delivery of
+    a committed batch is stopped by the manifest gate, never by the
+    overwrite — so that precondition is checked and a missing manifest
+    (a write that crashed before its commit marker) raises rather than
+    risking that batch re-appending next to its collapsed copy.
     """
     if files_per_partition < 1:
         raise ValueError(
@@ -118,30 +135,57 @@ def compact_index(
             f"partition column {partition_col!r} not in index schema "
             f"{df.columns} — see INDEX_PARTITION_COLS for the layout map"
         )
+    part_cols = [partition_col]
+    if "batch_id" in df.columns and "batch_id" != partition_col:
+        # stream-maintained layout: batch_id is the leading hive level
+        if collapse_batches:
+            manifest_dir = base + ".batches"
+            on_disk = sorted(
+                int(r["batch_id"])
+                for r in df.select("batch_id").distinct().collect()
+            )
+            uncommitted = [
+                b
+                for b in on_disk
+                if not os.path.exists(os.path.join(manifest_dir, f"{b}.json"))
+            ]
+            if uncommitted:
+                raise RuntimeError(
+                    f"collapse_batches: batches {uncommitted} have index "
+                    f"data but no commit manifest in {manifest_dir} — a "
+                    "crashed write may be re-delivered on stream resume "
+                    "and would duplicate its collapsed rows; resume the "
+                    "stream to completion (or remove the orphan slice) "
+                    "before collapsing"
+                )
+            df = df.withColumn("batch_id", F.lit(on_disk[-1]))
+        part_cols = ["batch_id", partition_col]
     files_before = len(_data_files(base))
     rows_before = df.count()
     deduped = df.dropDuplicates()
     if files_per_partition == 1:
-        shaped = deduped.repartition(F.col(partition_col))
+        shaped = deduped.repartition(*[F.col(c) for c in part_cols])
     else:
-        data_cols = [c for c in deduped.columns if c != partition_col]
+        data_cols = [c for c in deduped.columns if c not in part_cols]
         # oversize the shuffle well past the (partition, shard) combo count
         # so distinct combos rarely hash into the same task (a shared task
         # merges its combos' shards back into one file — harmless, but it
         # defeats the write spreading this knob exists for)
-        n_vals = deduped.select(partition_col).distinct().count()
+        n_vals = deduped.select(*part_cols).distinct().count()
         n_tasks = max(1, n_vals * files_per_partition * 8)
         shaped = (
             deduped.withColumn(
                 "_split",
                 F.pmod(F.hash(*data_cols), F.lit(files_per_partition)),
             )
-            .repartition(n_tasks, F.col(partition_col), F.col("_split"))
+            .repartition(
+                n_tasks, *[F.col(c) for c in part_cols], F.col("_split")
+            )
             .drop("_split")
         )
     (
         shaped.write.mode("overwrite")
-        .partitionBy(partition_col)
+        .partitionBy(*part_cols)
         .parquet(tmp)
     )
     rows_after = spark.read.parquet(tmp).count()

@@ -249,3 +249,99 @@ def test_compact_refuses_after_mid_swap_crash_and_recovery_restores(
     stats = compact_index(spark, idx, "bucket")
     assert stats["rows_after"] == stats["rows_before"]
     assert len(_data_files(idx)) == stats["files_after"]
+
+
+def _stream_shaped_ivf(spark, tmp_path, batches=3, commit_all=True):
+    """Write an IVF index in the STREAM layout (batch_id/cell hive dirs +
+    per-batch commit manifests), without running a streaming query — the
+    layout itself is what start_ivf_index_stream's own tests pin."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_tablestore_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    idx = str(tmp_path / "sivf")
+    vecs = _emb(spark, 0, 120).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    cents = [
+        [float(x) for x in r["cv"]]
+        for r in vecs.orderBy("neighbor_id").limit(4).collect()
+    ]
+    norm = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
+    os.makedirs(idx + ".batches", exist_ok=True)
+    for b in range(batches):
+        (
+            vecs.where(f"neighbor_id >= {b * 40} and neighbor_id < {b * 40 + 40}")
+            .withColumn("cn", norm)
+            .withColumn("cell", ivf_assign(F.col("cv"), cents))
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append")
+            .partitionBy("batch_id", "cell")
+            .parquet(idx)
+        )
+        if commit_all or b < batches - 1:
+            with open(os.path.join(idx + ".batches", f"{b}.json"), "w") as f:
+                json.dump({"batch_id": b, "n_vecs": 40}, f)
+    return idx
+
+
+def _rows(spark, path):
+    return {
+        (r["neighbor_id"], r["cell"], r["batch_id"], r["cn"], tuple(r["cv"]))
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_stream_layout_compaction_preserves_batch_dirs(spark, tmp_path):
+    idx = _stream_shaped_ivf(spark, tmp_path)
+    before = _rows(spark, idx)
+    stats = compact_index(spark, idx, INDEX_PARTITION_COLS["ivf"])
+    # layout preserved: per-batch slices still exist on disk, rows equal
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert _rows(spark, idx) == before
+    assert stats["rows_after"] == stats["rows_before"]
+    # a resumed stream's next batch appends without a hive layout conflict
+    from pyspark.sql import functions as F
+
+    one = (
+        spark.createDataFrame(
+            [(999, [1.0, 0.0], 1.0, 0, 3)],
+            "neighbor_id long, cv array<double>, cn double, cell int, batch_id int",
+        )
+    )
+    one.write.mode("append").partitionBy("batch_id", "cell").parquet(idx)
+    assert spark.read.parquet(idx).count() == len(before) + 1
+
+
+def test_stream_layout_collapse_batches_merges_slices(spark, tmp_path):
+    idx = _stream_shaped_ivf(spark, tmp_path)
+    before = {(a, b, d, e) for a, b, _c, d, e in _rows(spark, idx)}
+    compact_index(
+        spark, idx, INDEX_PARTITION_COLS["ivf"], collapse_batches=True
+    )
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=2"]  # everything under the highest batch
+    after = _rows(spark, idx)
+    assert {(a, b, d, e) for a, b, _c, d, e in after} == before
+    assert {c for _a, _b, c, _d, _e in after} == {2}
+
+
+def test_collapse_batches_refuses_uncommitted_tail(spark, tmp_path):
+    import pytest
+
+    idx = _stream_shaped_ivf(spark, tmp_path, commit_all=False)
+    with pytest.raises(RuntimeError, match="no commit manifest"):
+        compact_index(
+            spark, idx, INDEX_PARTITION_COLS["ivf"], collapse_batches=True
+        )
+    # default (layout-preserving) compaction is still allowed
+    before = _rows(spark, idx)
+    compact_index(spark, idx, INDEX_PARTITION_COLS["ivf"])
+    assert _rows(spark, idx) == before

@@ -78,3 +78,32 @@ def test_split_leakage_validates_weights(spark):
     d = _docs(spark, [(1, "a b c d e")])
     with pytest.raises(ValueError):
         split_leakage(d, {"a": 0.7, "b": 0.7}).count()
+
+
+def test_hash_split_rejects_sub_grid_weight(spark):
+    d = spark.range(10).select(F.col("id").alias("doc_id"))
+    # 0.00002 rounds to a zero-width band on the 1/10000 hash grid: the
+    # split would silently receive no rows — must raise instead
+    with pytest.raises(ValueError, match="empty band"):
+        hash_split(d, {"train": 0.99996, "val": 0.00002, "test": 0.00002})
+    # a representable tiny split still works
+    out = hash_split(d, {"train": 0.9998, "val": 0.0001, "test": 0.0001})
+    assert out.count() == 10
+
+
+def test_bootstrap_handoff_computes_bounds_once(spark):
+    """The corpus-time bound must be materialized once and shared: the
+    executed plan of the handoff result contains NO min/max bounds
+    aggregate (it ran eagerly at construction), where the naive form
+    plans one per branch (measured: three)."""
+    from kafka_connect_tablestore_spark import DeleteMode, SinkConfig
+    from kafka_connect_tablestore_spark.operators.changefeed import (
+        bootstrap_handoff,
+    )
+    from kafka_connect_tablestore_spark.sources.synth import synth_changelog
+
+    log = synth_changelog(spark, 2000, seed=7, n_repos=10)
+    out = bootstrap_handoff(log, SinkConfig(delete_mode=DeleteMode.ROW))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "min(commit_ts" not in plan and "_ts_min" not in plan
+    assert out.count() > 0
