@@ -651,6 +651,11 @@ def incremental_chunk_dedup(
         .withColumn("_indexed", F.lit(True))
     )
     first = Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
+    # lazy-checkpoint the shared probe result: per_doc and kept_rows are
+    # both views of it, and a caller acting on each (write per_doc, then
+    # append kept) would otherwise re-run the pruned index scan + joins +
+    # window a second time — the checkpoint materializes once at the first
+    # action and the second view reuses it (the new_rows pattern above)
     marked = (
         new_rows.withColumn("_rn", F.row_number().over(first))
         .join(F.broadcast(hits), "chunk_md5", "left")
@@ -658,6 +663,7 @@ def incremental_chunk_dedup(
             "kept",
             (F.col("_rn") == 1) & F.col("_indexed").isNull(),
         )
+        .localCheckpoint(eager=False)
     )
     all_ids = new_docs.select(F.col(id_col))
     per_doc = (

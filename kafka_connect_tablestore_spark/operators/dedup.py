@@ -831,12 +831,18 @@ def incremental_dedup_exact(
         .withColumn("_indexed", F.lit(True))
     )
     first = Window.partitionBy("fp").orderBy(id_col)
+    # lazy-checkpoint the shared probe result: verdicts and kept_rows are
+    # both views of it, and a caller acting on each (write verdicts, then
+    # append kept) would otherwise re-run the pruned index scan + joins +
+    # window a second time — the checkpoint materializes once at the first
+    # action and the second view reuses it (the new_rows pattern above)
     marked = (
         new_rows.withColumn("_rn", F.row_number().over(first))
         .join(F.broadcast(hits), "fp", "left")
         .withColumn(
             "kept", (F.col("_rn") == 1) & F.col("_indexed").isNull()
         )
+        .localCheckpoint(eager=False)
     )
     verdicts = marked.select(F.col(id_col), "fp", "kept")
     kept_rows = marked.where(F.col("kept")).select("fp", F.col(id_col), "bucket")

@@ -21,6 +21,42 @@ from pyspark.sql.streaming import StreamingQuery
 from kafka_connect_tablestore_spark.engine import CdcEngine
 
 
+def _ensure_index_params(index_path: str, params: dict) -> None:
+    """Freeze an index's structural parameters in a ``<index>.params.json``
+    sidecar on first use and reject any later mismatch.
+
+    The LSH/chunk/fingerprint/semantic index streams have no trained
+    artifact (unlike IVF's centroids file or IVF-PQ's meta, whose loads
+    double as parameter validation), so without this a restart under
+    different parameters SILENTLY corrupts the index and its verdicts: an
+    LSH probe with ``bands=8`` against a 4-band index finds almost
+    nothing and then appends 8-band rows into it; a chunk/fingerprint
+    probe under a different ``n_buckets`` modulus bucket-prunes true hits
+    away; a semantic stream under a different ``threshold`` emits
+    verdicts that equal no single-threshold run.  Sidecar writes are
+    tmp + rename (the manifest pattern); a params change requires a
+    fresh index path (or deliberately deleting the sidecar alongside a
+    rebuild)."""
+    import json
+    import os
+
+    pfile = index_path.rstrip("/") + ".params.json"
+    if os.path.exists(pfile):
+        with open(pfile) as f:
+            saved = json.load(f)
+        if saved != params:
+            raise ValueError(
+                f"index {index_path} was built with parameters {saved}, "
+                f"but this stream was started with {params}; restart with "
+                "the index's parameters or point at a fresh index path"
+            )
+        return
+    tmp = pfile + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, pfile)
+
+
 def start_cdc_stream(
     events_stream: DataFrame,
     engine: CdcEngine,
@@ -35,10 +71,19 @@ def start_cdc_stream(
     ``foreachBatch`` batch_ids are stable across restarts for the same
     checkpoint, so a batch replayed after a crash hits the LakeTable's
     committed-manifest skip (exactly-once upgrade of S19).
+
+    The lake batch id is namespaced by ``query_name``
+    (``<query_name>-<batch_id>``): two streams feeding one engine — or an
+    entry-point migration that restarts foreachBatch ids at 0 under a
+    fresh checkpoint — must not collide in the table's committed-batch
+    ledger, where a collision reads as "already committed" and silently
+    drops the new batch.  Keep ``query_name`` stable across restarts of
+    the SAME stream (it is the idempotency namespace), and distinct
+    across different streams.
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        engine.apply_batch(batch_df, f"stream-{batch_id}")
+        engine.apply_batch(batch_df, f"{query_name}-{batch_id}")
 
     writer = (
         events_stream.writeStream.foreachBatch(_apply)
@@ -164,6 +209,9 @@ def start_lsh_index_stream(
             _commit(batch_id, 0, 0)
             return
         spark = docs.sparkSession
+        _ensure_index_params(
+            index_path, {"n_hashes": n_hashes, "bands": bands}
+        )
         if os.path.exists(index_path):
             pairs = incremental_lsh_pairs(
                 spark, index_path, docs, text_col, id_col, n_hashes, bands
@@ -261,6 +309,9 @@ def start_chunk_index_stream(
             _commit(batch_id, 0)
             return
         spark = docs.sparkSession
+        _ensure_index_params(
+            index_path, {"chunk_words": chunk_words, "n_buckets": n_buckets}
+        )
         slice_dir = os.path.join(dedup_path, f"batch_id={batch_id}")
         if os.path.exists(index_path):
             per_doc, kept = incremental_chunk_dedup(
@@ -270,6 +321,11 @@ def start_chunk_index_stream(
             per_doc.write.mode("overwrite").parquet(slice_dir)
             append_to_chunk_index(kept, index_path)
         else:
+            # batch 0 chunks the docs twice (the verdict aggregate and the
+            # index build each walk _chunk_rows) — the same bootstrap-only
+            # double cost the semantic stream documents for its first
+            # batch; every later batch shares one probe pass via
+            # incremental_chunk_dedup's checkpointed `marked` frame
             chunk_dedup(docs, text_col, id_col, chunk_words).write.mode(
                 "overwrite"
             ).parquet(slice_dir)
@@ -360,6 +416,7 @@ def start_fingerprint_index_stream(
             _commit(batch_id, 0, 0)
             return
         spark = docs.sparkSession
+        _ensure_index_params(index_path, {"n_buckets": n_buckets})
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
         if os.path.exists(index_path):
             verdicts, kept = incremental_dedup_exact(
@@ -488,6 +545,9 @@ def start_semantic_index_stream(
             _commit(batch_id, 0, 0)
             return
         spark = vecs.sparkSession
+        _ensure_index_params(
+            index_path, {"threshold": threshold, "n_cells": n_cells}
+        )
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
         if os.path.exists(centroids_file):
             with open(centroids_file) as f:
@@ -607,11 +667,19 @@ def start_view_maintenance_stream(
         if _committed(batch_id):
             return
         spark = batch_df.sparkSession
-        manifest = engine.apply_batch(batch_df, f"stream-{batch_id}")
+        manifest = engine.apply_batch(batch_df, f"{query_name}-{batch_id}")
         v_after = manifest.get("committed_at_version")
-        if v_after is None:  # nothing committed (e.g. all-errant batch)
-            _commit(batch_id, None, 0)
-            return
+        if v_after is None:
+            # merge_batch always assigns a version (even an all-errant
+            # batch commits an empty clean frame), so a missing version
+            # means `engine` is not a single-table CdcEngine (e.g. a
+            # MultiTableEngine's dict-of-manifests) — committing a no-op
+            # here would silently disable view maintenance forever
+            raise TypeError(
+                "view maintenance requires a single-table engine whose "
+                "apply_batch manifest carries committed_at_version; got "
+                f"manifest keys {sorted(manifest)}"
+            )
         v_before = v_after - 1
         prev_dir = _view_dir(v_before)
         changes = engine.table.changefeed(
@@ -711,6 +779,28 @@ def _make_bloom_apply(
             )
         os.replace(tmp, final)
 
+    staged_dir = verdicts_path.rstrip("/") + ".staged"
+
+    def _staged(batch_id: int) -> bool:
+        # own sidecar marker, written by _stage below: the slice's Spark
+        # _SUCCESS file is honored too (older layouts), but is NOT relied
+        # on — clusters running with
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=false never
+        # write it, which would silently disarm the replay guard and let
+        # a crash-replay re-probe the batch against its own bits
+        slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
+        return os.path.exists(
+            os.path.join(staged_dir, f"{batch_id}.marker")
+        ) or os.path.exists(os.path.join(slice_dir, "_SUCCESS"))
+
+    def _stage(batch_id: int) -> None:
+        os.makedirs(staged_dir, exist_ok=True)
+        final = os.path.join(staged_dir, f"{batch_id}.marker")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, final)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
             return
@@ -722,7 +812,7 @@ def _make_bloom_apply(
         spark = docs.sparkSession
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
         meta_exists = os.path.exists(index_path.rstrip("/") + ".meta")
-        if meta_exists and os.path.exists(os.path.join(slice_dir, "_SUCCESS")):
+        if meta_exists and _staged(batch_id):
             # crash-replay after the slice committed: the index may already
             # hold this batch's bits, so re-probing would flag the whole
             # batch against itself.  Reuse the durable verdicts, re-derive
@@ -739,6 +829,7 @@ def _make_bloom_apply(
             )
             verdicts = verdicts.localCheckpoint(eager=True)
             verdicts.write.mode("overwrite").parquet(slice_dir)
+            _stage(batch_id)
             append_to_bloom_index(new_bits, index_path)
             n_flagged = verdicts.where("maybe_in_prior").count()
         else:
@@ -748,6 +839,7 @@ def _make_bloom_apply(
                 F.lit(False).alias("maybe_in_prior"),
             ).localCheckpoint(eager=True)
             verdicts.write.mode("overwrite").parquet(slice_dir)
+            _stage(batch_id)
             build_bloom_index(docs, index_path, m_bits, k, text_col)
             n_flagged = 0
         _commit(batch_id, n_docs, n_flagged)
@@ -782,8 +874,12 @@ def start_bloom_index_stream(
     would flag ``maybe_in_prior`` against itself — and bits carry no ids
     to exclude, unlike the fingerprint/chunk/semantic probes).  The
     verdict slice is therefore the staged commit point: the index is only
-    appended AFTER the slice is durable (its ``_SUCCESS`` marker), and a
-    replay that finds the marker skips the probe entirely — it re-derives
+    appended AFTER the slice is durable, recorded by an explicit sidecar
+    marker (``<verdicts>.staged/<batch>.marker``, tmp + rename — NOT the
+    slice's Spark ``_SUCCESS`` file, which clusters running
+    ``marksuccessfuljobs=false`` never write; ``_SUCCESS`` is still
+    honored for indexes staged by older builds).  A replay that finds the
+    marker skips the probe entirely — it re-derives
     the batch's bits map-only (never reading the index) and re-ORs them.
     Every crash window is safe: before the marker the index is untouched
     (clean recompute); after it the probe never runs again.  Unlike the
@@ -901,6 +997,16 @@ def start_ivf_index_stream(
             with open(tmp, "w") as f:
                 json.dump(centroids, f)
             os.replace(tmp, centroids_file)
+        d0 = len(vecs.select(vec_col).first()[0])
+        if d0 != len(centroids[0]):
+            # len-mismatched dot products zip_with-truncate silently,
+            # assigning rows to essentially arbitrary cells the probe
+            # will never find — recall collapses with no error
+            raise ValueError(
+                f"ivf stream vectors are {d0}-dim but the index centroids "
+                f"are {len(centroids[0])}-dim — the embedding model "
+                "changed; rebuild the index at a fresh path"
+            )
         vd = F.col(vec_col).cast("array<double>")
         (
             vecs.select(
@@ -1027,6 +1133,18 @@ def start_ivfpq_index_stream(
                 for r in vecs.orderBy(id_col).limit(n_cells).collect()
             ]
             codebooks = None  # batch 0 trains them inside the encode plan
+        d0 = len(vecs.select(vec_col).first()[0])
+        if d0 != dim or dim % m != 0:
+            # fail fast with the real cause: a wrong `dim` on batch 0
+            # would train silently-truncated codebooks and freeze them
+            # into the meta (every restart then fails unactionably), and
+            # an embedding-model change passes the meta check (params
+            # still match each other) while slice/zip_with truncate
+            raise ValueError(
+                f"ivfpq stream dim={dim} (m={m}) does not match the "
+                f"actual vector length {d0} in this batch: dim must equal "
+                "the embedding dimension and be divisible by m"
+            )
         corpus, codebooks = _ivfpq_corpus_plan(
             vecs, centroids, m, n_codes, dim, id_col, vec_col,
             "first", encode, codebooks=codebooks,
