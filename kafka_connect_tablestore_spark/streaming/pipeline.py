@@ -15,10 +15,56 @@ the sandbox), which exercises identical semantics.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_connect_tablestore_spark.engine import CdcEngine
+
+
+def _manifest_io(manifest_dir: str):
+    """The sidecar batch-manifest protocol, defined ONCE for every stream:
+    ``committed(batch_id)`` tests for ``<dir>/<batch_id>.json``;
+    ``commit(batch_id, **fields)`` writes it atomically (tmp + rename,
+    the LakeTable pattern) with ``batch_id`` plus the stream's own
+    payload fields.  A protocol change (fsync policy, marker layout)
+    lands here once instead of once per stream."""
+
+    def committed(batch_id: int) -> bool:
+        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
+
+    def commit(batch_id: int, **fields) -> None:
+        os.makedirs(manifest_dir, exist_ok=True)
+        final = os.path.join(manifest_dir, f"{batch_id}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, **fields}, f)
+        os.replace(tmp, final)
+
+    return committed, commit
+
+
+def _start_query(
+    stream_df: DataFrame,
+    apply,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool,
+    processing_time: str | None,
+) -> StreamingQuery:
+    """The shared writeStream tail: foreachBatch + checkpoint + trigger."""
+    writer = (
+        stream_df.writeStream.foreachBatch(apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def _ensure_index_params(index_path: str, params: dict) -> None:
@@ -85,16 +131,9 @@ def start_cdc_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         engine.apply_batch(batch_df, f"{query_name}-{batch_id}")
 
-    writer = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        events_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def kafka_source_plan(spark, bootstrap: str, topic: str) -> DataFrame:
@@ -188,17 +227,7 @@ def start_lsh_index_stream(
 
     manifest_dir = index_path.rstrip("/") + ".batches"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_docs: int, n_pairs: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "n_docs": n_docs,
-                       "n_pairs": n_pairs}, f)
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
@@ -206,7 +235,7 @@ def start_lsh_index_stream(
         docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         n_docs = docs.count()
         if n_docs == 0:
-            _commit(batch_id, 0, 0)
+            _commit(batch_id, n_docs=0, n_pairs=0)
             return
         spark = docs.sparkSession
         _ensure_index_params(
@@ -229,18 +258,11 @@ def start_lsh_index_stream(
         else:
             build_lsh_index(docs, index_path, text_col, id_col,
                             n_hashes, bands)
-        _commit(batch_id, n_docs, n_pairs)
+        _commit(batch_id, n_docs=n_docs, n_pairs=n_pairs)
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        docs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_chunk_index_stream(
@@ -289,16 +311,7 @@ def start_chunk_index_stream(
 
     manifest_dir = index_path.rstrip("/") + ".batches"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_docs: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "n_docs": n_docs}, f)
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
@@ -306,7 +319,7 @@ def start_chunk_index_stream(
         docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         n_docs = docs.count()
         if n_docs == 0:
-            _commit(batch_id, 0)
+            _commit(batch_id, n_docs=0)
             return
         spark = docs.sparkSession
         _ensure_index_params(
@@ -331,18 +344,11 @@ def start_chunk_index_stream(
             ).parquet(slice_dir)
             build_chunk_index(docs, index_path, text_col, id_col,
                               chunk_words, n_buckets)
-        _commit(batch_id, n_docs)
+        _commit(batch_id, n_docs=n_docs)
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        docs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_fingerprint_index_stream(
@@ -394,18 +400,7 @@ def start_fingerprint_index_stream(
 
     manifest_dir = index_path.rstrip("/") + ".batches"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_docs: int, n_kept: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"batch_id": batch_id, "n_docs": n_docs, "n_kept": n_kept}, f
-            )
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
@@ -413,7 +408,7 @@ def start_fingerprint_index_stream(
         docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         n_docs = docs.count()
         if n_docs == 0:
-            _commit(batch_id, 0, 0)
+            _commit(batch_id, n_docs=0, n_kept=0)
             return
         spark = docs.sparkSession
         _ensure_index_params(index_path, {"n_buckets": n_buckets})
@@ -440,18 +435,11 @@ def start_fingerprint_index_stream(
             verdicts.write.mode("overwrite").parquet(slice_dir)
             build_fingerprint_index(docs, index_path, text_col, id_col, n_buckets)
             n_kept = verdicts.where("kept").count()
-        _commit(batch_id, n_docs, n_kept)
+        _commit(batch_id, n_docs=n_docs, n_kept=n_kept)
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        docs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_semantic_index_stream(
@@ -518,17 +506,7 @@ def start_semantic_index_stream(
     manifest_dir = index_path.rstrip("/") + ".batches"
     centroids_file = index_path.rstrip("/") + ".centroids.json"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_vecs: int, n_survivors: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "n_vecs": n_vecs,
-                       "n_survivors": n_survivors}, f)
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _save_centroids(centroids) -> None:
         tmp = centroids_file + ".tmp"
@@ -542,7 +520,7 @@ def start_semantic_index_stream(
         vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         n_vecs = vecs.count()
         if n_vecs == 0:
-            _commit(batch_id, 0, 0)
+            _commit(batch_id, n_vecs=0, n_survivors=0)
             return
         spark = vecs.sparkSession
         _ensure_index_params(
@@ -578,18 +556,11 @@ def start_semantic_index_stream(
             )
             _save_centroids(centroids)
             n_surv = spark.read.parquet(slice_dir).where("is_survivor").count()
-        _commit(batch_id, n_vecs, n_surv)
+        _commit(batch_id, n_vecs=n_vecs, n_survivors=n_surv)
 
-    writer = (
-        vecs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        vecs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_view_maintenance_stream(
@@ -642,18 +613,7 @@ def start_view_maintenance_stream(
     def _view_dir(version: int) -> str:
         return os.path.join(view_path, f"v{version:06d}")
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, version: int | None, n_groups: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"batch_id": batch_id, "version": version, "n_groups": n_groups}, f
-            )
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _aggregate(state: DataFrame) -> DataFrame:
         return state.groupBy(*group_cols).agg(
@@ -721,18 +681,11 @@ def start_view_maintenance_stream(
         out_dir = _view_dir(v_after)
         view.write.mode("overwrite").parquet(out_dir)
         n_groups = spark.read.parquet(out_dir).count()
-        _commit(batch_id, v_after, n_groups)
+        _commit(batch_id, version=v_after, n_groups=n_groups)
 
-    writer = (
-        events_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        events_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def _make_bloom_apply(
@@ -765,19 +718,7 @@ def _make_bloom_apply(
 
     manifest_dir = index_path.rstrip("/") + ".batches"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_docs: int, n_flagged: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"batch_id": batch_id, "n_docs": n_docs, "n_flagged": n_flagged},
-                f,
-            )
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     staged_dir = verdicts_path.rstrip("/") + ".staged"
 
@@ -807,7 +748,7 @@ def _make_bloom_apply(
         docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         n_docs = docs.count()
         if n_docs == 0:
-            _commit(batch_id, 0, 0)
+            _commit(batch_id, n_docs=0, n_flagged=0)
             return
         spark = docs.sparkSession
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
@@ -842,7 +783,7 @@ def _make_bloom_apply(
             _stage(batch_id)
             build_bloom_index(docs, index_path, m_bits, k, text_col)
             n_flagged = 0
-        _commit(batch_id, n_docs, n_flagged)
+        _commit(batch_id, n_docs=n_docs, n_flagged=n_flagged)
 
     return _apply
 
@@ -889,16 +830,9 @@ def start_bloom_index_stream(
         index_path, verdicts_path, m_bits, k, text_col, id_col
     )
 
-    writer = (
-        docs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        docs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_ivf_index_stream(
@@ -951,16 +885,7 @@ def start_ivf_index_stream(
     manifest_dir = index_path.rstrip("/") + ".batches"
     centroids_file = index_path.rstrip("/") + ".centroids.json"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_vecs: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "n_vecs": n_vecs}, f)
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
@@ -968,7 +893,7 @@ def start_ivf_index_stream(
         vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         n_vecs = vecs.count()
         if n_vecs == 0:
-            _commit(batch_id, 0)
+            _commit(batch_id, n_vecs=0)
             return
         if os.path.exists(centroids_file):
             with open(centroids_file) as f:
@@ -1022,18 +947,11 @@ def start_ivf_index_stream(
             .partitionBy("batch_id", "cell")
             .parquet(index_path)
         )
-        _commit(batch_id, n_vecs)
+        _commit(batch_id, n_vecs=n_vecs)
 
-    writer = (
-        vecs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        vecs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def start_ivfpq_index_stream(
@@ -1080,16 +998,7 @@ def start_ivfpq_index_stream(
     manifest_dir = index_path.rstrip("/") + ".batches"
     meta_file = index_path.rstrip("/") + ".meta.json"
 
-    def _committed(batch_id: int) -> bool:
-        return os.path.exists(os.path.join(manifest_dir, f"{batch_id}.json"))
-
-    def _commit(batch_id: int, n_vecs: int) -> None:
-        os.makedirs(manifest_dir, exist_ok=True)
-        final = os.path.join(manifest_dir, f"{batch_id}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "n_vecs": n_vecs}, f)
-        os.replace(tmp, final)
+    _committed, _commit = _manifest_io(manifest_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if _committed(batch_id):
@@ -1097,7 +1006,7 @@ def start_ivfpq_index_stream(
         vecs = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         n_vecs = vecs.count()
         if n_vecs == 0:
-            _commit(batch_id, 0)
+            _commit(batch_id, n_vecs=0)
             return
         if os.path.exists(meta_file):
             with open(meta_file) as f:
@@ -1165,15 +1074,8 @@ def start_ivfpq_index_stream(
             .partitionBy("batch_id", "cell")
             .parquet(index_path)
         )
-        _commit(batch_id, n_vecs)
+        _commit(batch_id, n_vecs=n_vecs)
 
-    writer = (
-        vecs_stream.writeStream.foreachBatch(_apply)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
+    return _start_query(
+        vecs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
