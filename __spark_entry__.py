@@ -1661,7 +1661,7 @@ _SEQ_PACK_SQL = f"""
 WITH base AS (
   SELECT doc_id,
     CAST({H("CAST(doc_id AS VARCHAR)", "pack")} % 8 AS INT) AS pack_group,
-    CAST(len({W}) AS BIGINT) AS n_tokens
+    CAST(coalesce(len({W}), 0) AS BIGINT) AS n_tokens
   FROM documents
 ), cum AS (
   SELECT doc_id, pack_group, n_tokens,
@@ -1708,7 +1708,7 @@ WITH base AS (
   SELECT doc_id, {W} AS w FROM documents
 ), ch AS (
   SELECT doc_id,
-    CASE WHEN len(w) > 0 THEN
+    CASE WHEN len(w) > 0 AND w[1] <> '' THEN
       list_transform(generate_series(1, CAST(ceil(len(w) / 4.0) AS INT)),
         i -> array_to_string(list_slice(w, (i-1)*4 + 1, least(i*4, len(w))), ' '))
     ELSE [] END AS chunks
@@ -1744,7 +1744,7 @@ WITH base AS (
   SELECT doc_id, {W} AS w FROM documents
 ), ch AS (
   SELECT doc_id,
-    CASE WHEN len(w) > 0 THEN
+    CASE WHEN len(w) > 0 AND w[1] <> '' THEN
       list_transform(generate_series(1, CAST(ceil(len(w) / 4.0) AS INT)),
         i -> array_to_string(list_slice(w, (i-1)*4 + 1, least(i*4, len(w))), ' '))
     ELSE [] END AS chunks
@@ -1930,11 +1930,13 @@ WITH aug AS (
       AS host
   FROM aug
 ), parts AS (
-  SELECT doc_id, lower(host) AS host, string_split(lower(host), '.') AS p FROM ex
+  SELECT doc_id, regexp_replace(lower(host), '\.+$', '') AS host,
+    string_split(regexp_replace(lower(host), '\.+$', ''), '.') AS p FROM ex
   WHERE host IS NOT NULL
 ), dom AS (
   SELECT DISTINCT doc_id,
-    CASE WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ("""
+    CASE WHEN regexp_matches(host, '^\d+(\.\d+)*$') THEN host
+         WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ("""
     + _PSL_IN
     + r""")
          THEN p[-3] || '.' || p[-2] || '.' || p[-1]
@@ -2050,7 +2052,7 @@ WITH synth AS (
   SELECT *,
     array_to_string(list_sort(list_filter(string_split(q, '&'),
       x -> x <> '' AND NOT regexp_matches(x,
-        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)='))),
+        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)='))),
       '&') AS qjoin
   FROM p
 ), c AS (
@@ -2141,13 +2143,17 @@ WITH aug AS (
 ), dom AS (
   SELECT doc_id, h,
     CASE WHEN host = '' THEN NULL
+         WHEN regexp_matches(host, '^\d+(\.\d+)*$') THEN host
          WHEN len(p) >= 3 AND (p[-2] || '.' || p[-1]) IN ("""
     + _PSL_IN
     + r""")
          THEN p[-3] || '.' || p[-2] || '.' || p[-1]
          WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1]
          ELSE host END AS domain
-  FROM (SELECT doc_id, h, lower(host) AS host, string_split(lower(host), '.') AS p FROM base)
+  FROM (SELECT doc_id, h,
+          regexp_replace(lower(host), '\.+$', '') AS host,
+          string_split(regexp_replace(lower(host), '\.+$', ''), '.') AS p
+        FROM base)
 )
 SELECT doc_id, domain,
   CASE WHEN domain IS NULL THEN TRUE
@@ -3721,7 +3727,7 @@ WITH d AS (
     CAST(len({W}) AS BIGINT) AS tokens,
     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
       / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha,
-    {FP} AS fp
+    md5(regexp_replace(trim(lower(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
   FROM documents
 ), o AS (SELECT fp, min(doc_id) AS owner FROM d GROUP BY fp)
 SELECT source,

@@ -108,7 +108,13 @@ def pack_sequences(
         F.pmod(hash64(idc.cast("string"), "pack"), F.lit(n_groups))
         .cast("int")
         .alias("pack_group"),
-        F.size(words(text_col)).cast("long").alias("n_tokens"),
+        # null text must pack as a zero-token doc, not propagate null
+        # through the cumsum: a null n_tokens nulls bin_id/start_offset
+        # and the doc silently vanishes from the packed layout while its
+        # neighbors' offsets show no gap
+        F.coalesce(F.size(words(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("pack_group")
@@ -252,7 +258,6 @@ def temperature_rates(
     group_col: str = "lang",
     alpha: float = 0.5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Temperature-based mixture rates (the multilingual-LM sampler of
     mBERT / XLM-R, arXiv:1901.07291 §3.1): with group token shares
@@ -317,7 +322,7 @@ def temperature_sample(
     temperature rule instead of the caller.  One broadcast join of the
     group-cardinality rate table, then a map-only filter; zero corpus
     shuffles."""
-    rates = temperature_rates(df, group_col, alpha, text_col, id_col)
+    rates = temperature_rates(df, group_col, alpha, text_col)
     # the gate uses the UN-rounded rate: recompute from the exact integer
     # token totals carried on the rate row (round-6 display column stays
     # display-only, same policy as the jaccard/containment verifies)
@@ -338,6 +343,24 @@ def temperature_sample(
         df.join(F.broadcast(plan), group_col)
         .where(h < F.col("_gate"))
         .select(id_col, group_col)
+    )
+
+
+
+def _reassembled_text(keep_cond) -> Column:
+    """Concatenation of a doc's chunks whose ``keep_cond`` holds, in
+    position order — the ONE reassembly convention (separator, sort key)
+    shared by :func:`chunk_dedup`, :func:`strip_boilerplate`, and
+    :func:`incremental_chunk_dedup`.  Their outputs' equality is a tested
+    invariant (batch vs incremental), so the convention must not fork."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(keep_cond, F.struct("pos", "chunk")))
+            ),
+            lambda s: s["chunk"],
+        ),
     )
 
 
@@ -368,21 +391,7 @@ def chunk_dedup(
     agg = marked.groupBy(id_col).agg(
         F.count("chunk").cast("long").alias("n_chunks"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("kept"), F.struct("pos", "chunk")
-                            )
-                        )
-                    ),
-                    lambda s: s["chunk"],
-                ),
-            )
-        ).alias("clean_md5"),
+        F.md5(_reassembled_text(F.col("kept"))).alias("clean_md5"),
     )
     # docs whose text produced no chunks (null text) re-enter with zeros
     return df.select(F.col(id_col)).join(agg, id_col, "left").select(
@@ -437,20 +446,7 @@ def strip_boilerplate(
         .select("chunk_md5", F.lit(True).alias("_boiler"))
     )
     marked = rows.join(boiler, "chunk_md5", "left")
-    clean_text = F.concat_ws(
-        " ",
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("_boiler").isNull(),
-                        F.struct("pos", "chunk"),
-                    )
-                )
-            ),
-            lambda s: s["chunk"],
-        ),
-    )
+    clean_text = _reassembled_text(F.col("_boiler").isNull())
     aggs = [
         F.count("chunk").cast("long").alias("n_chunks"),
         F.sum(F.when(F.col("_boiler"), 1).otherwise(0))
@@ -537,8 +533,12 @@ def _chunk_rows(
     w = words(text_col)
     base = df.select(idc, w.alias("_w")).select(
         idc,
+        # words('') is [''] (split of the empty string), so size>0 alone
+        # would emit one phantom empty chunk per blank doc — which would
+        # then mark every blank doc a duplicate of the first, poison the
+        # boilerplate table with md5(''), and persist into the chunk index
         F.when(
-            F.size("_w") > 0,
+            (F.size("_w") > 0) & (F.element_at("_w", 1) != F.lit("")),
             F.transform(
                 F.sequence(
                     F.lit(1),
@@ -581,6 +581,13 @@ def build_chunk_index(
     """Materialize the corpus's first-occurrence chunk fingerprints as a
     parquet index ``partitionBy(bucket)`` — one row per DISTINCT chunk,
     carrying the (id, pos) that owns it."""
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(
+        path,
+        {"chunk_words": chunk_words, "n_buckets": n_buckets},
+        overwrite=True,
+    )
     rows = _chunk_rows(df, text_col, id_col, chunk_words, n_buckets)
     first = Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
     (
@@ -673,19 +680,7 @@ def incremental_chunk_dedup(
             F.sum(F.when(F.col("kept"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(F.col("kept"), F.struct("pos", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                )
-            ).alias("clean_md5"),
+            F.md5(_reassembled_text(F.col("kept"))).alias("clean_md5"),
         )
         .join(all_ids, id_col, "right")
         .select(
@@ -766,14 +761,25 @@ def registrable_domain(host_col):
     The host is lowercased first: DNS names are case-insensitive and the
     URL regex admits ``A-Z``, so without this an ``EXAMPLE.CO.UK`` host
     would miss the lowercase PSL table and register as ``CO.UK`` —
-    merging every uppercase ccTLD host into one bogus domain."""
+    merging every uppercase ccTLD host into one bogus domain.
+
+    Two host shapes are normalized before the label split (both admitted
+    by the URL regex and abused in the wild to evade naive filters):
+    trailing-dot FQDNs (``evil.example.com.`` is the same DNS name as
+    ``evil.example.com`` — without stripping, the empty final label makes
+    ``last2 = 'com.'`` and a blocklisted domain sails through), and
+    all-numeric IPv4-style hosts, which have no registrable-domain
+    structure at all and register WHOLE (splitting them at the last two
+    octets would merge unrelated IP-hosted sites into one pseudo-domain
+    and make IP blocklist entries unmatchable)."""
     host = host_col if not isinstance(host_col, str) else F.col(host_col)
-    host = F.lower(host)
+    host = F.regexp_replace(F.lower(host), r"\.+$", "")
     parts = F.split(host, r"\.")
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     suffixes = F.lit(list(PUBLIC_SUFFIXES_2LABEL))
     return (
-        F.when(
+        F.when(host.rlike(r"^\d+(\.\d+)*$"), host)
+        .when(
             (F.size(parts) >= 3) & F.array_contains(suffixes, last2),
             F.concat_ws(".", F.element_at(parts, -3), last2),
         )
@@ -891,8 +897,13 @@ def url_domain_stats(
 #: (the utm_* family is Google Analytics' public convention; the click ids
 #: are the public ad-platform parameters).  One alternation regex so both
 #: engines filter with a single anchored match per parameter.
+#: bare ``ref`` is deliberately NOT stripped: unlike the pure trackers
+#: here, it selects content on real sites (a GitLab/GitHub ``?ref=<branch>``
+#: raw-file view serves different bytes per value), and canonical_url's
+#: contract is "never change page content" — a stray referral ``ref`` costs
+#: one duplicate doc that dedup catches anyway, the cheaper failure mode.
 TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)="
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)="
 )
 
 
@@ -1099,7 +1110,11 @@ def source_scorecard(
         F.col(source_col),
         token_count(text_col).cast("long").alias("_tokens"),
         alpha_ratio(text_col).alias("_alpha"),
-        doc_fingerprint(text_col).alias("_fp"),
+        # null-safe fingerprint: a null _fp would never match itself in
+        # the owner join (inner join on a null key), silently dropping
+        # every null-text doc from its source's n_docs/dup_rate — treat
+        # null text as empty content instead, so the row always survives
+        doc_fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
     )
     owners = per_doc.groupBy("_fp").agg(F.min(id_col).alias("_owner"))
     return (
@@ -1204,8 +1219,6 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in [1, max_words={max_words}], got {stride}"
         )
-    from kafka_connect_tablestore_spark.functions.text import words
-
     base = df.select(F.col(id_col), words(text_col).alias("_w")).withColumn(
         "_n", F.size("_w")
     )

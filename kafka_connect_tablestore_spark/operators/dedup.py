@@ -378,6 +378,11 @@ def build_lsh_index(
     signatures are computed ONCE (map-only) and re-probed forever after —
     a day's new documents join against the index instead of re-hashing the
     corpus.  ~(bands × 80) bytes per doc, tiny next to the text."""
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(
+        path, {"n_hashes": n_hashes, "bands": bands}, overwrite=True
+    )
     _banded_rows(df, text_col, id_col, n_hashes, bands).repartition(
         "band"
     ).write.mode("overwrite").partitionBy("band").parquet(path)
@@ -393,6 +398,9 @@ def append_to_lsh_index(
 ) -> None:
     """Append a new batch's banded rows to an existing index (after its
     pairs were emitted) — ids must be disjoint from the indexed corpus."""
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(path, {"n_hashes": n_hashes, "bands": bands})
     _banded_rows(df, text_col, id_col, n_hashes, bands).repartition(
         "band"
     ).write.mode("append").partitionBy("band").parquet(path)
@@ -415,6 +423,9 @@ def incremental_lsh_pairs(
     Scale shape: the new batch is small (a day's ingest), so its banded rows
     broadcast; the index side streams — one scan of the (signature-sized)
     index, zero scans of the corpus."""
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(index_path, {"n_hashes": n_hashes, "bands": bands})
     new_rows = _banded_rows(new_docs, text_col, id_col, n_hashes, bands)
     idx = spark.read.parquet(index_path)
     h = [f"h{j}" for j in range(n_hashes)]
@@ -759,6 +770,9 @@ def build_fingerprint_index(
     same bounded driver collect as the chunk/IVF probes."""
     from pyspark.sql import Window
 
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(path, {"n_buckets": n_buckets}, overwrite=True)
     rows = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
     first = Window.partitionBy("fp").orderBy(id_col)
     (
@@ -799,6 +813,10 @@ def incremental_dedup_exact(
     surviving fingerprint rows ready for
     :func:`append_to_fingerprint_index` once the batch commits."""
     from pyspark.sql import Window
+
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(index_path, {"n_buckets": n_buckets})
 
     new_rows = (
         new_docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))

@@ -65,6 +65,44 @@ INDEX_PARTITION_COLS = {
 }
 
 
+def ensure_index_params(
+    index_path: str, params: dict, overwrite: bool = False
+) -> None:
+    """Freeze an index's structural parameters in a ``<index>.params.json``
+    sidecar and reject any later mismatch.
+
+    The untrained index families (LSH, chunk, fingerprint, semantic) have
+    no artifact whose load doubles as parameter validation (unlike IVF's
+    centroids or IVF-PQ's meta), so probing or appending under different
+    parameters than the build SILENTLY corrupts results: an LSH probe with
+    ``bands=8`` against a 4-band index finds almost nothing and then
+    appends 8-band rows into it; a chunk/fingerprint probe under a
+    different ``n_buckets`` modulus bucket-prunes true hits away; a
+    semantic probe under a different ``threshold`` emits verdicts equal to
+    no single-threshold run.  Builders therefore call this with
+    ``overwrite=True`` (a rebuild legitimately re-defines the contract,
+    exactly as it overwrites the index itself); probe/append paths and the
+    streaming wrappers validate-or-freeze.  Sidecar writes are tmp +
+    rename (the manifest pattern)."""
+    import json
+
+    pfile = index_path.rstrip("/") + ".params.json"
+    if not overwrite and os.path.exists(pfile):
+        with open(pfile) as f:
+            saved = json.load(f)
+        if saved != params:
+            raise ValueError(
+                f"index {index_path} was built with parameters {saved}, "
+                f"but this call passed {params}; use the index's "
+                "parameters or rebuild at a fresh index path"
+            )
+        return
+    tmp = pfile + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f, sort_keys=True)
+    os.replace(tmp, pfile)
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):

@@ -1357,6 +1357,11 @@ def build_semantic_index(
     index).  Survivor-only storage is what makes the daily probe cheap:
     dominated vectors can never dominate (greedy rule), so the index drops
     them forever."""
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(
+        path, {"threshold": threshold, "n_cells": n_cells}, overwrite=True
+    )
     if train == "kmeans":
         centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     else:
@@ -1422,6 +1427,11 @@ def incremental_semantic_dedup(
     commits."""
     from kafka_connect_tablestore_spark.operators.clustering import (
         ConvergenceError,
+    )
+    from .index_maint import ensure_index_params
+
+    ensure_index_params(
+        index_path, {"threshold": threshold, "n_cells": len(centroids)}
     )
 
     vd = F.col(vec_col).cast("array<double>")

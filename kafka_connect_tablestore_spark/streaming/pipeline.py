@@ -67,40 +67,13 @@ def _start_query(
     return writer.start()
 
 
-def _ensure_index_params(index_path: str, params: dict) -> None:
-    """Freeze an index's structural parameters in a ``<index>.params.json``
-    sidecar on first use and reject any later mismatch.
-
-    The LSH/chunk/fingerprint/semantic index streams have no trained
-    artifact (unlike IVF's centroids file or IVF-PQ's meta, whose loads
-    double as parameter validation), so without this a restart under
-    different parameters SILENTLY corrupts the index and its verdicts: an
-    LSH probe with ``bands=8`` against a 4-band index finds almost
-    nothing and then appends 8-band rows into it; a chunk/fingerprint
-    probe under a different ``n_buckets`` modulus bucket-prunes true hits
-    away; a semantic stream under a different ``threshold`` emits
-    verdicts that equal no single-threshold run.  Sidecar writes are
-    tmp + rename (the manifest pattern); a params change requires a
-    fresh index path (or deliberately deleting the sidecar alongside a
-    rebuild)."""
-    import json
-    import os
-
-    pfile = index_path.rstrip("/") + ".params.json"
-    if os.path.exists(pfile):
-        with open(pfile) as f:
-            saved = json.load(f)
-        if saved != params:
-            raise ValueError(
-                f"index {index_path} was built with parameters {saved}, "
-                f"but this stream was started with {params}; restart with "
-                "the index's parameters or point at a fresh index path"
-            )
-        return
-    tmp = pfile + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(params, f, sort_keys=True)
-    os.replace(tmp, pfile)
+# the params sidecar guard lives on the index API itself (the batch
+# build/probe/append functions call it too — the hazard it closes is not
+# streaming-specific); the streams validate-or-freeze before touching
+# any per-batch state
+from kafka_connect_tablestore_spark.operators.index_maint import (  # noqa: E402
+    ensure_index_params as _ensure_index_params,
+)
 
 
 def start_cdc_stream(
