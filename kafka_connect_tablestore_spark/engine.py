@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_tablestore_spark.config import RuntimeErrorTolerance, SinkConfig
-from kafka_connect_tablestore_spark.functions.hashing import bucket_of
+from kafka_connect_tablestore_spark.functions.hashing import bucket_of, cast_pk_columns
 from kafka_connect_tablestore_spark.lake.table import LakeTable
 from kafka_connect_tablestore_spark.operators.rowchange import (
     ERROR_COL,
@@ -61,6 +61,10 @@ class CdcEngine:
             # user extension point (reference: event.parse.class,
             # parsers/EventParser.java:13-66): raw batch → engine events
             events = self.config.event_parser(events)
+        # normalize PK types before classification (uncastable → NULL →
+        # NULL_PRIMARY_KEY dead-letter) and before the touched-bucket hash,
+        # which must agree with the post-union hash inside merge_batch
+        events = cast_pk_columns(events, self.config.pk_fields, self.config.pk_types)
         classified = validate_and_classify(events, self.config, self.attr_fields)
 
         if not self.config.lineage_per_partition:

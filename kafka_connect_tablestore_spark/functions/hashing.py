@@ -42,6 +42,28 @@ def bucket_of(pk_cols: tuple[str, ...], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)).cast("int")
 
 
+def cast_pk_columns(df, pk_fields: tuple[str, ...], pk_types: tuple[str, ...]):
+    """Cast event PK columns to the table's configured PK types.
+
+    ``xxhash64`` hashes by physical type — the SAME value typed int vs long
+    hashes to DIFFERENT buckets — so an event whose PK column arrives
+    narrower than the stored type (int offset id vs a long-typed table)
+    would be counted in one ``touched`` bucket pre-merge yet written to
+    another post-union (the union coerces to the stored type), landing in a
+    data dir the snapshot's bucket map never references.  Normalizing every
+    PK to its declared type BEFORE any hash makes the two computations
+    agree.  ``try_cast`` so an uncastable value becomes NULL and is
+    dead-lettered by the NULL_PRIMARY_KEY gate instead of failing the job
+    under ANSI.  A no-op projection when the types already match."""
+    from kafka_connect_tablestore_spark.plans.schema_evolution import canon
+
+    dtypes = dict(df.dtypes)
+    for c, t in zip(pk_fields, pk_types):
+        if c in dtypes and canon(dtypes[c]) != canon(t):
+            df = df.withColumn(c, F.col(c).try_cast(t))
+    return df
+
+
 def md5_prefix_pk(*cols: str, length: int = 5) -> Column:
     """``substring(md5(concat_ws('_', cols)), 1, length)`` — search-mode PK."""
     return F.substring(F.md5(F.concat_ws("_", *[F.col(c) for c in cols])), 1, length)

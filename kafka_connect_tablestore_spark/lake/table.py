@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_tablestore_spark.config import SinkConfig
-from kafka_connect_tablestore_spark.functions.hashing import bucket_of, content_sha256
+from kafka_connect_tablestore_spark.functions.hashing import (
+    bucket_of,
+    cast_pk_columns,
+    content_sha256,
+)
 from kafka_connect_tablestore_spark.plans.merge import META_COLS, merge_into_state
 from kafka_connect_tablestore_spark.plans.schema_evolution import (
     align_to_schema,
@@ -60,6 +64,18 @@ class TableValidationError(ValueError):
     failures: PK name/type positional mismatch, PK-name collision in the
     attribute whitelist, column count limit — ``utils/ParamChecker.java:
     41-97``)."""
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer created this snapshot version first.
+
+    The snapshot meta file is created with link(2) exclusivity, so exactly
+    one of two racing committers (e.g. a cron ``compact``/``expire_snapshots``
+    racing a streaming ``merge_batch``) wins a version number; the loser gets
+    this error and must re-read the new current snapshot and re-derive its
+    commit — the Iceberg optimistic-concurrency loop.  A streaming engine
+    surfaces it as a batch failure and the retried batch recomputes against
+    the fresh snapshot."""
 
 
 def check_table(meta: dict, config: SinkConfig, attr_fields: tuple[str, ...]) -> None:
@@ -90,6 +106,20 @@ def check_table(meta: dict, config: SinkConfig, attr_fields: tuple[str, ...]) ->
             f"bucket count mismatch: table was created with n_buckets="
             f"{stored_buckets}, config has {config.n_buckets}"
         )
+    if config.column_whitelist is not None:
+        # narrowing the whitelist on an existing table would silently drop
+        # the stored non-whitelisted columns from every bucket a merge
+        # rewrites (the fold re-filters attr_fields by the whitelist) while
+        # the snapshot schema still advertises them — refuse up front, like
+        # ParamChecker refuses any config/table identity drift.
+        dropped = [c for c in meta.get("schema", {}) if c not in config.column_whitelist]
+        if dropped:
+            raise TableValidationError(
+                f"column_whitelist excludes stored column(s) {dropped}: "
+                "narrowing the whitelist on an existing table would silently "
+                "erase their data from every rewritten bucket; migrate the "
+                "table explicitly instead"
+            )
     for c in attr_fields:
         if c in config.pk_fields:
             raise TableValidationError(
@@ -131,11 +161,40 @@ class LakeTable:
         return os.path.join(self.dir, "VERSION")
 
     def exists(self) -> bool:
-        return os.path.exists(self._version_path)
+        return bool(self._list_versions())
+
+    def _list_versions(self) -> list[int]:
+        """Retained snapshot versions, numerically ascending.
+
+        Parsed from the meta-file names (NOT a lexicographic listdir sort:
+        past version 999999 the zero-padded names stop sorting textually —
+        ``v1000000`` < ``v999999`` — and at 10^10 events in micro-batches
+        version counts beyond 10^6 are the design point)."""
+        meta_dir = os.path.join(self.dir, "meta")
+        if not os.path.isdir(meta_dir):
+            return []
+        out = []
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
 
     def current_version(self) -> int:
-        with open(self._version_path) as f:
-            return int(f.read().strip())
+        """Highest committed snapshot version.
+
+        The meta listing is the source of truth (Delta-log-style: creating
+        ``v{n}.json`` IS the commit); the ``VERSION`` pointer file is kept as
+        a debugging hint only, so a crash between meta creation and pointer
+        update can never hide a committed snapshot."""
+        versions = self._list_versions()
+        if not versions:
+            raise FileNotFoundError(
+                f"table {self.name} has no committed snapshot (meta/ empty)"
+            )
+        return versions[-1]
 
     def _meta_path(self, version: int) -> str:
         return os.path.join(self.dir, "meta", f"v{version:06d}.json")
@@ -150,12 +209,7 @@ class LakeTable:
     def snapshots(self) -> list[dict]:
         """All retained snapshot metas, oldest first (version, parent,
         batches committed at that version) — the time-travel catalog."""
-        meta_dir = os.path.join(self.dir, "meta")
-        out = []
-        for fn in sorted(os.listdir(meta_dir)):
-            if fn.startswith("v") and fn.endswith(".json"):
-                out.append(json.load(open(os.path.join(meta_dir, fn))))
-        return out
+        return [json.load(open(self._meta_path(v))) for v in self._list_versions()]
 
     def committed_batches(self) -> dict[str, dict]:
         return self.snapshot()["batches"] if self.exists() else {}
@@ -257,20 +311,47 @@ class LakeTable:
             "pk_types": list(self.config.pk_types),
             "n_buckets": self.config.n_buckets,
         }
-        self._commit(meta)
+        try:
+            self._commit(meta)
+        except ConcurrentCommitError:
+            # a concurrent creator won the v0 race: the table now exists —
+            # validate our config against it, exactly as the exists() path
+            self._await_readiness()
+            check_table(self.snapshot(), self.config, self.attr_fields)
+            return
         self._await_readiness()
 
     def _commit(self, meta: dict) -> None:
-        """Atomic commit: meta json then pointer, both via rename."""
+        """Atomic, compare-and-swap commit of one snapshot version.
+
+        The commit point is the exclusive creation (link(2), which fails
+        with EEXIST rather than replacing) of ``meta/v{n}.json`` — the same
+        put-if-absent protocol as the Delta transaction log: of two racing
+        committers that both derived version ``n`` from snapshot ``n-1``,
+        exactly one creates the file; the other raises
+        :class:`ConcurrentCommitError` and must recompute against the new
+        current snapshot.  ``current_version`` reads the meta listing, so a
+        crash immediately after the link leaves a fully committed snapshot
+        (data files were written before ``_commit``) and a replayed batch is
+        skipped idempotently.  The ``VERSION`` pointer file is a best-effort
+        debugging hint, updated after the real commit."""
         v = meta["version"]
         mp = self._meta_path(v)
-        tmp = mp + ".tmp"
+        tmp = f"{mp}.{os.getpid()}.tmp"  # per-committer scratch, never shared
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, mp)
-        vtmp = self._version_path + ".tmp"
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"table {self.name}: snapshot v{v} was committed by another "
+                "writer; re-read the current snapshot and retry the commit"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        vtmp = f"{self._version_path}.{os.getpid()}.tmp"
         with open(vtmp, "w") as f:
             f.write(str(v))
             f.flush()
@@ -278,6 +359,32 @@ class LakeTable:
         os.rename(vtmp, self._version_path)
 
     # ---------------------------------------------------------------- read
+    #: types of the merge metadata columns as written by ``fold_state``
+    _META_TYPES = {"_deleted": "boolean", "_ver_ts": "long", "_ver_off": "long"}
+
+    def _read_ddl(self, schema: dict[str, str], with_sha: bool, with_meta: bool) -> str:
+        """Explicit parquet read schema for the table's data files.
+
+        Snapshot metadata — not file-footer inference — is the source of
+        truth: the data dirs of one read span snapshots from different
+        schema versions (untouched buckets are carried forward by
+        reference), and footer inference picks ONE arbitrary footer, so a
+        column ADDed after that footer's file was written would read as
+        absent (then be silently nulled for every row by alignment), and a
+        WIDENed column (int→long) would fail the scan outright.  With an
+        explicit schema Spark null-fills per file and widens per file —
+        and skips the footer-inference job entirely."""
+        cols = [
+            f"`{c}` {t}"
+            for c, t in zip(self.config.pk_fields, self.config.pk_types)
+        ]
+        cols += [f"`{c}` {t}" for c, t in schema.items()]
+        if with_sha:
+            cols.append(f"`{SHA_COL}` string")
+        if with_meta:
+            cols += [f"`{c}` {t}" for c, t in self._META_TYPES.items()]
+        return ", ".join(cols)
+
     def _read_buckets(
         self,
         bucket_dirs: list[str],
@@ -286,8 +393,17 @@ class LakeTable:
     ) -> DataFrame | None:
         if not bucket_dirs:
             return None
-        df = (session or self.spark).read.parquet(*bucket_dirs)
-        keep = list(self.config.pk_fields) + [c for c in META_COLS if c in df.columns]
+        ddl = self._read_ddl(schema, with_sha=False, with_meta=True)
+        df = (session or self.spark).read.schema(ddl).parquet(*bucket_dirs)
+        # a file written without version metadata reads as typed NULLs —
+        # restore the meta-less sentinel (live row, ordered (-1,-1) strictly
+        # before every real event, plans/merge.py) per row
+        df = (
+            df.withColumn("_deleted", F.coalesce(F.col("_deleted"), F.lit(False)))
+            .withColumn("_ver_ts", F.coalesce(F.col("_ver_ts"), F.lit(-1).cast("long")))
+            .withColumn("_ver_off", F.coalesce(F.col("_ver_off"), F.lit(-1).cast("long")))
+        )
+        keep = list(self.config.pk_fields) + list(META_COLS)
         return align_to_schema(df, schema, keep)
 
     def read(
@@ -329,26 +445,30 @@ class LakeTable:
                     "time-travel to it is no longer possible"
                 )
         if not dirs:
-            empty_schema = {**snap["schema"], SHA_COL: "string"}
-            return align_to_schema(
-                self.spark.range(0).select(
-                    *[F.lit(None).cast("string").alias(c) for c in self.config.pk_fields]
-                ),
-                empty_schema,
-                list(self.config.pk_fields),
-            ).limit(0)
-        df = self.spark.read.parquet(*dirs)
-        has_meta = "_deleted" in df.columns
+            # typed empty frame with the EXACT schema of a non-empty read —
+            # PK columns in their configured types (not string), and the
+            # META columns when include_meta (so e.g. compact() of an empty
+            # table resolves its tombstone-watermark filter)
+            cols = [
+                f"`{c}` {t}"
+                for c, t in zip(self.config.pk_fields, self.config.pk_types)
+            ]
+            if include_meta:
+                cols += [f"`{c}` {t}" for c, t in self._META_TYPES.items()]
+            cols += [f"`{c}` {t}" for c, t in snap["schema"].items()]
+            cols.append(f"`{SHA_COL}` string")
+            return self.spark.createDataFrame([], ", ".join(cols))
+        ddl = self._read_ddl(snap["schema"], with_sha=True, with_meta=True)
+        df = self.spark.read.schema(ddl).parquet(*dirs)
         out = align_to_schema(
             df,
             {**snap["schema"], SHA_COL: "string"},
-            list(self.config.pk_fields) + ([*META_COLS] if has_meta else []),
+            list(self.config.pk_fields) + [*META_COLS],
         )
-        if not has_meta:
-            return out
         if include_meta:
             return out
-        return out.where(~F.col("_deleted")).drop(*META_COLS)
+        # null-safe: a row from a file without version metadata is live
+        return out.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLS)
 
     def changefeed(
         self,
@@ -418,9 +538,24 @@ class LakeTable:
             return {**snap["batches"][batch_id], "skipped": True}
 
         t0 = time.time()
+        # PK types must match the stored table's before ANY bucket hash —
+        # xxhash64 is type-sensitive, and the post-union merge output is
+        # hashed in the stored type (see functions/hashing.cast_pk_columns)
+        clean_events = cast_pk_columns(
+            clean_events, self.config.pk_fields, self.config.pk_types
+        )
         # --- schema evolution (diff → "ALTER" via registry) ----------------
         bschema = batch_attr_schema(clean_events, self.attr_fields)
         new_schema, changes = evolve(snap["schema"], bschema)
+        if len(new_schema) > MAX_ATTR_COLUMNS:
+            # enforce the cap on the EVOLVED schema before anything is
+            # written: committing past it would make every later
+            # check_table() refuse to open the table
+            raise TableValidationError(
+                f"schema evolution would exceed {MAX_ATTR_COLUMNS} attribute "
+                f"columns ({len(new_schema)}) "
+                "(ParamChecker.java:75-97 column count limit)"
+            )
         pk = list(self.config.pk_fields)
         attr_fields = tuple(new_schema.keys())
 
@@ -460,8 +595,6 @@ class LakeTable:
         target = self._read_buckets(
             target_dirs, new_schema, session=clean_events.sparkSession
         )
-        if target is not None and SHA_COL in target.columns:
-            target = target.drop(SHA_COL)
 
         ev = align_to_schema(
             src, new_schema, pk + ["commit_ts", "offset", "op", "_bucket"]
@@ -598,8 +731,13 @@ class LakeTable:
         data = os.path.join(self.dir, "data")
         removed = []
         for sd in sorted(os.listdir(data)):
-            p = os.path.join(data, sd)
-            keep = any(os.path.normpath(d).startswith(os.path.normpath(p)) for d in live)
+            p = os.path.normpath(os.path.join(data, sd))
+            # path-boundary prefix match: 'data/snap1000000/...' must NOT
+            # keep 'data/snap100000' alive
+            keep = any(
+                os.path.normpath(d) == p or os.path.normpath(d).startswith(p + os.sep)
+                for d in live
+            )
             if not keep:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
