@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -337,7 +338,9 @@ class LakeTable:
         debugging hint, updated after the real commit."""
         v = meta["version"]
         mp = self._meta_path(v)
-        tmp = f"{mp}.{os.getpid()}.tmp"  # per-committer scratch, never shared
+        # per-committer scratch, never shared: two streams in ONE driver
+        # commit from different threads of the same pid
+        tmp = f"{mp}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
             f.flush()
@@ -351,7 +354,7 @@ class LakeTable:
             ) from None
         finally:
             os.unlink(tmp)
-        vtmp = f"{self._version_path}.{os.getpid()}.tmp"
+        vtmp = f"{self._version_path}.{os.getpid()}.{uuid.uuid4().hex}.tmp"
         with open(vtmp, "w") as f:
             f.write(str(v))
             f.flush()
