@@ -146,7 +146,7 @@ def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship fold: full change-log replay → final table state + the
     per-row content sha256 invariant (SURVEY §2 S11/S12 + input_hint)."""
     log = _log(spark, sf_dir)
-    clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+    clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS))
     state = merge_into_state(None, clean, CFG, ATTRS)
     return state.select(
         "repo", "path", "commit", "lang", "content",
@@ -189,7 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tolerance=RuntimeErrorTolerance.ALL,
         )
         log = _log(spark, sf)
-        clean, _ = split_errant(validate_and_classify(log, cfg, ATTRS), cfg)
+        clean, _ = split_errant(validate_and_classify(log, cfg, ATTRS))
         return merge_into_state(None, clean, cfg, ATTRS).select(
             "repo", "path", "commit", "lang", "content"
         )
@@ -226,7 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tolerance=RuntimeErrorTolerance.ALL,
         )
         log = _log(spark, sf)
-        _, errant = split_errant(validate_and_classify(log, cfg, ATTRS), cfg)
+        _, errant = split_errant(validate_and_classify(log, cfg, ATTRS))
         return errant.select(
             F.concat_ws("_", F.col("topic"), F.col("partition")).alias("topic_partition"),
             "offset",
@@ -619,7 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         log = _log(spark, sf)
 
         def state(l):
-            clean, _ = split_errant(validate_and_classify(l, CFG, ATTRS), CFG)
+            clean, _ = split_errant(validate_and_classify(l, CFG, ATTRS))
             return merge_into_state(None, clean, CFG, ATTRS).select(
                 "repo", "path", "commit", "lang", "content"
             )
@@ -636,7 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the ts filter sits on the scan where manifest/row-group stats
         prune."""
         log = log_asof_prefix(_log(spark, sf), fraction=0.5)
-        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS))
         return merge_into_state(None, clean, CFG, ATTRS).select(
             "repo", "path", "commit", "lang", "content"
         )
@@ -650,7 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         log = _log(spark, sf)
         dup = log.unionByName(log.where(F.pmod(F.col("offset"), F.lit(5)) == 0))
         uniq = dedup_redelivered(dup)
-        clean, _ = split_errant(validate_and_classify(uniq, CFG, ATTRS), CFG)
+        clean, _ = split_errant(validate_and_classify(uniq, CFG, ATTRS))
         return merge_into_state(None, clean, CFG, ATTRS).select(
             "repo", "path", "commit", "lang", "content",
             F.sha2(F.col("content"), 256).alias("content_sha256"),
@@ -1281,7 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         log = _log(spark, sf)
-        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+        clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS))
         old_state = merge_into_state(
             None, clean.where(F.col("offset") <= 5000), CFG, ATTRS
         )

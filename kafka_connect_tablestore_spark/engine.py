@@ -70,7 +70,7 @@ class CdcEngine:
         if not self.config.lineage_per_partition:
             return self._apply_batch_observed(classified, batch_id)
 
-        clean, errant = split_errant(classified, self.config)
+        clean, errant = split_errant(classified)
         enforce_tolerance(errant, self.config)
 
         is_clean = F.col(ERROR_COL).isNull()
@@ -135,7 +135,7 @@ class CdcEngine:
             F.count(F.when(is_clean, F.lit(1))).alias("rows"),
             F.count(F.when(~is_clean, F.lit(1))).alias("errant_rows"),
         )
-        clean, errant = split_errant(observed, self.config)
+        clean, errant = split_errant(observed)
 
         def _lineage_row() -> dict:
             # The data-write job has run, so the observation normally fires

@@ -427,7 +427,7 @@ def bootstrap_handoff(
     bounds = asof_bounds(log, ts_col, fraction).localCheckpoint(eager=True)
     prefix = log_asof_prefix(log, ts_col, fraction, keep="prefix", bounds=bounds)
     clean_p, _ = split_errant(
-        validate_and_classify(prefix, config, attr_fields), config
+        validate_and_classify(prefix, config, attr_fields)
     )
     snapshot = merge_into_state(None, clean_p, config, attr_fields, emit_meta=True)
     tail = log_asof_prefix(log, ts_col, fraction, keep="suffix", bounds=bounds)
@@ -436,6 +436,6 @@ def bootstrap_handoff(
             prefix.where(F.pmod(F.col(offset_col), F.lit(redeliver_every)) == 0)
         )
     clean_t, _ = split_errant(
-        validate_and_classify(tail, config, attr_fields), config
+        validate_and_classify(tail, config, attr_fields)
     )
     return merge_into_state(snapshot, clean_t, config, attr_fields)

@@ -26,7 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-ORD_COLS = ("commit_ts", "offset")
+# the ONE event-order definition, shared with the merge fold: LWW winners
+# and fold winners must never disagree on what "later" means
+from kafka_connect_tablestore_spark.plans.merge import ORD_COLS
 
 
 def _payload(df: DataFrame, pk: tuple[str, ...]) -> list[str]:

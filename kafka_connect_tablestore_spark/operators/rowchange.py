@@ -69,15 +69,32 @@ def validate_and_classify(
     attr_fields: tuple[str, ...] = ("commit", "lang", "content"),
 ) -> DataFrame:
     """Add ``_op`` (normalized op) and ``error_info`` (null = clean) columns."""
+    # Tombstone detection is RECORD-level (the reference's ``value == null``,
+    # RowChangeTransformer.java:174-191, checked BEFORE column projection):
+    # it must see every attribute column, so a record whose whitelisted
+    # columns are null but whose other columns carry data is a normal
+    # insert/update with an empty projected payload — NOT a delete.
+    full_attrs = tuple(attr_fields)
     if config.column_whitelist is not None:
         attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
     has_op = "op" in events.columns
-    op = classify_op(config, attr_fields, has_op)
+    op = classify_op(config, full_attrs, has_op)
 
     null_pk = F.lit(False)
     for c in config.pk_fields:
         null_pk = null_pk | F.col(c).isNull()
 
+    # an op-carrying log must carry a KNOWN op: anything else would either
+    # vanish from the fold (null) or act as a phantom row-delete barrier
+    # (unrecognized string) — both silent; dead-letter it instead
+    if has_op:
+        invalid_op = F.col("op").isNull() | ~F.col("op").isin("PUT", "UPDATE", "DELETE")
+    else:
+        invalid_op = F.lit(False)
+
+    # "nothing to write": evaluated over the PROJECTED payload — with a
+    # whitelist, non-whitelisted data cannot rescue an UPDATE that writes
+    # zero columns
     all_null = F.lit(True)
     for c in attr_fields:
         all_null = all_null & F.col(c).isNull()
@@ -93,6 +110,7 @@ def validate_and_classify(
 
     error = (
         F.when(null_pk, F.lit("NULL_PRIMARY_KEY"))
+        .when(invalid_op, F.lit("UNKNOWN_OP"))
         .when(
             is_dead_tombstone & F.lit(not put_mode),
             F.lit("DELETE_NOT_ALLOWED"),
@@ -106,18 +124,25 @@ def validate_and_classify(
     out = events.withColumn("_op", op).withColumn(ERROR_COL, error)
     # A DELETE downgraded to an empty PUT must present a columnless payload
     # even if the producer attached one (value==null ⇒ no columns parsed).
+    # Clean rows only: an errant DELETE (e.g. null PK) keeps its original
+    # payload for the DLQ — split_errant's "errant keeps the record" contract.
     if put_mode and not row_deletable:
-        downgraded = (F.col("op") == F.lit("DELETE")) if has_op else is_dead_tombstone
-        for c in attr_fields:
-            out = out.withColumn(
-                c, F.when(downgraded, F.lit(None).cast(dict(out.dtypes)[c])).otherwise(F.col(c))
-            )
+        downgraded = is_dead_tombstone & F.col(ERROR_COL).isNull()
+        types = dict(out.dtypes)
+        out = out.select(
+            *[
+                F.when(downgraded, F.lit(None).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in attr_fields
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
     return out
 
 
-def split_errant(
-    classified: DataFrame, config: SinkConfig
-) -> tuple[DataFrame, DataFrame]:
+def split_errant(classified: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Tolerance gate: return ``(clean, errant)``.
 
     ``clean`` has the normalized ``op`` column; ``errant`` keeps the original

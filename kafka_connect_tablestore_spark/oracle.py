@@ -54,6 +54,10 @@ def replay(
     and ``dlq`` lists errant events with an ``error_info`` field (mirroring
     the DLQ row layout of ``errors/TableStoreReporter.java:243-270``).
     """
+    # tombstone detection is record-level (the reference checks value==null
+    # BEFORE column projection), so it sees the FULL attribute set; the
+    # whitelist only narrows what gets written
+    full_attrs = tuple(attr_fields)
     if config.column_whitelist is not None:
         attr_fields = tuple(f for f in attr_fields if f in config.column_whitelist)
     state: dict[tuple, dict[str, Any]] = dict(initial_state or {})
@@ -70,8 +74,11 @@ def replay(
             continue
         op = ev.get("op")
         if op is None:
-            tombstone = all(ev.get(f) is None for f in attr_fields)
+            tombstone = all(ev.get(f) is None for f in full_attrs)
             op = "DELETE" if tombstone else config.insert_mode.name
+        elif op not in ("PUT", "UPDATE", "DELETE"):
+            errant(ev, "UNKNOWN_OP")
+            continue
         if op == "DELETE":
             if config.delete_mode in ROW_DELETE_MODES:
                 state.pop(pk, None)

@@ -77,7 +77,7 @@ def test_kafka_dlq_records_shape_and_header(spark):
     )
     cfg = SinkConfig()
     classified = validate_and_classify(events, cfg, ("commit", "lang", "content"))
-    _, errant = split_errant(classified, cfg)
+    _, errant = split_errant(classified)
     out = kafka_dlq_records(errant, cfg.pk_fields, topic="dlq-topic")
 
     assert [f.simpleString() for f in out.schema.fields] == [
@@ -158,7 +158,7 @@ def test_write_dlq_through_injected_sink_roundtrips(spark, tmp_path):
     )
     cfg = SinkConfig()
     _, errant = split_errant(
-        validate_and_classify(events, cfg, ("commit", "lang", "content")), cfg
+        validate_and_classify(events, cfg, ("commit", "lang", "content"))
     )
     frame = kafka_dlq_records(errant, cfg.pk_fields, topic="dlq-topic")
 

@@ -82,7 +82,7 @@ def test_random_interleavings_match_oracle(spark, insert_mode, delete_mode, whit
     )
     df = spark.createDataFrame(all_rows, SCHEMA)
     classified = validate_and_classify(df, cfg, ATTRS)
-    clean, errant = split_errant(classified, cfg)
+    clean, errant = split_errant(classified)
     state = merge_into_state(None, clean, cfg, ATTRS)
     attrs = tuple(a for a in ATTRS if whitelist is None or a in whitelist)
     got = {

@@ -91,7 +91,7 @@ def test_merge_plan_has_exactly_two_shuffles(spark):
 
     cfg = SinkConfig(delete_mode=DeleteMode.ROW)
     ev = synth_changelog(spark, 1000, seed=81)
-    clean, _ = split_errant(validate_and_classify(ev, cfg, ("commit", "lang", "content")), cfg)
+    clean, _ = split_errant(validate_and_classify(ev, cfg, ("commit", "lang", "content")))
     merged = merge_into_state(None, clean, cfg, ("commit", "lang", "content"), emit_meta=True)
     out = merged.withColumn("_bucket", bucket_of(cfg.pk_fields, cfg.n_buckets)).repartition(
         cfg.n_buckets, "_bucket"

@@ -38,7 +38,7 @@ LOG_SCHEMA = (
 
 
 def _full_fold(log):
-    clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS), CFG)
+    clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS))
     return merge_into_state(None, clean, CFG, ATTRS)
 
 

@@ -42,7 +42,7 @@ def ev(offset, op, commit=None, lang=None, content=None, repo="r", path="p"):
 def apply(spark, events, config, target_rows=None):
     df = spark.createDataFrame(events, SCHEMA)
     classified = validate_and_classify(df, config, ATTRS)
-    clean, errant = split_errant(classified, config)
+    clean, errant = split_errant(classified)
     target = None
     if target_rows:
         target = spark.createDataFrame(
