@@ -294,10 +294,14 @@ class MultiTableCdcEngine:
         from kafka_connect_tablestore_spark.operators.routing import route
 
         manifests: dict[str, dict] = {}
-        for table, part in route(events, self.config).items():
-            manifests[table] = self.engine_for(table).apply_batch(
-                part, f"{batch_id}@{table}"
-            )
+        parts = route(events, self.config)
+        try:
+            for table, part in parts.items():
+                manifests[table] = self.engine_for(table).apply_batch(
+                    part, f"{batch_id}@{table}"
+                )
+        finally:
+            parts.unpersist()
         return manifests
 
     def state(self, table: str) -> DataFrame:

@@ -59,7 +59,9 @@ def cast_column_lattice(df: DataFrame, declared: dict[str, str] | None = None) -
     for f in df.schema.fields:
         name = f.name
         if declared and name in declared:
-            target = declared[name]
+            # declared names use the whitelist's Connect vocabulary
+            # (int64/float32/bytes/...) — widen them onto the engine lattice
+            target = widened_type_name(declared[name])
         else:
             target = widened_type_name(f.dataType.simpleString())
         out.append(F.col(name).cast(_SPARK_TYPES[target]).alias(name))

@@ -45,22 +45,41 @@ def pk_search(df: DataFrame, *, time_mode: SearchTimeMode = SearchTimeMode.KAFKA
 def pk_record_fields(df: DataFrame, config: SinkConfig) -> DataFrame:
     """RECORD_KEY / RECORD_VALUE: PK fields come from the payload; cast to the
     configured PK type lattice (STRING/INTEGER→long/BINARY only,
-    ``DefaultEventParser.java:389-428``)."""
-    spark_type = {"string": "string", "long": "long", "binary": "binary"}
-    out = df
-    for name, typ in zip(config.pk_fields, config.pk_types):
-        out = out.withColumn(name, F.col(name).cast(spark_type[typ]))
-    return out
+    ``DefaultEventParser.java:389-428``).  ``try_cast`` semantics (via the
+    shared :func:`cast_pk_columns`): an uncastable value becomes a NULL PK and
+    is dead-lettered by the S14 gate — this module's own contract ("a null
+    payload/field is an errant record") — instead of failing the job under
+    ANSI mode."""
+    from kafka_connect_tablestore_spark.functions.hashing import cast_pk_columns
+
+    return cast_pk_columns(df, config.pk_fields, config.pk_types)
 
 
-def with_auto_increment(df: DataFrame, col: str) -> DataFrame:
+def with_auto_increment(df: DataFrame, col: str, batch_seq: int | None = None) -> DataFrame:
     """Fill a missing auto_increment PK column with a unique placeholder
     (``DefaultEventParser.java:86-94``).  Values are unique but not dense,
-    matching the server-side-assigned semantics (no total order promised)."""
+    matching the server-side-assigned semantics (no total order promised).
+
+    ``monotonically_increasing_id`` restarts at 0 every job, so two batches
+    would collide (and LWW-overwrite each other's rows).  Pass ``batch_seq``
+    — a small per-batch sequence number, e.g. the micro-batch index — to
+    namespace the ids: the placeholder becomes
+    ``(batch_seq << 49) | (partition_id << 33) | row_in_partition``, unique
+    across batches while ``batch_seq < 2^14``, ``partitions < 2^16`` and
+    rows-per-partition < 2^33 (Spark's own mono-id row budget).  The
+    single-frame form (``batch_seq=None``) keeps the raw id."""
+    if batch_seq is None:
+        fill = F.monotonically_increasing_id()
+    else:
+        if not (0 <= batch_seq < (1 << 14)):
+            raise ValueError("with_auto_increment: batch_seq must be in [0, 2^14)")
+        mono = F.monotonically_increasing_id()
+        pid = F.shiftright(mono, 33)  # Spark layout: partition_id << 33 | row
+        row = mono - F.shiftleft(pid, 33)
+        fill = F.shiftleft(F.lit(batch_seq).cast("long"), 49) + F.shiftleft(pid, 33) + row
     return df.withColumn(
         col,
-        F.coalesce(F.col(col) if col in df.columns else F.lit(None).cast("long"),
-                   F.monotonically_increasing_id()),
+        F.coalesce(F.col(col) if col in df.columns else F.lit(None).cast("long"), fill),
     )
 
 

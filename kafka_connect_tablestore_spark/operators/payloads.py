@@ -32,11 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connect_tablestore_spark.config import (
-    COLUMN_TYPE_WIDENING,
-    PrimaryKeyMode,
-    SinkConfig,
-)
+from kafka_connect_tablestore_spark.config import PrimaryKeyMode, SinkConfig
+from kafka_connect_tablestore_spark.functions.casts import widened_type_name
 from kafka_connect_tablestore_spark.operators.projection import merge_key_value
 from kafka_connect_tablestore_spark.operators.rowchange import ERROR_COL
 
@@ -69,7 +66,7 @@ def parse_map_payload(
     err: Column = F.lit(None).cast("string")
     typed: list[Column] = []
     for name, typ in declared.items():
-        target = COLUMN_TYPE_WIDENING[typ]
+        target = widened_type_name(typ)
         raw = F.try_element_at(m, F.lit(name))
         val = raw.try_cast(target)
         typed.append(val.alias(name))
@@ -92,15 +89,21 @@ def explode_map_payload(
 
     Output: ``key_cols + (field, dyn_type, v_double, v_boolean, v_string)``;
     exactly one of the three value columns is non-null per row.  Map-only at
-    scale (explode fuses into the scan; no shuffle)."""
+    scale (explode fuses into the scan; no shuffle).
+
+    ``explode_outer``: a record whose map is null (the tombstone signal in
+    the reference — ``value == null``) or empty keeps ONE row with a null
+    ``field``/``dyn_type``, so its key stays visible to downstream delete
+    handling instead of vanishing from the output."""
     exploded = df.select(
-        *key_cols, F.explode(F.col(value_col)).alias("field", "_raw")
+        *key_cols, F.explode_outer(F.col(value_col)).alias("field", "_raw")
     )
     raw = F.col("_raw")
     is_num = raw.rlike(_NUM_RE)
     is_bool = raw.isin("true", "false")
     dyn = (
-        F.when(is_num, F.lit("double"))
+        F.when(F.col("field").isNull(), F.lit(None).cast("string"))
+        .when(is_num, F.lit("double"))
         .when(is_bool, F.lit("boolean"))
         .otherwise(F.lit("string"))
     )
@@ -214,11 +217,16 @@ def parse_key_value(
         for c in merged
     ]
     # STRING-shaped payloads → one column named after the side, except on
-    # the PK-extraction side (DefaultEventParser.java:178-182, 191-195)
+    # the PK-extraction side (DefaultEventParser.java:178-182, 191-195);
+    # the synthetic column is an attribute like any other, so the whitelist
+    # gates it too
+    wl = config.column_whitelist
     if isinstance(val_type, StringType) and config.pk_mode is not PrimaryKeyMode.RECORD_VALUE:
-        attr_exprs.append(F.col(value_col).alias("value"))
+        if wl is None or "value" in wl:
+            attr_exprs.append(F.col(value_col).alias("value"))
     if isinstance(key_type, StringType) and config.pk_mode is not PrimaryKeyMode.RECORD_KEY:
-        attr_exprs.append(F.col(key_col).alias("key"))
+        if wl is None or "key" in wl:
+            attr_exprs.append(F.col(key_col).alias("key"))
 
     envelope = [c for c in df.columns if c not in (key_col, value_col)]
     return df.select(*envelope, *pk_exprs, *attr_exprs)
@@ -243,7 +251,7 @@ def check_declared_struct_types(df: DataFrame, declared: dict[str, str]) -> None
     for name, typ in declared.items():
         if name not in dtypes:
             continue  # absent fields are skipped (whitelist semantics)
-        declared_class = COLUMN_TYPE_WIDENING[typ]
+        declared_class = widened_type_name(typ)
         actual_class = _TYPE_CLASS.get(dtypes[name])
         if actual_class is None or actual_class != declared_class:
             raise TypeError(

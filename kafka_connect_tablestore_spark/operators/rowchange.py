@@ -121,6 +121,12 @@ def validate_and_classify(
         )
         .otherwise(F.lit(None).cast("string"))
     )
+    if ERROR_COL in events.columns:
+        # a payload parser (e.g. parse_map_payload's TYPE_MISMATCH) may have
+        # classified the record already — parse errors precede row-change
+        # classification, exactly as the reference's parser throws before the
+        # transformer runs; never clobber them
+        error = F.coalesce(F.col(ERROR_COL), error)
     out = events.withColumn("_op", op).withColumn(ERROR_COL, error)
     # A DELETE downgraded to an empty PUT must present a columnless payload
     # even if the producer attached one (value==null ⇒ no columns parsed).
