@@ -3620,7 +3620,8 @@ b AS (SELECT min(commit_ts)
              + (((max(commit_ts) - min(commit_ts)) % 1000000) * 500000)
                // 1000000 AS t
       FROM log),
-plog AS (SELECT l.* FROM log l, b WHERE l.commit_ts <= b.t),
+plog AS (SELECT l.* FROM log l, b
+         WHERE l.commit_ts IS NULL OR l.commit_ts <= b.t),
 {_fold_ctes("plog")}
 SELECT repo, path, "commit", lang, content FROM state
 """,

@@ -34,9 +34,12 @@ def snapshot_diff(
     A key present only in ``new`` is an INSERT; only in ``old`` a DELETE;
     in both with any attribute null-safely differing, an UPDATE (unchanged
     rows are dropped).  INSERT/UPDATE rows carry the new attribute values,
-    DELETE rows carry nulls — the same frame shape the row-change decision
-    matrix (operators/rowchange.py, reference RowChangeTransformer) accepts,
-    so a feed can be re-applied downstream.
+    DELETE rows carry nulls.  To re-apply a feed through the row-change
+    decision matrix (operators/rowchange.py), rename ``change_op`` to
+    ``op`` and map INSERT→PUT first — the matrix's op vocabulary is
+    PUT/UPDATE/DELETE and anything else is dead-lettered as UNKNOWN_OP:
+    ``df.withColumn("op", F.when(F.col("change_op") == "INSERT", "PUT")
+    .otherwise(F.col("change_op")))``.
 
     With ``include_old=True`` each change row additionally carries the
     PRE-image attributes as ``old_<c>`` columns (null for INSERTs) — the
@@ -45,7 +48,12 @@ def snapshot_diff(
     base table.  This mirrors a Debezium-style ``before``/``after``
     envelope, flattened.
     """
-    marker = "_present"
+    # dunder marker so an attribute legitimately named "present" does not
+    # collide with the membership columns (which would be ambiguous at
+    # analysis time); the one reserved name is checked explicitly
+    marker = "__present__"
+    if any(c == marker for c in (*pk_cols, *attr_cols)):
+        raise ValueError(f"snapshot_diff: column name {marker!r} is reserved")
     o = old.select(
         *[F.col(c) for c in pk_cols],
         *[F.col(c).alias(f"_old_{c}") for c in attr_cols],
@@ -349,10 +357,14 @@ def log_asof_prefix(
         raise ValueError(f"keep must be 'prefix' or 'suffix', got {keep!r}")
     if bounds is None:
         bounds = asof_bounds(log, ts_col, fraction)
+    # null timestamps order before every real event (the fold's struct
+    # ordering puts nulls first), so they belong to the PREFIX — a bare
+    # `<=`/`>` pair would drop them from BOTH slices and the cutover
+    # invariant prefix ∪ suffix = log would silently break
     cond = (
-        F.col(ts_col) <= F.col("_as_of")
+        F.col(ts_col).isNull() | (F.col(ts_col) <= F.col("_as_of"))
         if keep == "prefix"
-        else F.col(ts_col) > F.col("_as_of")
+        else F.col(ts_col).isNotNull() & (F.col(ts_col) > F.col("_as_of"))
     )
     return log.crossJoin(F.broadcast(bounds)).where(cond).drop("_as_of")
 

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: time-unit → microseconds multiplier (TimeseriesTransformer.java:59-85)
-_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1 / 1_000}
+#: multiplier to microseconds for the units coarser-or-equal than µs;
+#: "ns" is the one divide-down unit and takes the exact-integer path below
+_UNIT_TO_US = {"s": 1_000_000, "ms": 1_000, "us": 1}
+_VALID_UNITS = (*_UNIT_TO_US, "ns")
 
 
 @dataclass
@@ -48,15 +51,27 @@ def timeseries_transform(df: DataFrame, cfg: TimeseriesConfig) -> DataFrame:
     ``_tags`` is emitted both as a proper map column and as a deterministic
     ``k=v,k=v`` string (``_tags_str``, tag order = config order) so results
     are comparable across engines."""
+    if cfg.time_unit not in _VALID_UNITS:
+        raise ValueError(
+            f"time_unit must be one of {sorted(_VALID_UNITS)}, "
+            f"got {cfg.time_unit!r}"
+        )
     if cfg.measurement_field:
         measurement = F.col(cfg.measurement_field).cast("string")
     else:
         measurement = F.lit(cfg.topic_literal)
-    mult = _UNIT_TO_US[cfg.time_unit]
-    if mult >= 1:
-        time_us = (F.col(cfg.time_field).cast("long") * F.lit(int(mult))).cast("long")
-    else:  # nanoseconds: integer division keeps exactness
-        time_us = (F.col(cfg.time_field).cast("long") / F.lit(1000)).cast("long")
+    src = df
+    if cfg.time_unit == "ns":
+        # exact INTEGER division (SQL `div`, Java-truncation parity with the
+        # reference's long/1000): Spark's `/` on longs goes through double,
+        # whose ~256 ns ulp at 1e18 silently shifts real epoch-ns stamps by
+        # up to a microsecond.  The value is staged under a safe name so no
+        # user column name needs escaping inside expr().
+        src = df.withColumn("__ts_ns__", F.col(cfg.time_field).cast("long"))
+        time_us = F.expr("`__ts_ns__` div 1000").cast("long")
+    else:
+        mult = _UNIT_TO_US[cfg.time_unit]
+        time_us = (F.col(cfg.time_field).cast("long") * F.lit(mult)).cast("long")
 
     tag_pairs = []
     for t in cfg.tag_fields:
@@ -76,12 +91,19 @@ def timeseries_transform(df: DataFrame, cfg: TimeseriesConfig) -> DataFrame:
     for c in cfg.field_cols:
         name = c.lower() if cfg.lowercase_fields else c
         out.append(F.col(c).alias(name))
-    return df.select(*out)
+    return src.select(*out)
 
 
 def to_tall_skinny(ts_df: DataFrame, field_cols: tuple[str, ...]) -> DataFrame:
     """One row per (key, field): the wide→tall layout used by timeseries
     stores; values unified to string (dynamic typing per the reference)."""
+    if not field_cols:
+        raise ValueError("to_tall_skinny requires at least one field column")
+    bad = [c for c in field_cols if "`" in c or "'" in c]
+    if bad:
+        # the names are interpolated into a stack() SQL expression; quoting
+        # metacharacters would need escaping the template itself
+        raise ValueError(f"to_tall_skinny: unsupported characters in {bad}")
     stack_expr = ", ".join(f"'{c}', cast(`{c}` as string)" for c in field_cols)
     return ts_df.select(
         "_measurement",
@@ -106,12 +128,14 @@ def sessionize(
     changelog feeds (the reference stores raw rows; session boundaries are
     the first question asked of them).
 
-    Gap math runs on exact integer microseconds via a tz-free
-    ``timestampdiff(MICROSECOND, epoch, cast(ts as timestamp_ntz))``
-    (DuckDB twin: ``epoch_us``) — no float epoch and no session-timezone
-    dependence, so the engines agree bit-for-bit at any precision whether
-    the source column is TIMESTAMP or TIMESTAMP_NTZ (parquet event logs
-    load as NTZ in Spark 4; see sources/synth.py for the same idiom).
+    Gap math runs on exact integer microseconds with no session-timezone
+    dependence: a TIMESTAMP (tz-aware) column uses ``unix_micros`` (pure
+    epoch arithmetic — casting it to NTZ would go through the session
+    wall clock, where a DST jump fakes a 60-minute gap shift), and an NTZ
+    column uses ``timestampdiff(MICROSECOND, epoch, ts)`` (DuckDB twin:
+    ``epoch_us``; parquet event logs load as NTZ in Spark 4 — see
+    sources/synth.py for the same idiom).  No float epoch either way, so
+    the engines agree bit-for-bit at any precision.
     ``id_col`` breaks equal-timestamp ties so session numbering is
     deterministic.
 
@@ -126,10 +150,13 @@ def sessionize(
     if gap_seconds <= 0:
         raise ValueError("gap_seconds must be positive")
     k = F.col(key_col)
-    us = F.expr(
-        f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
-        f"cast(`{ts_col}` as timestamp_ntz))"
-    )
+    if dict(df.dtypes).get(ts_col) == "timestamp":
+        us = F.unix_micros(F.col(ts_col))
+    else:
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', "
+            f"cast(`{ts_col}` as timestamp_ntz))"
+        )
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev_us = F.lag(us).over(w)
     is_new = (

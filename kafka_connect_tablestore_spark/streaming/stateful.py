@@ -49,7 +49,9 @@ def _update(
         n_events += len(pdf)
         n_deletes += int((pdf["op"] == "DELETE").sum())
         if len(pdf):
-            last_ts = max(last_ts, int(pdf["commit_ts"].max()))
+            m = pdf["commit_ts"].max()
+            if pd.notna(m):  # an all-null ts group must not int(NaN)-crash
+                last_ts = max(last_ts, int(m))
     state.update((n_events, n_deletes, last_ts))
     yield pd.DataFrame(
         [
