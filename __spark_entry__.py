@@ -2274,7 +2274,7 @@ FROM tagged WHERE split_a <> split_b
 """
 
 _SIMHASH_NEARDUP_SQL_TMPL = """
-WITH sh AS ({sim}),
+WITH sh AS ({sim} WHERE length(trim(text)) > 0),
 banded AS (
   SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS band_key
   FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
@@ -2309,7 +2309,7 @@ sh AS (SELECT doc_id, list_distinct({SHINGLES}) AS s FROM documents)
 SELECT doc_a, doc_b,
   round(
     len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
-    / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE,
+    / greatest(len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))), 1)::DOUBLE,
   4) AS jaccard
 FROM cand JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
 """
@@ -2471,7 +2471,7 @@ scored AS (
   SELECT c.doc_id, c.prior_id,
     round(
       len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
-      / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE,
+      / greatest(len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))), 1)::DOUBLE,
     4) AS j
   FROM cand c JOIN sh x ON c.doc_id = x.doc_id JOIN sh y ON c.prior_id = y.doc_id
 ),
@@ -2609,7 +2609,7 @@ SELECT d.doc_id,
   CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
   CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
   round(COALESCE(n_shared / CAST(n_shingles AS DOUBLE), 0.0), 4) AS contamination,
-  COALESCE(n_shared / CAST(n_shingles AS DOUBLE) >= 0.5, FALSE) AS contaminated
+  COALESCE(round(n_shared / CAST(n_shingles AS DOUBLE), 4) >= 0.5, FALSE) AS contaminated
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
@@ -3094,7 +3094,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM cand
   JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
   WHERE len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
-    / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE
+    / greatest(len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))), 1)::DOUBLE
     >= 0.8
 ),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
@@ -3123,7 +3123,7 @@ pairs AS (
   SELECT doc_a, doc_b FROM cand
   JOIN sh x ON cand.doc_a = x.doc_id JOIN sh y ON cand.doc_b = y.doc_id
   WHERE len(list_filter(x.s, e -> list_contains(y.s, e)))::DOUBLE
-    / (len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))))::DOUBLE
+    / greatest(len(x.s) + len(y.s) - len(list_filter(x.s, e -> list_contains(y.s, e))), 1)::DOUBLE
     >= 0.8
 ),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
@@ -3520,7 +3520,7 @@ best AS (
 SELECT vec_id,
   CASE WHEN s > -1.5 THEN round(s, 4) END AS best_cos,
   CASE WHEN s > -1.5 THEN bid END AS bench_id,
-  s >= {tau!r} AS contaminated
+  round(s, 4) >= {tau!r} AS contaminated
 FROM best WHERE rn = 1
 """
 

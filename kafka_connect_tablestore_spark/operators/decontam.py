@@ -85,7 +85,11 @@ def benchmark_overlap(
             F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
             F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("contamination"),
-            F.coalesce(ratio >= threshold, F.lit(False)).alias("contaminated"),
+            # verdict on the ROUNDED ratio so it is reproducible from the
+            # emitted contamination column (no tau-boundary contradiction)
+            F.coalesce(F.round(ratio, 4) >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )
 
@@ -136,9 +140,22 @@ def semantic_decontaminate(
             f"semantic_decontaminate: benchmark exceeds max_bench={max_bench}; "
             "shard the benchmark and OR the verdicts"
         )
+    dim = len(rows[0][vec_col])
     entries = []
     for r in rows:
         v = [float(x) for x in r[vec_col]]
+        if len(v) != dim:
+            raise ValueError(
+                f"semantic_decontaminate: ragged benchmark — vector "
+                f"{r[id_col]} has {len(v)} dims, expected {dim}"
+            )
+        if not all(math.isfinite(x) for x in v):
+            # inf/nan would render as 'infD'/'nanD' in the SQL literal and
+            # fail parsing — and a non-finite benchmark vector is garbage
+            raise ValueError(
+                f"semantic_decontaminate: non-finite value in benchmark "
+                f"vector {r[id_col]}"
+            )
         # left-fold sum + IEEE sqrt == the engines' fold, bit-for-bit
         acc = 0.0
         for x in v:
@@ -152,7 +169,23 @@ def semantic_decontaminate(
     bench_lit = "array(" + ", ".join(entries) + ")"
     c = corpus.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+        # a corpus vector whose length differs from the benchmark's would
+        # zip_with-null the dot product and come out contaminated=false —
+        # a contamination auditor must FAIL on dimension drift, not pass it
+        F.when(
+            F.size(F.col(vec_col)) == F.lit(dim),
+            F.col(vec_col).cast("array<double>"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_decontaminate: corpus vector dim "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != benchmark dim {dim}"),
+                )
+            )
+        )
+        .alias("cv"),
     ).withColumn(
         "cn",
         F.sqrt(
@@ -183,7 +216,9 @@ def semantic_decontaminate(
         F.col(id_col),
         F.when(valid, F.round(F.col("_best.s"), 4)).alias("best_cos"),
         F.when(valid, F.col("_best.b")).alias("bench_id"),
+        # verdict on the ROUNDED score (cross_neardup's determinism rule):
+        # the verdict must be reproducible from the emitted best_cos column
         F.coalesce(
-            F.col("_best.s") >= F.lit(float(tau)), F.lit(False)
+            F.round(F.col("_best.s"), 4) >= F.lit(float(tau)), F.lit(False)
         ).alias("contaminated"),
     )

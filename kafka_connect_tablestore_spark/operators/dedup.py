@@ -93,6 +93,19 @@ def minhash_signatures(
     return tmp.selectExpr(*cols)
 
 
+
+def _check_lsh_params(n_hashes: int, bands: int) -> None:
+    """``bands`` must divide ``n_hashes``: r = n_hashes/bands rows per band
+    defines the 1-(1-s^r)^b recall curve.  bands > n_hashes gives r=0 — an
+    empty band key shared by EVERY doc, i.e. an all-pairs N^2 join — and a
+    non-divisor silently bands on a prefix of the signature, deviating from
+    the planned s-curve."""
+    if bands < 1 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands must be a divisor of n_hashes in [1, n_hashes] "
+            f"(got n_hashes={n_hashes}, bands={bands})"
+        )
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -125,9 +138,11 @@ def minhash_lsh_pairs(
     materialized inside this call (``localCheckpoint``) and the signature
     cache is released before returning — nothing persists past the call, so
     a long-running driver invoking this per batch accretes no storage.
-    ``eager=False`` returns the fully-lazy plan and leaves the signature
-    cache pinned (caller owns the lifecycle).
+    ``eager=False`` returns the fully-lazy plan with the signature cache
+    pinned; the caller owns its lifecycle via the ``_sig_cache`` attribute
+    on the returned frame (``pairs._sig_cache.unpersist()`` once consumed).
     """
+    _check_lsh_params(n_hashes, bands)
     r = n_hashes // bands
     # Docs with no shingles (fewer than k words, or null text) must be
     # dropped — their all-null signatures would otherwise share one
@@ -195,6 +210,12 @@ def minhash_lsh_pairs(
         # frame no longer depends on sig.
         pairs = pairs.localCheckpoint(eager=True)
         sig.unpersist()
+    else:
+        # hand the caller the cache it now owns: without a handle the only
+        # release tool would be spark.catalog.clearCache() (which nukes
+        # unrelated caches), and per-batch callers would accrete one pinned
+        # signature cache per call
+        pairs._sig_cache = sig
     return pairs
 
 
@@ -261,9 +282,16 @@ def ngram_jaccard_pairs(
             "doc_b",
             (
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / (
-                    F.size("sh_a") + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                # greatest(...,1): a candidate pair whose verify-side
+                # shingle sets are BOTH empty (caller k larger than the
+                # candidate gate, or external candidates) scores 0.0
+                # instead of NaN-dividing 0/0
+                / F.greatest(
+                    (
+                        F.size("sh_a") + F.size("sh_b")
+                        - F.size(F.array_intersect("sh_a", "sh_b"))
+                    ),
+                    F.lit(1),
                 ).cast("double")
             ).alias("jaccard"),
         )
@@ -341,6 +369,7 @@ def _banded_rows(
 ) -> DataFrame:
     """Banded signature rows ``(id, band, band_key, h0..h{n-1})`` — the LSH
     index row format shared by the batch join and the persisted index."""
+    _check_lsh_params(n_hashes, bands)
     r = n_hashes // bands
     sig = minhash_signatures(
         df.where(F.size(words(text_col)) >= 3), text_col, id_col, n_hashes
@@ -428,7 +457,6 @@ def incremental_lsh_pairs(
     ensure_index_params(index_path, {"n_hashes": n_hashes, "bands": bands})
     new_rows = _banded_rows(new_docs, text_col, id_col, n_hashes, bands)
     idx = spark.read.parquet(index_path)
-    h = [f"h{j}" for j in range(n_hashes)]
 
     def score(a, b):
         return sum(
@@ -505,6 +533,11 @@ def simhash_neardup_pairs(
     # split 32 bits into n_bands contiguous bands, widths as equal as
     # possible (remainder spread over the low bands)
     base_w, extra = divmod(32, n_bands)
+    # Degenerate docs (null / whitespace-only text) all share one simhash
+    # (every per-bit aggregate sees no words), so without this filter they
+    # form a single quadratic band-bucket clique — the same hazard
+    # minhash_lsh_pairs filters with size(words) >= 3.
+    df = df.where(F.length(F.trim(F.col(text_col))) > 0)
     sig = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     bands = []
     bit = 0
@@ -1030,7 +1063,9 @@ def cross_neardup(
             F.col("prior_id"),
             F.round(
                 inter.cast("double")
-                / (F.size("_sh") + F.size("_psh") - inter).cast("double"),
+                / F.greatest(
+                    F.size("_sh") + F.size("_psh") - inter, F.lit(1)
+                ).cast("double"),
                 4,
             ).alias("_j"),
         )
@@ -1178,6 +1213,10 @@ def bloom_dedup(
         return verdict
     if prior is None:
         raise ValueError("verify=True needs the prior frame for the exact join")
+    # both the flagged and clean branches consume the verdict: materialize
+    # it once so the probe join + per-doc aggregate (and an inline bitset
+    # build) do not re-run per branch
+    verdict = verdict.localCheckpoint(eager=True)
     flagged = verdict.where("maybe_in_prior").select(id_col, "fp")
     prior_fp = (
         prior.select(doc_fingerprint(text_col).alias("fp"))
@@ -1280,16 +1319,37 @@ def append_to_bloom_index(new_bits: DataFrame, path: str) -> None:
 
 
 def compact_bloom_index(spark, path: str) -> None:
-    """Rewrite the index to one row per word (atomic pointer-free rewrite:
-    read fully, then overwrite — run it from the single writer that owns
-    the index, the same discipline as the other six indexes)."""
-    compacted = (
-        spark.read.parquet(path)
+    """Rewrite the index to one row per word, crash-safely: the compacted
+    rows land in a ``.compact.tmp`` sibling, then the same two-rename swap
+    as ``index_maint.compact_index`` installs them — the live index is
+    never a write target, so a crash at any point leaves either the old or
+    the new index intact and ``index_maint.recover_compaction(path)``
+    repairs the leftover (the ``.meta`` sidecar lives OUTSIDE the data dir
+    and survives the swap untouched).  Run from the single writer that
+    owns the index, the same discipline as the other six indexes."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    old = base + ".old"
+    tmp = base + ".compact.tmp"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"{old} exists — a previous compaction crashed mid-swap; run "
+            "index_maint.recover_compaction(path) before compacting again"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # pre-swap crash leftover: never installed
+    (
+        spark.read.parquet(base)
         .groupBy("word_idx")
         .agg(F.bit_or("word").alias("word"))
-        .localCheckpoint(eager=True)  # sever lineage from the files being replaced
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
-    compacted.write.mode("overwrite").parquet(path)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
 
 
 def lsh_parameter_plan(
