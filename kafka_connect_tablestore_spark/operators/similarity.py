@@ -33,7 +33,43 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Zero-norm safe (NULL, never a divide): see :func:`_cosine`."""
+    return _cosine(_dot(a, b), _norm(a), _norm(b))
+
+
+def _cosine(dot, n1, n2):
+    """Cosine from a dot product and two norms, zero-norm safe: a zero
+    vector gets a NULL score (``try_divide`` — under ANSI mode plain
+    division RAISES on a zero divisor) and ``_rank_topk`` drops NULL
+    scores before ranking, so a zero vector can neither fail the job nor
+    occupy a top-k slot of an under-filled candidate set.  ``try_divide``
+    rather than a ``when`` guard: the operands here are often enormous
+    staged expressions (the PQ ADC fold), and a ``when`` would duplicate
+    them into the condition — measured as an analyzer heap blowup."""
+    return F.try_divide(dot, n1 * n2)
+
+
+def _rank_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """The ONE top-k epilogue shared by every ``*_topk`` operator: rank per
+    query by (score DESC, neighbor_id ASC — the deterministic tie rule the
+    DuckDB twins mirror), keep ``rank <= k``, NULL scores excluded.
+
+    The null exclusion rides ABOVE the window (nulls ordered last, then
+    filtered together with the rank bound): a pre-window ``isNotNull``
+    filter would be pushed below the scored projection, inlining the score
+    expression — for PQ, the entire staged ADC fold — into the predicate
+    (measured: analyzer heap blowup; the same pushdown-inlining hazard as
+    the LSH signature filter note)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc_nulls_last(), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= k) & F.col(score_col).isNotNull())
+        .select("query_id", "rank", "neighbor_id", score_col)
+    )
 
 
 def brute_force_topk(
@@ -68,20 +104,11 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _rank_topk(scored, k, "cos_sim")
 
 
 def hyperplane_components(
@@ -185,20 +212,13 @@ def ann_lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos_sim"),
         )
     )
     if probe_bits > 0:
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _rank_topk(scored, k, "cos_sim")
 
 
 def ivf_assign(vec_col, centroids: list[list[float]]):
@@ -323,6 +343,10 @@ def train_ivf_centroids(
     import numpy as np
 
     sample = trainer_sample_plan(df, sample_size, id_col, vec_col).collect()
+    if not sample:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — no vectors to train on"
+        )
     x = np.asarray([r["v"] for r in sample], dtype=np.float64)
     # spherical k-means: the ANN metric is cosine, so cluster DIRECTIONS —
     # train on unit vectors and re-normalize centroids each round.  Unit
@@ -413,7 +437,7 @@ def ann_ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos_sim"),
         )
         # no dedup: each corpus vector lives in exactly ONE cell and a
@@ -421,12 +445,7 @@ def ann_ivf_topk(
         # can occur at most once — a dropDuplicates here would be a no-op
         # costing a full shuffle of the candidate set
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _rank_topk(scored, k, "cos_sim")
 
 
 def knn_graph(
@@ -486,7 +505,7 @@ def knn_graph(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos_sim"),
         )
         # no dedup: each corpus vector lives in exactly ONE cell and a
@@ -494,14 +513,7 @@ def knn_graph(
         # can occur at most once — a dropDuplicates here would be a no-op
         # costing a full shuffle of the candidate set
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _rank_topk(scored, k, "cos_sim")
 
 
 # ------------------------------------------------ persisted IVF inverted file
@@ -648,7 +660,7 @@ def ann_ivf_indexed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+                _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4
             ).alias("cos_sim"),
         )
         # no dedup: each corpus vector lives in exactly ONE cell and a
@@ -656,12 +668,7 @@ def ann_ivf_indexed_topk(
         # can occur at most once — a dropDuplicates here would be a no-op
         # costing a full shuffle of the candidate set
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
-    )
+    return _rank_topk(scored, k, "cos_sim")
 
 
 # --------------------------------------------------- product quantization
@@ -704,14 +711,23 @@ def train_pq_codebooks(
             df.where(F.col(id_col).isin(first_ids)).collect(),
             key=lambda r: r[id_col],
         )
-        short = [r[id_col] for r in rows if len(r[vec_col]) < dim]
+        short = [
+            r[id_col]
+            for r in rows
+            if r[vec_col] is None
+            or len(r[vec_col]) < dim
+            or any(x is None for x in r[vec_col][:dim])
+        ]
         if short:
             # a shorter vector would yield ragged codebook rows and
             # downstream pq_encode's zip_with would null-pad, producing
             # NULL codes/scores silently — fail loudly instead (mirrors
             # the explicit dim % m check above)
+            # len() alone misses residual vectors: zip_with null-PADS a
+            # short vector to exactly dim elements, so the tail is None
             raise ValueError(
-                f"train='first' vectors shorter than dim={dim}: ids {short[:5]}"
+                f"train='first' vectors shorter than dim={dim} "
+                f"(or null-padded): ids {short[:5]}"
             )
         vecs = [[float(x) for x in r[vec_col]][:dim] for r in rows]
         return [
@@ -720,6 +736,23 @@ def train_pq_codebooks(
     import numpy as np
 
     sample = trainer_sample_plan(df, sample_size, id_col, vec_col).collect()
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty corpus — nothing to train on")
+    bad = [
+        i
+        for i, r in enumerate(sample)
+        if r["v"] is None
+        or len(r["v"]) < dim
+        or any(x is None for x in r["v"][:dim])
+    ]
+    if bad:
+        # without this, a uniformly short corpus trains zero-width
+        # subspaces for the tail codebooks (every row encodes to code 0 —
+        # silent recall collapse), and mixed lengths crash inside numpy
+        raise ValueError(
+            f"train='kmeans' sampled vectors shorter than dim={dim} "
+            f"(or null-padded) at sample positions {bad[:5]}"
+        )
     x = np.asarray([r["v"][:dim] for r in sample], dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):
@@ -914,16 +947,9 @@ def ann_pq_topk(
     scored = staged.select(
         "query_id",
         "neighbor_id",
-        F.round(ip / (qn * rn), 4).alias("pq_cos"),
+        F.round(_cosine(ip, qn, rn), 4).alias("pq_cos"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "pq_cos")
-    )
+    return _rank_topk(scored, k, "pq_cos")
 
 
 def _pq_recon_norm(codes, codebooks: list[list[list[float]]]):
@@ -1192,14 +1218,9 @@ def ann_ivfpq_topk(
     scored = staged.select(
         "query_id",
         "neighbor_id",
-        F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
+        F.round(_cosine(ip, qn, F.col("rn")), 4).alias("pq_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "pq_cos")
-    )
+    return _rank_topk(scored, k, "pq_cos")
 
 
 def ann_ivfpq_indexed_topk(
@@ -1256,14 +1277,9 @@ def ann_ivfpq_indexed_topk(
     scored = staged.select(
         "query_id",
         "neighbor_id",
-        F.round(ip / (qn * F.col("rn")), 4).alias("pq_cos"),
+        F.round(_cosine(ip, qn, F.col("rn")), 4).alias("pq_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("pq_cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "pq_cos")
-    )
+    return _rank_topk(scored, k, "pq_cos")
 
 
 def embedding_neardup_pairs(
@@ -1333,12 +1349,80 @@ def embedding_neardup_pairs(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"c.{id_col}").alias("vec_b"),
             F.round(
-                _dot(F.col("a.v"), F.col("c.v")) / (F.col("a.n") * F.col("c.n")), 4
+                _cosine(_dot(F.col("a.v"), F.col("c.v")), F.col("a.n"), F.col("c.n")), 4
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def _greedy_source_elimination(
+    edges: DataFrame, remaining: DataFrame, max_iter: int, mode_label: str,
+    id_col: str,
+) -> DataFrame | None:
+    """The ONE source-elimination fixpoint shared by :func:`semantic_dedup`
+    and :func:`incremental_semantic_dedup` (two copies of a
+    correctness-critical loop would silently drift).  ``edges`` must be a
+    materialized (src, dst) dominance DAG and ``remaining`` the
+    checkpointed id-only frontier.  Per round: vertices still dominated
+    stay (semi-join on the in-edge set), kills are the dsts of
+    source-rooted edges; ``localCheckpoint`` truncates per-round lineage
+    and each round costs ONE eager job plus an ``isEmpty`` probe.  Returns
+    the union of per-round kill sets (duplicates possible — callers
+    ``distinct()``), or ``None`` when nothing was ever killed.  Updates
+    :func:`last_semantic_dedup_stats` and raises ``ConvergenceError`` when
+    the dominance-chain depth exceeds ``max_iter``."""
+    from kafka_connect_tablestore_spark.operators.clustering import (
+        ConvergenceError,
+    )
+
+    global _LAST_SEMANTIC_DEDUP_STATS
+    killed_rounds: list[DataFrame] = []
+    done = remaining.isEmpty()
+    rounds = 0
+    for _ in range(max_iter):
+        if done:
+            break
+        rounds += 1
+        active = edges.join(
+            remaining, edges["src"] == remaining[id_col], "left_semi"
+        ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
+        has_in = active.select(F.col("dst").alias(id_col))
+        # sources = remaining ∖ has_in are confirmed survivors; what they
+        # dominate dies: kills = dst of edges whose src has no in-edge
+        killed = active.join(
+            has_in.withColumnRenamed(id_col, "_in"),
+            active["src"] == F.col("_in"),
+            "left_anti",
+        ).select(F.col("dst").alias(id_col))
+        killed_rounds.append(killed)
+        # next frontier = still-dominated vertices minus the newly killed
+        remaining = (
+            remaining.join(has_in, id_col, "left_semi")
+            .join(killed, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        done = remaining.isEmpty()
+    _LAST_SEMANTIC_DEDUP_STATS = {
+        "mode": mode_label,
+        "rounds_executed": rounds,
+        "max_iter": max_iter,
+        "converged": bool(done),
+        "headroom": round(1.0 - rounds / max_iter, 4),
+    }
+    if not done:
+        raise ConvergenceError(
+            f"semantic dedup ({mode_label}) did not converge within "
+            f"max_iter={max_iter} (dominance-chain depth exceeds the round "
+            "budget; raise max_iter)"
+        )
+    if not killed_rounds:
+        return None
+    out = killed_rounds[0]
+    for k in killed_rounds[1:]:
+        out = out.unionByName(k)
+    return out
 
 
 def build_semantic_index(
@@ -1359,9 +1443,6 @@ def build_semantic_index(
     them forever."""
     from .index_maint import ensure_index_params
 
-    ensure_index_params(
-        path, {"threshold": threshold, "n_cells": n_cells}, overwrite=True
-    )
     if train == "kmeans":
         centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     else:
@@ -1369,8 +1450,15 @@ def build_semantic_index(
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(n_cells).collect()
         ]
+    # freeze the ACTUAL centroid count: a small corpus yields fewer than
+    # the requested n_cells, and incremental_semantic_dedup validates the
+    # sidecar against len(centroids) — freezing the request would hard-fail
+    # every later batch of a legitimately built index
+    ensure_index_params(
+        path, {"threshold": threshold, "n_cells": len(centroids)}, overwrite=True
+    )
     surv = semantic_dedup(
-        df, threshold, n_cells, id_col, vec_col, train=train
+        df, threshold, n_cells, id_col, vec_col, train=train, centroids=centroids
     ).where(F.col("is_survivor")).select(id_col)
     vd = F.col(vec_col).cast("array<double>")
     (
@@ -1425,9 +1513,6 @@ def incremental_semantic_dedup(
     schema for every new vector; ``kept_rows`` are index-format survivor
     rows ready for ``append``-mode parquet into the index once the batch
     commits."""
-    from kafka_connect_tablestore_spark.operators.clustering import (
-        ConvergenceError,
-    )
     from .index_maint import ensure_index_params
 
     ensure_index_params(
@@ -1458,11 +1543,26 @@ def incremental_semantic_dedup(
             & (F.col(f"i.{id_col}") != F.col(f"b.{id_col}")),
         )
         .where(
-            _dot(F.col("i.v"), F.col("b.v")) / (F.col("i.n") * F.col("b.n"))
+            _cosine(
+                _dot(F.col("i.v"), F.col("b.v")), F.col("i.n"), F.col("b.n")
+            )
             >= threshold
         )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
+        # id-only and tiny; materialized ONCE so the partition-pruned index
+        # scan + dominance join does not re-run for each of its three
+        # consumers (the edge build references `alive` on BOTH join sides,
+        # the frontier checkpoint, and the final verdict join)
+        .localCheckpoint(eager=True)
+    )
+    # fresh attribute ids: the checkpointed frame RETAINS the exprIds it
+    # inherited from `batch`, and with the lineage severed the later
+    # batch-side joins would see the same id on two unrelated plans
+    # ("key not found" in the optimizer); an expression alias mints new ids
+    id_type = dict(batch.dtypes)[id_col]
+    dominated_by_index = dominated_by_index.select(
+        F.col(id_col).cast(id_type).alias(id_col)
     )
     alive = batch.join(dominated_by_index, id_col, "left_anti")
     # stage 2: the greedy fixpoint among surviving batch vectors — same
@@ -1475,7 +1575,9 @@ def incremental_semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(
-            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+            _cosine(
+                _dot(F.col("a.v"), F.col("b.v")), F.col("a.n"), F.col("b.n")
+            )
             >= threshold
         )
         .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
@@ -1483,47 +1585,11 @@ def incremental_semantic_dedup(
         .localCheckpoint(eager=True)
     )
     remaining = alive.select(id_col).localCheckpoint(eager=True)
-    killed_rounds = []
-    done = remaining.isEmpty()
-    rounds = 0
-    for _ in range(max_iter):
-        if done:
-            break
-        rounds += 1
-        active = edges.join(
-            remaining, edges["src"] == remaining[id_col], "left_semi"
-        ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
-        has_in = active.select(F.col("dst").alias(id_col))
-        killed = active.join(
-            has_in.withColumnRenamed(id_col, "_in"),
-            active["src"] == F.col("_in"),
-            "left_anti",
-        ).select(F.col("dst").alias(id_col))
-        killed_rounds.append(killed)
-        remaining = (
-            remaining.join(has_in, id_col, "left_semi")
-            .join(killed, id_col, "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        done = remaining.isEmpty()
-    global _LAST_SEMANTIC_DEDUP_STATS
-    _LAST_SEMANTIC_DEDUP_STATS = {
-        "mode": "incremental",
-        "rounds_executed": rounds,
-        "max_iter": max_iter,
-        "converged": bool(done),
-        "headroom": round(1.0 - rounds / max_iter, 4),
-    }
-    if not done:
-        raise ConvergenceError(
-            f"incremental_semantic_dedup did not converge within "
-            f"max_iter={max_iter}"
-        )
-    killed_all = (
-        killed_rounds[0] if killed_rounds else batch.select(id_col).limit(0)
+    killed_all = _greedy_source_elimination(
+        edges, remaining, max_iter, "incremental", id_col
     )
-    for k in killed_rounds[1:]:
-        killed_all = killed_all.unionByName(k)
+    if killed_all is None:
+        killed_all = batch.select(id_col).limit(0)
     dead = (
         dominated_by_index.unionByName(killed_all)
         .distinct()
@@ -1583,6 +1649,7 @@ def semantic_dedup(
     train: str = "first",
     mode: str = "greedy",
     max_iter: int = 50,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: quantize the embedding space
     into ``n_cells`` cells, then within each cell run the greedy keep-scan
@@ -1621,15 +1688,18 @@ def semantic_dedup(
     """
     if mode not in ("greedy", "dominance"):
         raise ValueError(f"mode must be 'greedy' or 'dominance', got {mode!r}")
-    if train == "kmeans":
-        centroids = train_ivf_centroids(
-            df, n_cells, id_col=id_col, vec_col=vec_col
-        )
-    else:
-        centroids = [
-            [float(x) for x in r[vec_col]]
-            for r in df.orderBy(id_col).limit(n_cells).collect()
-        ]
+    if centroids is None:
+        # precomputed centroids (build_semantic_index passes its own) skip
+        # a duplicate trainer pass — count + gated scan + collect + Lloyd
+        if train == "kmeans":
+            centroids = train_ivf_centroids(
+                df, n_cells, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            centroids = [
+                [float(x) for x in r[vec_col]]
+                for r in df.orderBy(id_col).limit(n_cells).collect()
+            ]
     vd = F.col(vec_col).cast("array<double>")
     assigned = df.select(
         F.col(id_col),
@@ -1645,7 +1715,9 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(
-            _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+            _cosine(
+                _dot(F.col("a.v"), F.col("b.v")), F.col("a.n"), F.col("b.n")
+            )
             >= threshold
         )
         .select(
@@ -1670,10 +1742,6 @@ def semantic_dedup(
             id_col, "cell", F.col("_dominated").isNull().alias("is_survivor")
         )
 
-    from kafka_connect_tablestore_spark.operators.clustering import (
-        ConvergenceError,
-    )
-
     # greedy: source-elimination fixpoint over the (materialized) edge DAG.
     # Invariant: every vertex ends either CONFIRMED (it became a source —
     # no in-edge among the then-remaining) or KILLED (dominated by a
@@ -1693,52 +1761,11 @@ def semantic_dedup(
     # two-join chain that is cheaper than eagerly persisting it.
     edges = edges.localCheckpoint(eager=True)
     remaining = cells.select(id_col).localCheckpoint(eager=True)
-    killed_rounds: list[DataFrame] = []
-    done = remaining.isEmpty()
-    rounds = 0
-    for _ in range(max_iter):
-        if done:
-            break
-        rounds += 1
-        active = edges.join(
-            remaining, edges["src"] == remaining[id_col], "left_semi"
-        ).join(remaining, edges["dst"] == remaining[id_col], "left_semi")
-        has_in = active.select(F.col("dst").alias(id_col))
-        # sources = remaining ∖ has_in are confirmed survivors; what they
-        # dominate dies: kills = dst of edges whose src has no in-edge
-        killed = active.join(
-            has_in.withColumnRenamed(id_col, "_in"),
-            active["src"] == F.col("_in"),
-            "left_anti",
-        ).select(F.col("dst").alias(id_col))
-        killed_rounds.append(killed)
-        # next frontier = still-dominated vertices minus the newly killed
-        remaining = (
-            remaining.join(has_in, id_col, "left_semi")
-            .join(killed, id_col, "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        done = remaining.isEmpty()
-    _LAST_SEMANTIC_DEDUP_STATS = {
-        "mode": "greedy",
-        "rounds_executed": rounds,
-        "max_iter": max_iter,
-        "converged": bool(done),
-        "headroom": round(1.0 - rounds / max_iter, 4),
-    }
-    if not done:
-        raise ConvergenceError(
-            f"semantic_dedup(mode='greedy') did not converge within "
-            f"max_iter={max_iter} (dominance-chain depth exceeds the round "
-            "budget; raise max_iter)"
-        )
-    killed_all = (
-        killed_rounds[0]
-        if killed_rounds
-        else cells.select(id_col).limit(0)
+    killed_all = _greedy_source_elimination(
+        edges, remaining, max_iter, "greedy", id_col
     )
-    for k in killed_rounds[1:]:
-        killed_all = killed_all.unionByName(k)
+    if killed_all is None:
+        killed_all = cells.select(id_col).limit(0)
     killed_all = killed_all.distinct().withColumn("_killed", F.lit(True))
     return cells.join(killed_all, id_col, "left").select(
         id_col, "cell", F.col("_killed").isNull().alias("is_survivor")
