@@ -1547,7 +1547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 LOG = f"log AS ({CHANGELOG_FROM_EVENTS_SQL})"
 
 #: canonical word/shingle/hash SQL fragments (must mirror functions/text.py)
-W = "string_split_regex(trim(lower(text)), '\\s+')"
+W = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
 H = lambda expr, seed: f"('0x' || substr(md5('{seed}|' || {expr}), 1, 15))::BIGINT"  # noqa: E731
 SHINGLES = (
     f"list_transform(generate_series(1, len({W}) - 2), "
@@ -1970,7 +1972,7 @@ FROM documents d LEFT JOIN blk b ON d.doc_id = b.doc_id
 _GOPHER_SQL = r"""
 WITH d AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(text)), '\s+') AS w,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS w,
          string_split(text, chr(10)) AS lines,
          text AS t
   FROM documents
@@ -2675,7 +2677,7 @@ FROM ppl CROSS JOIN th
 
 _MIXTURE_PLAN_SQL = """
 WITH tot AS (
-  SELECT source, CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+  SELECT source, CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''))) AS BIGINT)
     AS n_tokens
   FROM documents GROUP BY source
 )
@@ -3230,7 +3232,7 @@ FROM d
 _TOKEN_HISTOGRAM_SQL = f"""
 WITH t AS (SELECT len({W}) AS n FROM documents),
 b AS (
-  SELECT CASE WHEN n <= 0 THEN -1
+  SELECT CASE WHEN n IS NULL OR n <= 0 THEN -1
               ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT) END AS bucket
   FROM t
 ),
@@ -3463,7 +3465,7 @@ WITH aug AS (
   ) AS text FROM documents
 ), per_doc AS (
   SELECT doc_id,
-    string_split_regex(trim(lower(text)), '\\s+') AS w,
+    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w,
     round(CAST(len(string_split(text, chr(10)))
                - len(list_distinct(string_split(text, chr(10))))
           AS DOUBLE)
@@ -3477,7 +3479,7 @@ WITH aug AS (
           AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 4)
       AS dup_line_char_frac,
     greatest(length(array_to_string(
-      string_split_regex(trim(lower(text)), '\\s+'), ' ')), 1) AS cc
+      list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), ' ')), 1) AS cc
   FROM aug
 ), grams AS (
 {gram_selects}
@@ -3590,9 +3592,11 @@ v AS (SELECT cp, CAST(count(*) AS BIGINT) AS vocab_size
 t AS (SELECT cp, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len({W})) AS BIGINT) AS n_tokens
       FROM documents, cps WHERE doc_id <= cp GROUP BY cp)
-SELECT t.cp, n_docs, n_tokens,
+SELECT cps.cp,
+       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(vocab_size, 0) AS BIGINT) AS vocab_size
-FROM t LEFT JOIN v ON t.cp = v.cp
+FROM cps LEFT JOIN t ON cps.cp = t.cp LEFT JOIN v ON cps.cp = v.cp
 """,
         # per-doc shingle novelty: distinct doc×gram, global first-seen,
         # rollup — null-text docs re-enter with zeros via the left join

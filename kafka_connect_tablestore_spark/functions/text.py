@@ -26,8 +26,17 @@ STOPWORDS = {
 
 
 def words(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, EMPTY-SAFE: blank/whitespace-only text
+    yields ``[]``.  Spark's ``split('')`` is ``['']`` — one phantom empty
+    token that counted every empty doc as a 1-token doc, made
+    ``token_histogram``'s empty-doc bucket unreachable, and fed a ``''``
+    token into the unigram corpus model.  The DuckDB twin macro ``W``
+    mirrors the filter.  Null text stays null (``size`` → null-aware
+    consumers unchanged)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    return F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda x: x != F.lit("")
+    )
 
 
 def hash64(col: Column, seed: str) -> Column:
@@ -488,6 +497,13 @@ def perplexity_buckets(
     ]
     s = sorted(sample)
     n = len(s)
+    if n == 0:
+        # empty corpus: no thresholds to learn — emit the empty frame with
+        # the contracted schema instead of indexing into an empty sample
+        return ppl.select(
+            id_col, "n_words", "unigram_ppl",
+            F.lit(None).cast("int").alias("ppl_bucket"),
+        ).limit(0)
     thresholds = [
         s[min(n - 1, _math.ceil(b * n / n_buckets) - 1)]
         for b in range(1, n_buckets)
@@ -532,21 +548,25 @@ def bigram_perplexity(
     """
     from pyspark.sql import functions as F
 
-    w_ = words(text_col)
-    tok = df.select(F.col(id_col), F.explode(w_).alias("word"))
+    # materialize the word array ONCE per row (the minhash_signatures
+    # precedent): an inline words() inside the transform lambda re-runs
+    # trim/lower/split once per BIGRAM — O(n²) character work per doc
+    toks = df.select(F.col(id_col), words(text_col).alias("_w"))
+    wa = F.col("_w")
+    tok = toks.select(F.col(id_col), F.explode(wa).alias("word"))
     uni = tok.groupBy(F.col("word").alias("w2")).agg(
         F.count(F.lit(1)).alias("cu")
     )
     total = tok.agg(F.count(F.lit(1)).alias("n_total"))
     # map-side bigram construction: pair w[i-1] with w[i] without a join
     bigrams = F.transform(
-        F.slice(w_, 2, F.greatest(F.size(w_) - 1, F.lit(0))),
+        F.slice(wa, 2, F.greatest(F.size(wa) - 1, F.lit(0))),
         lambda cur, i: F.struct(
-            F.element_at(words(text_col), i + F.lit(1)).alias("w1"),
+            F.element_at(wa, i + F.lit(1)).alias("w1"),
             cur.alias("w2"),
         ),
     )
-    bg = df.select(F.col(id_col), F.explode(bigrams).alias("p")).select(
+    bg = toks.select(F.col(id_col), F.explode(bigrams).alias("p")).select(
         F.col(id_col), F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     dtf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
@@ -637,7 +657,9 @@ def token_histogram(df, text_col: str = "text", id_col: str = "doc_id"):
     size), and a 1-row broadcast total for the share column."""
     n = token_count(text_col)
     b = (
-        F.when(n <= 0, F.lit(-1))
+        # null-TEXT docs have a null token count (size(null array) is null
+        # under ANSI): they are empty docs, not a phantom NULL bucket
+        F.when(n.isNull() | (n <= 0), F.lit(-1))
         .otherwise(F.floor(F.log2(n.cast("double"))).cast("int"))
         .alias("bucket")
     )
@@ -1123,6 +1145,12 @@ def _train_bpe(df, text_col: str, n_merges: int):
             )
             .localCheckpoint(eager=True)
         )
+        if best.isEmpty():
+            # every word is fully merged before n_merges rounds: no pairs
+            # remain.  Stop — the crossJoin against a 0-row `best` would
+            # otherwise WIPE the vocab and every doc would segment to 0
+            # subwords downstream.
+            break
         merges = best if merges is None else merges.unionByName(best)
         a = F.split(F.col("pair"), " ")[0]
         b = F.split(F.col("pair"), " ")[1]
@@ -1264,9 +1292,16 @@ def vocab_growth(
             F.sum("_tok").cast("long").alias("n_tokens"),
         )
     )
-    return toks.join(vocab, "cp", "left").select(
-        "cp",
-        "n_docs",
-        "n_tokens",
-        F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+    # root the rollup at the checkpoint GRID, not the doc-side join: a
+    # checkpoint below the smallest doc id must report a 0/0/0 row, not
+    # silently vanish from the curve
+    return (
+        cps.join(toks, "cp", "left")
+        .join(vocab, "cp", "left")
+        .select(
+            "cp",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+        )
     )

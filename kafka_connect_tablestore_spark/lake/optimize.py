@@ -67,10 +67,12 @@ def zorder_value(
     per column."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    buckets = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, relative_error)
-        buckets.append(_rank_bucket(F.col(c), bounds))
+    # ONE multi-column approxQuantile action — the per-column form runs a
+    # full input scan per column, multiplying compaction I/O by len(cols)
+    all_bounds = df.approxQuantile(list(cols), probs, relative_error)
+    buckets = [
+        _rank_bucket(F.col(c), bounds) for c, bounds in zip(cols, all_bounds)
+    ]
     return _interleave(buckets, bits)
 
 
@@ -121,6 +123,15 @@ def file_skip_stats(
         .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
         .collect()
     )
-    hit = sum(1 for r in per_file if not (r["hi"] < lo or r["lo"] > hi))
+    # a file whose column is entirely NULL has no min/max — a range
+    # predicate can always skip it (NULLs never satisfy BETWEEN), and
+    # comparing None would TypeError
+    hit = sum(
+        1
+        for r in per_file
+        if r["lo"] is not None
+        and r["hi"] is not None
+        and not (r["hi"] < lo or r["lo"] > hi)
+    )
     return {"files": len(per_file), "files_hit": hit,
             "files_skipped": len(per_file) - hit}

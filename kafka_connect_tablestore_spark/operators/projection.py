@@ -29,7 +29,10 @@ def project_attributes(
     ``DefaultEventParser.java:320-329`` (absent field ⇒ not written)."""
     cols = [c for c in ENVELOPE if keep_envelope and c in df.columns]
     cols += list(config.pk_fields)
-    attrs = [c for c in df.columns if c not in cols]
+    # envelope names are NEVER attributes: with keep_envelope=False and no
+    # whitelist they would otherwise fall through into the attribute bag
+    # and the flag would be a no-op
+    attrs = [c for c in df.columns if c not in cols and c not in ENVELOPE]
     if config.column_whitelist is not None:
         attrs = [c for c in attrs if c in config.column_whitelist]
     return df.select(*cols, *attrs)
