@@ -404,9 +404,9 @@ def test_chunk_documents_short_doc_one_chunk(spark):
         (r["doc_id"], r["chunk_id"], r["n_words"], r["chunk_text"])
         for r in chunk_documents(df, max_words=8, stride=4).collect()
     }
-    # short doc: one whole chunk; empty text splits to [''] (1 "word"), the
-    # same convention every words()-based operator shares
-    assert got == {(1, 0, 3, "a b c"), (2, 0, 1, "")}
+    # short doc: one whole chunk; empty text is ZERO words (words() is
+    # empty-safe since the tenth review pass), one empty chunk
+    assert got == {(1, 0, 3, "a b c"), (2, 0, 0, "")}
 
 
 def test_chunk_documents_no_overlap_default_reconstructs(spark):
