@@ -71,7 +71,6 @@ class CdcEngine:
             return self._apply_batch_observed(classified, batch_id)
 
         clean, errant = split_errant(classified)
-        enforce_tolerance(errant, self.config)
 
         is_clean = F.col(ERROR_COL).isNull()
         stats = (
@@ -101,6 +100,15 @@ class CdcEngine:
         }
         touched = sorted({b for r in stats for b in r["buckets"] if b is not None})
         n_errant = sum(r["errant_rows"] for r in stats)
+        if n_errant and self.config.tolerance is RuntimeErrorTolerance.NONE:
+            # tolerance gate AFTER the stats pass, which already counted the
+            # errants — a standalone enforce_tolerance probe would re-scan
+            # the whole batch just to find zero errants on every clean
+            # batch, doubling the pre-merge scan budget the docstring
+            # promises.  The first-errant fetch (for the error message)
+            # only runs on the failing path.  Same abort semantics: raises
+            # before any DLQ write or merge.
+            enforce_tolerance(errant, self.config)
         if n_errant and self.config.tolerance is RuntimeErrorTolerance.ALL:
             self.table.append_dlq(dlq_rows(errant, self.config), batch_id)
         return self.table.merge_batch(clean, batch_id, lineage=lineage, touched=touched)

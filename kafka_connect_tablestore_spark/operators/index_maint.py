@@ -208,8 +208,13 @@ def compact_index(
         # oversize the shuffle well past the (partition, shard) combo count
         # so distinct combos rarely hash into the same task (a shared task
         # merges its combos' shards back into one file — harmless, but it
-        # defeats the write spreading this knob exists for)
-        n_vals = deduped.select(*part_cols).distinct().count()
+        # defeats the write spreading this knob exists for).  The combo
+        # count comes from the hive DIRECTORY names — free, no
+        # full-index distinct scan (this path exists precisely for indexes
+        # too large for one writer); after collapse_batches it
+        # over-estimates (old batch dirs still on disk), which only
+        # oversizes the shuffle further — harmless.
+        n_vals = _hive_partition_count(base, part_cols)
         n_tasks = max(1, n_vals * files_per_partition * 8)
         shaped = (
             deduped.withColumn(
@@ -238,6 +243,22 @@ def compact_index(
         "rows_before": rows_before,
         "rows_after": rows_after,
     }
+
+
+def _hive_partition_count(base: str, part_cols: list[str]) -> int:
+    """Distinct hive partition-value combos, counted from directory names
+    (driver-side listdir — no Spark job over the index)."""
+    paths = [base]
+    for c in part_cols:
+        nxt = []
+        for p in paths:
+            nxt += [
+                os.path.join(p, d)
+                for d in os.listdir(p)
+                if d.startswith(f"{c}=") and os.path.isdir(os.path.join(p, d))
+            ]
+        paths = nxt
+    return max(1, len(paths))
 
 
 def recover_compaction(path: str) -> str:

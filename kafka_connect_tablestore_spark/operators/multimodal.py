@@ -17,24 +17,12 @@ pruning)."""
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-#: (blob metadata) + payload — the multimodal table layout
-MEDIA_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("kind", T.StringType()),       # image | audio | video
-        T.StructField("mime", T.StringType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
-    ]
-)
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -60,16 +48,6 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         F.length(F.sha2(F.concat(F.lit(seed), F.col("id")), 256)).cast("long").alias("n_bytes"),
         F.sha2(F.concat(F.lit(seed), F.col("id")), 256).cast("binary").alias("payload"),
     )
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real image decode: dims + an 8-dim
-    feature derived from the payload digest."""
-    d = hashlib.sha256(payload).digest()
-    width = 32 + d[0] % 224
-    height = 32 + d[1] % 224
-    feature = [b / 255.0 for b in d[2:10]]
-    return width, height, feature
 
 
 def _pil_available() -> bool:
@@ -188,17 +166,35 @@ def image_dims_from_header(raw: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack("<HH", raw[6:10])
         return int(w), int(h)
     if len(raw) >= 26 and raw[:2] == b"BM":
-        w, h = struct.unpack("<ii", raw[18:26])
-        return int(w), int(abs(h))  # negative height = top-down DIB
+        (hdr_size,) = struct.unpack("<I", raw[14:18])
+        if hdr_size >= 40:  # BITMAPINFOHEADER and successors: 32-bit dims
+            w, h = struct.unpack("<ii", raw[18:26])
+            return int(w), int(abs(h))  # negative height = top-down DIB
+        if hdr_size == 12 and len(raw) >= 22:
+            # OS/2 BITMAPCOREHEADER: UNSIGNED 16-bit dims — fusing them
+            # into one 32-bit read returned garbage (w + h*65536)
+            w16, h16 = struct.unpack("<HH", raw[18:22])
+            return int(w16), int(h16)
+        return None
     if len(raw) >= 4 and raw[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 < len(raw):
             if raw[i] != 0xFF:
                 return None
             marker = raw[i + 1]
+            if marker == 0xFF:
+                # spec B.1.1.2: any number of 0xFF fill bytes may precede a
+                # marker — treating the fill as a segment misparsed valid
+                # files into a bogus skip and lost their dimensions
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI / start-of-scan: dimensions must appear before the
+                # entropy-coded data; nothing more to parse
+                return None
             seg_len = struct.unpack(">H", raw[i + 2 : i + 4])[0]
             # SOF0/1/2 (baseline/extended/progressive): height, width
             if marker in (0xC0, 0xC1, 0xC2):
@@ -206,6 +202,23 @@ def image_dims_from_header(raw: bytes) -> tuple[int, int] | None:
                 return int(w), int(h)
             i += 2 + seg_len
     return None
+
+
+def image_format_and_dims(raw: bytes) -> tuple[str | None, tuple[int, int] | None]:
+    """ONE magic-byte sniff + header parse for the image family — the
+    format list and the dimension parsers cannot drift apart (a format
+    sniffed here is exactly a format ``image_dims_from_header`` knows)."""
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        fmt = "png"
+    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+        fmt = "gif"
+    elif raw[:2] == b"BM":
+        fmt = "bmp"
+    elif raw[:2] == b"\xff\xd8":
+        fmt = "jpeg"
+    else:
+        fmt = None
+    return fmt, image_dims_from_header(raw) if fmt else None
 
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -226,9 +239,12 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
     unread).  Unrecognized payloads yield nulls — the S14-style errant
     contract for media."""
 
+    # NOTE distribution contract: this closure calls the module-level
+    # parsers (image_format_and_dims), so executors need the package on
+    # their python path (spark-submit --py-files), same as every other
+    # operator here; only decode_and_featurize's closure is deliberately
+    # self-contained.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct  # noqa: F401  (ships by value with closure)
-
         import pandas as _pd
 
         for pdf in batches:
@@ -248,17 +264,7 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
                     )
                     continue
                 raw = bytes(payload)
-                if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    fmt = "png"
-                elif raw[:6] in (b"GIF87a", b"GIF89a"):
-                    fmt = "gif"
-                elif raw[:2] == b"BM":
-                    fmt = "bmp"
-                elif raw[:2] == b"\xff\xd8":
-                    fmt = "jpeg"
-                else:
-                    fmt = None
-                dims = image_dims_from_header(raw)
+                fmt, dims = image_format_and_dims(raw)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -355,9 +361,13 @@ def mp4_metadata_from_header(raw: bytes) -> dict | None:
         for ctype, c0, c1 in boxes(raw, b0, b1):
             if ctype == b"mvhd" and c1 - c0 >= 20:
                 version = raw[c0]
-                if version == 1 and c1 - c0 >= 28:
-                    (tscale,) = struct.unpack(">I", raw[c0 + 12 : c0 + 16])
-                    (dur,) = struct.unpack(">Q", raw[c0 + 16 : c0 + 24])
+                if version == 1 and c1 - c0 >= 32:
+                    # v1 body: version/flags(4) + creation(8) +
+                    # modification(8) -> timescale at +20, duration(8) at
+                    # +24 (the v0-relative offsets read modification-time
+                    # bytes as the timescale)
+                    (tscale,) = struct.unpack(">I", raw[c0 + 20 : c0 + 24])
+                    (dur,) = struct.unpack(">Q", raw[c0 + 24 : c0 + 32])
                 else:
                     tscale, dur = struct.unpack(">II", raw[c0 + 12 : c0 + 20])
                 meta["timescale"] = tscale

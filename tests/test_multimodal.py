@@ -28,7 +28,10 @@ def gif_bytes(w: int, h: int) -> bytes:
 
 
 def bmp_bytes(w: int, h: int) -> bytes:
-    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 4
+    # file header (14 bytes) + a real BITMAPINFOHEADER size field (40) —
+    # the parser validates the DIB header size to tell 32-bit dims from
+    # the OS/2 core header's 16-bit ones
+    return b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h) + b"\x00" * 4
 
 
 def jpeg_bytes(w: int, h: int) -> bytes:
