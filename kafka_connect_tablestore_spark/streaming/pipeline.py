@@ -41,6 +41,11 @@ def _manifest_io(manifest_dir: str):
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, **fields}, f)
+            f.flush()
+            os.fsync(f.fileno())  # the marker gates replay: it must not
+            # survive LESS durably than the data it marks (power loss
+            # dropping a Bloom staged marker after the index append
+            # persisted would false-flag the whole replayed batch)
         os.replace(tmp, final)
 
     return committed, commit
@@ -55,6 +60,13 @@ def _start_query(
     processing_time: str | None,
 ) -> StreamingQuery:
     """The shared writeStream tail: foreachBatch + checkpoint + trigger."""
+    if available_now and processing_time:
+        raise ValueError(
+            "pass either processing_time (continuous trigger) with "
+            "available_now=False, or available_now=True (drain once) — "
+            "available_now would silently win and the stream would stop "
+            "after one drain instead of running every interval"
+        )
     writer = (
         stream_df.writeStream.foreachBatch(apply)
         .queryName(query_name)
@@ -188,7 +200,6 @@ def start_lsh_index_stream(
     band-partitioned index scan — the corpus text is never re-read, and the
     per-batch work is independent of corpus size except for the signature
     scan (bands × ~80 bytes/doc)."""
-    import json
     import os
 
     from kafka_connect_tablestore_spark.operators.dedup import (
@@ -272,7 +283,6 @@ def start_chunk_index_stream(
     PRECONDITION inherited from the batch operator: ids
     must arrive in monotone order across batches (the natural append-only
     ingest shape) for exact equality with the full-corpus recompute."""
-    import json
     import os
 
     from kafka_connect_tablestore_spark.operators.corpus import (
@@ -358,7 +368,6 @@ def start_fingerprint_index_stream(
     PRECONDITION inherited from the batch operator: monotone ids across
     batches (the natural append-only ingest shape) for exact equality
     with ``dedup_exact`` on the full corpus."""
-    import json
     import os
 
     from pyspark.sql import Window
@@ -496,11 +505,16 @@ def start_semantic_index_stream(
             _commit(batch_id, n_vecs=0, n_survivors=0)
             return
         spark = vecs.sparkSession
-        _ensure_index_params(
-            index_path, {"threshold": threshold, "n_cells": n_cells}
-        )
         slice_dir = os.path.join(verdicts_path, f"batch_id={batch_id}")
         if os.path.exists(centroids_file):
+            # validate against the frozen sidecar (batch 0 wrote it AFTER
+            # its own guards passed — freezing before the batch-0 n_vecs
+            # check would leave a sidecar for an index that was never
+            # built, and following the error's own advice then tripped a
+            # bogus params-mismatch)
+            _ensure_index_params(
+                index_path, {"threshold": threshold, "n_cells": n_cells}
+            )
             with open(centroids_file) as f:
                 centroids = json.load(f)
             per_vec, kept = incremental_semantic_dedup(
@@ -518,6 +532,10 @@ def start_semantic_index_stream(
                     f"{n_cells} vectors to train the cell centroids "
                     f"(got {n_vecs}); lower n_cells or enlarge batch 0"
                 )
+            # no pre-freeze here: build_semantic_index below writes the
+            # sidecar itself (overwrite=True) once it has the centroids —
+            # the guard above guarantees len(centroids) == n_cells so the
+            # incremental branch's validation matches on every later batch
             per_vec = semantic_dedup(
                 vecs, threshold, n_cells, id_col, vec_col, train="first"
             )
@@ -572,7 +590,6 @@ def start_view_maintenance_stream(
     version V — the equality the batch tests prove and this stream carries
     across micro-batches.
     """
-    import json
     import os
 
     from pyspark.sql import functions as F
@@ -675,7 +692,6 @@ def _make_bloom_apply(
     crash-replay protocol is directly testable: tests drive batches through
     it, delete a manifest to simulate a crash inside the append→commit
     window, and assert the replay's verdicts are untouched."""
-    import json
     import os
 
     from pyspark.sql import functions as F
@@ -713,6 +729,10 @@ def _make_bloom_apply(
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))
+            f.flush()
+            os.fsync(f.fileno())  # the marker disarms the re-probe on
+            # replay: it must never be LESS durable than the index append
+            # it authorizes
         os.replace(tmp, final)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -738,6 +758,18 @@ def _make_bloom_apply(
                 spark.read.parquet(slice_dir).where("maybe_in_prior").count()
             )
         elif meta_exists:
+            # validate-or-freeze like every other stream: a restart under a
+            # different (m_bits, k) would silently probe with the OLD
+            # position math while the operator believes the filter was
+            # resized — refuse with both parameter sets named
+            m_bits_idx, k_idx = _bloom_meta(index_path)
+            if (m_bits_idx, k_idx) != (m_bits, k):
+                raise ValueError(
+                    f"bloom index at {index_path} was built with "
+                    f"m_bits={m_bits_idx}, k={k_idx}; the stream was "
+                    f"restarted with m_bits={m_bits}, k={k} — rebuild at a "
+                    "fresh index path to change the filter geometry"
+                )
             verdicts, new_bits = incremental_bloom_dedup(
                 spark, index_path, docs, text_col, id_col
             )

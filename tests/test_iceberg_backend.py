@@ -28,21 +28,33 @@ def test_create_table_sql():
     assert sql == (
         "CREATE TABLE IF NOT EXISTS lake.repos "
         "(repo string, path string, commit string, stars long, "
-        "_ver_ts long, _ver_off long) USING iceberg "
+        "_deleted boolean, _ver_ts long, _ver_off long) USING iceberg "
         "PARTITIONED BY (bucket(64, repo))"
     )
 
 
-def test_merge_sql_covers_all_clauses():
+def test_create_table_sql_uses_configured_pk_types():
+    cfg = SinkConfig(pk_fields=("id", "path"), pk_types=("long", "string"), n_buckets=8)
+    sql = create_table_sql("lake.t", cfg, {})
+    assert "(id long, path string," in sql  # not hardcoded string
+
+
+def test_merge_sql_retains_tombstones_with_version_guard():
     sql = merge_sql("lake.repos", "src", SinkConfig(), ("commit", "lang", "content"))
     guard = "(t._ver_ts < s._ver_ts OR (t._ver_ts = s._ver_ts AND t._ver_off <= s._ver_off))"
     assert "MERGE INTO lake.repos t USING src s ON t.repo = s.repo AND t.path = s.path" in sql
-    assert f"WHEN MATCHED AND {guard} AND s._deleted THEN DELETE" in sql
+    # tombstones are RETAINED as flagged rows, never a physical DELETE: a
+    # physical delete erases the version the stale-replay guard compares,
+    # so a replayed old PUT would resurrect the key via NOT MATCHED INSERT
+    assert "THEN DELETE" not in sql
     assert f"WHEN MATCHED AND {guard} THEN UPDATE SET t.commit = s.commit" in sql
+    assert "t._deleted = s._deleted" in sql
     assert "t._ver_ts = s._ver_ts, t._ver_off = s._ver_off" in sql
-    assert "WHEN NOT MATCHED AND NOT s._deleted THEN INSERT" in sql
-    # the version guard must gate BOTH mutate clauses (stale-replay safety)
-    assert sql.count(guard) == 2
+    # tombstones for unseen keys INSERT too (they must exist to win the
+    # version comparison against a later stale replay)
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "_deleted" in sql.split("INSERT")[1]
+    assert sql.count(guard) == 1  # one guarded mutate clause remains
 
 
 def test_exactly_once_stamp_key_consistency():
