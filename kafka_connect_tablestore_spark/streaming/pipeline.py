@@ -475,6 +475,31 @@ def start_semantic_index_stream(
     for verdicts, once inside ``build_semantic_index``) — bounded, one-time,
     and kept in exchange for a single authoritative writer of the index
     row format."""
+    _apply = _make_semantic_apply(
+        index_path, verdicts_path, threshold, n_cells, id_col, vec_col
+    )
+
+    return _start_query(
+        vecs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
+    )
+
+
+def _make_semantic_apply(
+    index_path: str,
+    verdicts_path: str,
+    threshold: float,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Build the per-micro-batch apply function for the semantic index
+    stream.
+
+    Module-level (rather than a closure inside the stream starter) so the
+    batch-0 guard ordering is directly testable: a failed batch 0 (too few
+    vectors to train ``n_cells`` centroids) must NOT leave a params sidecar
+    behind — see ``start_semantic_index_stream``'s docstring for the full
+    protocol."""
     import json
     import os
 
@@ -549,9 +574,7 @@ def start_semantic_index_stream(
             n_surv = spark.read.parquet(slice_dir).where("is_survivor").count()
         _commit(batch_id, n_vecs=n_vecs, n_survivors=n_surv)
 
-    return _start_query(
-        vecs_stream, _apply, checkpoint_dir, query_name, available_now, processing_time
-    )
+    return _apply
 
 
 def start_view_maintenance_stream(
