@@ -28,6 +28,71 @@ def _dot(a, b):
     )
 
 
+def _fold_dot(a, b) -> float:
+    """Driver-side twin of :func:`_dot` — the identical IEEE-754 left fold
+    ``((0.0 + a0·b0) + a1·b1) + ...`` in python floats (doubles), so a
+    constant subexpression over two LITERAL vectors can be computed once at
+    plan-build time and shipped as a literal that is bit-identical to what
+    the Catalyst fold would produce per row.  Replacing a per-row
+    ``_dot(lit, lit)`` (a 16-64 element interpreted fold, re-evaluated per
+    array element when it sits inside a higher-order-function lambda) with
+    a literal lookup is the single biggest constant-factor win in the PQ
+    family (guide §1.2 step 2: per-task work)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def _lit_vec(xs) -> "F.Column":
+    """``array<double>`` literal built by the SQL parser in ONE py4j call.
+    ``F.lit(list)`` constructs the tree element-by-element over py4j —
+    measured ~0.2-0.5 s of pure driver time per ~1k floats, paid at EVERY
+    plan build (the bench times construction; guide §1 'measure first'
+    caught it).  The parser form is ~100x cheaper and yields the same
+    Literal: ``repr(float)`` is shortest-roundtrip and both Python and the
+    JVM parse decimal strings correctly rounded, so values are
+    bit-identical."""
+    if not xs:
+        return F.lit([]).cast("array<double>")
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
+def _lit_mat(rows) -> "F.Column":
+    """``array<array<double>>`` literal via the SQL parser — see
+    :func:`_lit_vec`."""
+    if not rows:
+        return F.lit([]).cast("array<array<double>>")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
+def _let(bindings: dict, body) -> "F.Column":
+    """Evaluate each binding expression ONCE per row and hand the values to
+    ``body`` as lambda variables (cheap struct-field reads).
+
+    Spark higher-order functions re-evaluate every non-lambda-variable
+    subtree of their function argument PER ARRAY ELEMENT — e.g.
+    ``transform(cb, c -> (vv - 2*dot(vj, c)))`` pays the full ``vv`` and
+    ``vj`` folds |cb| times per row.  Binding them through a one-element
+    ``transform`` makes them lambda variables, evaluated once.  Unlike a
+    staged projection this cannot be undone by CollapseProject (which
+    inlines single-use aliases back into the consumer), and it needs no
+    access to the enclosing DataFrame.  Values and null semantics are
+    unchanged — the wrapper only changes HOW OFTEN subtrees evaluate."""
+    keys = list(bindings)
+    s = F.struct(*[bindings[k].alias(k) for k in keys])
+    return F.element_at(
+        F.transform(F.array(s), lambda t: body(**{k: t[k] for k in keys})), 1
+    )
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -150,13 +215,18 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int = 16, seed: str = "ls
     whole stage to interpreted mode."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = F.slice(v.cast("array<double>"), 1, dim)
-    planes = F.lit(hyperplane_components(n_planes, dim, seed))
-    bits = F.transform(
-        planes,
-        # 2^i is exact in double for i < 53, so the cast is lossless
-        lambda p, i: F.when(
-            _dot(vd, p) > 0, F.pow(F.lit(2.0), i).cast("int")
-        ).otherwise(F.lit(0)),
+    planes = _lit_mat(hyperplane_components(n_planes, dim, seed))
+    # vd is let-bound: inside the per-plane lambda the slice+cast would
+    # re-evaluate per plane (n_planes array allocations per row)
+    bits = _let(
+        {"xv": vd},
+        lambda xv: F.transform(
+            planes,
+            # 2^i is exact in double for i < 53, so the cast is lossless
+            lambda p, i: F.when(
+                _dot(xv, p) > 0, F.pow(F.lit(2.0), i).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
     )
     return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
 
@@ -239,10 +309,29 @@ def ivf_assign(vec_col, centroids: list[list[float]]):
     dim."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = v.cast("array<double>")
-    vv = _dot(vd, vd)
-    cent = F.lit([[float(x) for x in c] for c in centroids])
-    darr = F.transform(cent, lambda c: (vv - F.lit(2.0) * _dot(vd, c)) + _dot(c, c))
-    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    cents = [[float(x) for x in c] for c in centroids]
+    cent = _lit_mat(cents)
+    # <c,c> is constant per centroid: computed ONCE at plan build with the
+    # identical IEEE fold (`_fold_dot`), zipped in as a literal — the
+    # summation (vv - 2<v,c>) + cc keeps the exact association order, so
+    # distances (and argmin ties) are bit-identical to the inline form.
+    ccl = _lit_vec([_fold_dot(c, c) for c in cents])
+    # vd and vv are let-bound: inside the per-centroid lambda they would
+    # re-evaluate per centroid (n_cells x a dim-length fold per row).
+    return _let(
+        {"xv": vd},
+        lambda xv: _let(
+            {"vv": _dot(xv, xv)},
+            lambda vv: _let(
+                {
+                    "d": F.zip_with(
+                        cent, ccl, lambda c, k: (vv - F.lit(2.0) * _dot(xv, c)) + k
+                    )
+                },
+                lambda d: F.array_position(d, F.array_min(d)) - 1,
+            ),
+        ),
+    ).cast("int")
 
 
 def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
@@ -255,13 +344,22 @@ def ivf_probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
     independent of n_cells × dim)."""
     v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
     vd = v.cast("array<double>")
-    vv = _dot(vd, vd)
-    cent = F.lit([[float(x) for x in c] for c in centroids])
-    entries = F.transform(
-        cent,
-        lambda c, i: F.struct(
-            ((vv - F.lit(2.0) * _dot(vd, c)) + _dot(c, c)).alias("d"),
-            i.cast("int").alias("i"),
+    cents = [[float(x) for x in c] for c in centroids]
+    cent = _lit_mat(cents)
+    ccl = _lit_vec([_fold_dot(c, c) for c in cents])  # see ivf_assign
+    entries = _let(
+        {"xv": vd},
+        lambda xv: _let(
+            {"vv": _dot(xv, xv)},
+            lambda vv: F.transform(
+                cent,
+                lambda c, i: F.struct(
+                    (
+                        (vv - F.lit(2.0) * _dot(xv, c)) + F.element_at(ccl, i + 1)
+                    ).alias("d"),
+                    i.cast("int").alias("i"),
+                ),
+            ),
         ),
     )
     ranked = F.slice(F.sort_array(entries), 1, nprobe)
@@ -786,12 +884,21 @@ def _pq_subspace_dists(vd, j, codebooks):
     bit-equality; shared by :func:`pq_encode` and
     :func:`_pq_encode_staged` so the two paths cannot drift."""
     sub = len(codebooks[j][0])
-    vj = F.slice(vd, j * sub + 1, sub)
-    vv = _dot(vj, vj)
-    cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
-    # closure, not a default-kwarg lambda: the latter would read as 3-ary
-    # to PySpark's higher-order-function arity inspection
-    return F.transform(cb, lambda c: (vv - F.lit(2.0) * _dot(vj, c)) + _dot(c, c))
+    rows = [[float(x) for x in c] for c in codebooks[j]]
+    cb = _lit_mat(rows)
+    # <c,c> precomputed per codeword with the identical IEEE fold and let-
+    # bound vj/vv: the inline form re-evaluated the slice and both folds
+    # per CODEWORD (n_codes x per row) — see ivf_assign.
+    ccl = _lit_vec([_fold_dot(c, c) for c in rows])
+    return _let(
+        {"vj": F.slice(vd, j * sub + 1, sub)},
+        lambda vj: _let(
+            {"vv": _dot(vj, vj)},
+            lambda vv: F.zip_with(
+                cb, ccl, lambda c, k: (vv - F.lit(2.0) * _dot(vj, c)) + k
+            ),
+        ),
+    )
 
 
 def pq_encode(vec_col, codebooks: list[list[list[float]]]):
@@ -806,7 +913,12 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     codes = []
     for j in range(m):
         darr = _pq_subspace_dists(vd, j, codebooks)
-        codes.append((F.array_position(darr, F.array_min(darr)) - 1).cast("int"))
+        codes.append(
+            _let(
+                {"d": darr},
+                lambda d: F.array_position(d, F.array_min(d)) - 1,
+            ).cast("int")
+        )
     return F.array(*codes)
 
 
@@ -852,11 +964,17 @@ def _pq_score(qv, codes, codebooks):
     ip = None
     rn2 = None
     for j in range(m):
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        rows = [[float(x) for x in c] for c in codebooks[j]]
+        cb = _lit_mat(rows)
         cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
         qj = F.slice(qv, j * sub + 1, sub)
         term = _dot(qj, cw)
-        norm_term = _dot(cw, cw)
+        # |c|^2 is constant per codeword: literal lookup instead of a
+        # per-row fold (identical IEEE fold at plan build — `_fold_dot`)
+        norm_term = F.element_at(
+            _lit_vec([_fold_dot(c, c) for c in rows]),
+            F.element_at(codes, j + 1) + 1,
+        )
         ip = term if ip is None else ip + term
         rn2 = norm_term if rn2 is None else rn2 + norm_term
     return ip, F.sqrt(rn2)
@@ -885,18 +1003,29 @@ def _pq_score_staged(joined, codebooks, keep):
     sub = len(codebooks[0][0])
     cw_cols = [
         F.element_at(
-            F.lit([[float(x) for x in c] for c in codebooks[j]]),
+            _lit_mat(codebooks[j]),
             F.element_at(F.col("codes"), j + 1) + 1,
         ).alias(f"_cw{j}")
         for j in range(m)
     ]
-    staged = joined.select(*[F.col(c) for c in keep], F.col("qv"), *cw_cols)
+    # |c|^2 per selected codeword: a literal lookup on the stored code
+    # (identical IEEE fold at plan build) instead of a per-row dim/m fold
+    cc_cols = [
+        F.element_at(
+            _lit_vec([_fold_dot(c, c) for c in codebooks[j]]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ).alias(f"_cc{j}")
+        for j in range(m)
+    ]
+    staged = joined.select(
+        *[F.col(c) for c in keep], F.col("qv"), *cw_cols, *cc_cols
+    )
     ip = None
     rn2 = None
     for j in range(m):
         cw = F.col(f"_cw{j}")
         term = _dot(F.slice(F.col("qv"), j * sub + 1, sub), cw)
-        norm_term = _dot(cw, cw)
+        norm_term = F.col(f"_cc{j}")
         ip = term if ip is None else ip + term
         rn2 = norm_term if rn2 is None else rn2 + norm_term
     return staged, ip, F.sqrt(rn2)
@@ -958,9 +1087,12 @@ def _pq_recon_norm(codes, codebooks: list[list[list[float]]]):
     m = len(codebooks)
     rn2 = None
     for j in range(m):
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
-        cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
-        term = _dot(cw, cw)
+        # |c|^2 per codeword precomputed with the identical IEEE fold —
+        # the whole norm is m literal lookups per row, no folds
+        term = F.element_at(
+            _lit_vec([_fold_dot(c, c) for c in codebooks[j]]),
+            F.element_at(codes, j + 1) + 1,
+        )
         rn2 = term if rn2 is None else rn2 + term
     return F.sqrt(rn2)
 
@@ -980,10 +1112,44 @@ def _pq_recon_norm_with_centroid(codes, codebooks, centroid):
     sub = len(codebooks[0][0])
     rn2 = _dot(centroid, centroid)
     for j in range(m):
-        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
+        cb = _lit_mat(codebooks[j])
         cw = F.element_at(cb, F.element_at(codes, j + 1) + 1)
         cj = F.slice(centroid, j * sub + 1, sub)
         rn2 = rn2 + F.lit(2.0) * _dot(cj, cw) + _dot(cw, cw)
+    return F.sqrt(rn2)
+
+
+def _pq_recon_norm_residual(codes, codebooks, unit_cents, cell):
+    """:func:`_pq_recon_norm_with_centroid` with every fold over LITERAL
+    operands hoisted to plan build: |ĉ|², ⟨ĉ_j, c⟩ and |c|² only depend on
+    (cell, code_j), so they are precomputed with the identical IEEE fold
+    (`_fold_dot`) and shipped as lookup tables — per row the norm is
+    ~3m array lookups instead of 2m+1 sub-dim folds.  Bit-identical by the
+    shared fold order (the residual-twin test proves the whole chain);
+    kept as a separate function so the column-form original remains the
+    test's independent reconstruction."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    rn2 = F.element_at(
+        _lit_vec([_fold_dot(uc, uc) for uc in unit_cents]), cell + 1
+    )
+    for j in range(m):
+        cross = [
+            [
+                _fold_dot(uc[j * sub : (j + 1) * sub], cw)
+                for cw in codebooks[j]
+            ]
+            for uc in unit_cents
+        ]
+        cross_t = F.element_at(
+            F.element_at(_lit_mat(cross), cell + 1),
+            F.element_at(codes, j + 1) + 1,
+        )
+        ccw_t = F.element_at(
+            _lit_vec([_fold_dot(cw, cw) for cw in codebooks[j]]),
+            F.element_at(codes, j + 1) + 1,
+        )
+        rn2 = rn2 + F.lit(2.0) * cross_t + ccw_t
     return F.sqrt(rn2)
 
 
@@ -1056,6 +1222,7 @@ def _ivfpq_corpus_plan(
     train: str,
     encode: str,
     codebooks: list | None = None,
+    cells: list[int] | None = None,
 ):
     """The IVFADC encode pass as a (plan, codebooks) pair — shared by the
     persisted index build and the one-shot in-memory query: a map-only
@@ -1063,49 +1230,84 @@ def _ivfpq_corpus_plan(
     When ``codebooks`` is given (the incremental-append path) training is
     skipped and the batch is encoded under the index's fixed contract.
 
-    The chain is deliberately STAGED across selects: the residual and the
-    code array are bound as named columns, not inlined expressions.
-    Higher-order functions (``transform``/``zip_with``/``aggregate``)
-    evaluate interpreted, outside whole-stage codegen, and re-evaluate per
-    reference — ``pq_encode`` reads its input ~4× per subspace and the
-    stored-norm expression reads the code array twice per subspace, so
-    inlining the residual into both multiplies the per-row work ~50×
-    (minutes instead of seconds at dim=64).  Catalyst's CollapseProject
-    keeps the stages separate exactly because the aliases are expensive
-    and multiply-referenced."""
+    ``cells`` (one-shot query path): restrict the ENCODE to vectors whose
+    coarse cell is in the list.  Training (when requested) always sees the
+    full corpus — the contract is unchanged — but vectors outside the
+    probed cells can never become candidates, so PQ-encoding them is pure
+    waste; the filter sits between cell assignment and the encode, the
+    same partition-prune shape as ``ann_ivfpq_indexed_topk``.
+
+    The chain is deliberately STAGED across selects: the cell id, the
+    normalized vector and the residual are bound as named columns, not
+    inlined expressions.  Higher-order functions (``transform``/
+    ``zip_with``/``aggregate``) evaluate interpreted, outside whole-stage
+    codegen, and re-evaluate per reference — inlining the residual into
+    the encode multiplies the per-row work ~50× (minutes instead of
+    seconds at dim=64).  Catalyst's CollapseProject keeps the stages
+    separate because the aliases are expensive and multiply-referenced;
+    per-element re-evaluation INSIDE lambdas is handled by ``_let``."""
     vd = F.col(vec_col).cast("array<double>")
     cell = ivf_assign(F.col(vec_col), centroids)
     if encode == "residual":
-        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
-        carr = F.element_at(cl, cell + 1)
-        xs = F.slice(vd, 1, dim)
-        xn = _norm(xs)
-        uv = F.transform(
-            xs, lambda x: x / F.when(xn > 0, xn).otherwise(F.lit(1.0))
+        unit_cents = [_unit_list([float(x) for x in c][:dim]) for c in centroids]
+        cl = _lit_mat(unit_cents)
+        # x/|x| with the norm let-bound: the inline form re-evaluated the
+        # dim-length norm fold per ELEMENT (dim× per row)
+        uv = _let(
+            {"xs": F.slice(vd, 1, dim)},
+            lambda xs: _let(
+                {"xn": _norm(xs)},
+                lambda xn: F.transform(
+                    xs, lambda x: x / F.when(xn > 0, xn).otherwise(F.lit(1.0))
+                ),
+            ),
         )
-        resid = F.zip_with(uv, carr, lambda x, y: x - y)
-        staged = df.select(
-            F.col(id_col), cell.alias("cell"), resid.alias("_resid")
+        # stage the cell id FIRST so the residual reads it as a column —
+        # the single-select form evaluated ivf_assign twice per row (once
+        # for the output column, once inside the centroid lookup)
+        stage0 = df.select(
+            F.col(id_col), cell.alias("cell"), uv.alias("_uv")
         )
         if codebooks is None:
-            codebooks = train_pq_codebooks(
-                staged.select(F.col(id_col), F.col("_resid").alias(vec_col)),
-                m, n_codes, dim, id_col, vec_col, train,
+            resid_all = stage0.select(
+                F.col(id_col),
+                F.zip_with(
+                    F.col("_uv"),
+                    F.element_at(cl, F.col("cell") + 1),
+                    lambda x, y: x - y,
+                ).alias(vec_col),
             )
+            codebooks = train_pq_codebooks(
+                resid_all, m, n_codes, dim, id_col, vec_col, train,
+            )
+        if cells is not None:
+            stage0 = stage0.where(F.col("cell").isin([int(c) for c in cells]))
+        staged = stage0.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.col("_uv"),
+                F.element_at(cl, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ).alias("_resid"),
+        )
         dstage, codes_expr = _pq_encode_staged(
             staged, F.col("_resid"), codebooks, [F.col(id_col), F.col("cell")]
         )
         coded = dstage.select(F.col(id_col), "cell", codes_expr.alias("codes"))
-        rn = _pq_recon_norm_with_centroid(
-            F.col("codes"), codebooks, F.element_at(cl, F.col("cell") + 1)
+        rn = _pq_recon_norm_residual(
+            F.col("codes"), codebooks, unit_cents, F.col("cell")
         )
     else:
         if codebooks is None:
             codebooks = train_pq_codebooks(
                 df, m, n_codes, dim, id_col, vec_col, train
             )
+        stage0 = df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        if cells is not None:
+            stage0 = stage0.where(F.col("cell").isin([int(c) for c in cells]))
         dstage, codes_expr = _pq_encode_staged(
-            df, F.col(vec_col), codebooks, [F.col(id_col), cell.alias("cell")]
+            stage0, F.col(vec_col), codebooks, [F.col(id_col), F.col("cell")]
         )
         coded = dstage.select(F.col(id_col), "cell", codes_expr.alias("codes"))
         rn = _pq_recon_norm(F.col("codes"), codebooks)
@@ -1189,9 +1391,6 @@ def ann_ivfpq_topk(
             [float(x) for x in r[vec_col]]
             for r in df.orderBy(id_col).limit(n_cells).collect()
         ]
-    corpus, codebooks = _ivfpq_corpus_plan(
-        df, centroids, m, n_codes, dim, id_col, vec_col, train, encode
-    )
     vd = F.col(vec_col).cast("array<double>")
     qp = (
         queries.select(
@@ -1202,6 +1401,15 @@ def ann_ivfpq_topk(
         .withColumn("cell", F.explode(F.col("_probes")))
         .drop("_probes")
     )
+    # the query side is small by contract (it broadcasts below), so the
+    # probed-cell set is a bounded collect — exactly the partition-prune
+    # the indexed variant does; vectors outside these cells can never be
+    # candidates, so the corpus plan skips PQ-encoding them entirely
+    probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
+    corpus, codebooks = _ivfpq_corpus_plan(
+        df, centroids, m, n_codes, dim, id_col, vec_col, train, encode,
+        cells=probed,
+    )
     joined = corpus.join(F.broadcast(qp), ["cell"]).where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1209,7 +1417,7 @@ def ann_ivfpq_topk(
         joined, codebooks, ["query_id", "neighbor_id", "rn", "cell"]
     )
     if encode == "residual":
-        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
+        cl = _lit_mat([_unit_list([float(x) for x in c][:dim]) for c in centroids])
         ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
     qn = _norm(F.col("qv"))
     # no dedup: one cell per vector + distinct probe cells means a
@@ -1268,7 +1476,7 @@ def ann_ivfpq_indexed_topk(
         joined, codebooks, ["query_id", "neighbor_id", "rn", "cell"]
     )
     if meta.get("encode", "raw") == "residual":
-        cl = F.lit([_unit_list([float(x) for x in c][:dim]) for c in centroids])
+        cl = _lit_mat([_unit_list([float(x) for x in c][:dim]) for c in centroids])
         ip = ip + _dot(F.col("qv"), F.element_at(cl, F.col("cell") + 1))
     qn = _norm(F.col("qv"))
     # no dedup: one cell per vector + distinct probe cells means a
