@@ -91,19 +91,83 @@ ATTRS = ("commit", "lang", "content")
 CFG = SinkConfig(insert_mode=InsertMode.PUT, delete_mode=DeleteMode.ROW)
 
 
+#: memoized per-path input size — file METADATA (os.stat), recomputed per
+#: process; never caches any computed result
+_SCAN_BYTES: dict[str, int] = {}
+
+
+def _scan_bytes(path: str) -> int:
+    if path not in _SCAN_BYTES:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        _SCAN_BYTES[path] = total
+    return _SCAN_BYTES[path]
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.rstrip("b").endswith(suf):
+            raw, mult = raw.rstrip("b")[: -1], m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return default
+
+
+def _par(spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive parquet read (guide §2/§6): when the table fits in
+    fewer file-scan splits than the session has cores (the tiny-sf shape:
+    documents.parquet at sf0.1 is one 0.6 MB file → a ONE-task scan), every
+    map-heavy operator above it runs on a single core.  Repartition to the
+    default parallelism ONLY in that case — the probe is file metadata
+    (os.stat, no Spark job), the moved volume is bounded by
+    cores × maxPartitionBytes by construction, and at real scale the scan
+    already yields ≥ parallelism splits so this is plan-identical to a
+    bare read.  Round-robin repartition is deterministic under Spark's
+    sort-before-repartition default, and no registry query's result
+    depends on row order (the oracle hash is order-insensitive)."""
+    df = spark.read.parquet(path)
+    max_split = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    par = spark.sparkContext.defaultParallelism
+    splits = max(1, -(-_scan_bytes(path) // max_split))
+    if splits < par:
+        return df.repartition(par)
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT _par: the CDC family is aggregation/shuffle-bound
+    # (the fold's exchange re-distributes immediately), and the A/B sweep
+    # showed the extra round-robin exchange costs 0.2-0.7 s per query with
+    # no map-side win to offset it (OPTIMIZATION_r06.md "scan parallelism")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(spark: SparkSession, sf_dir: str, par: bool = True) -> DataFrame:
+    """``par=False`` keeps the bare scan for queries that are shuffle/agg-
+    bound right after the read — the A/B sweep in OPTIMIZATION_r06.md
+    showed the extra round-robin exchange costs ~0.1-0.4 s there, while
+    map-heavy operators gain 2-6x from `_par`."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    return _par(spark, path) if par else spark.read.parquet(path)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _par(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_urls(
+    spark: SparkSession, sf_dir: str, par: bool = True
+) -> DataFrame:
     """Documents with the deterministic URL synthesis shared by the
     url/domain query family (the corpus text carries no URLs of its own):
     every doc gains one URL on a subdomain of one of 13 ``site<k>.com``
@@ -111,7 +175,7 @@ def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc a URL under a ``.co.uk`` public suffix — mirrored verbatim in the
     DuckDB ``aug`` CTEs."""
     did = F.col("doc_id")
-    return _docs(spark, sf_dir).select(
+    return _docs(spark, sf_dir, par=par).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -376,7 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parse_key_value(df, cfg)
 
     def pipe_dedup_exact(spark, sf):
-        return dedup_exact(_docs(spark, sf))
+        return dedup_exact(_docs(spark, sf, par=False))
 
     def pipe_minhash_signatures(spark, sf):
         return minhash_signatures(_docs(spark, sf), n_hashes=8)
@@ -392,7 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         boilerplate guard; at sf0.01 this prunes the size-3 buckets, so
         the pair set is a strict subset of pipe_lsh_pairs)."""
         return minhash_lsh_pairs(
-            _docs(spark, sf), n_hashes=8, bands=4, max_bucket=2
+            _docs(spark, sf, par=False), n_hashes=8, bands=4, max_bucket=2
         ).select("doc_a", "doc_b", F.col("n_match").cast("long").alias("n_match"))
 
     def pipe_simhash(spark, sf):
@@ -410,7 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_connect_tablestore_spark.functions.text import stratified_sample
 
         return stratified_sample(
-            _docs(spark, sf).select("doc_id", "lang", "text"),
+            _docs(spark, sf, par=False).select("doc_id", "lang", "text"),
             "lang",
             {"en": 0.5, "de": 0.25, "fr": 0.1},
             "doc_id",
@@ -556,7 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipe_tfidf_topk(spark, sf):
         from kafka_connect_tablestore_spark.functions.text import tfidf_topk
 
-        return tfidf_topk(_docs(spark, sf), k=3)
+        return tfidf_topk(_docs(spark, sf, par=False), k=3)
 
     def pipe_unigram_ppl(spark, sf):
         from kafka_connect_tablestore_spark.functions.text import (
@@ -566,7 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_perplexity(_docs(spark, sf))
 
     def pipe_multimodal_features(spark, sf):  # mapInPandas plumbing (no SQL)
-        d = _docs(spark, sf).select(
+        d = _docs(spark, sf, par=False).select(
             F.col("doc_id").alias("media_id"),
             F.lit("image").alias("kind"),
             F.lit("application/octet-stream").alias("mime"),
@@ -690,14 +754,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pipe_mixture_sample(spark, sf):
         return mixture_sample(
-            _docs(spark, sf), "lang", {"en": 50, "zh": 20, "de": 20, "fr": 10}
+            _docs(spark, sf, par=False), "lang", {"en": 50, "zh": 20, "de": 20, "fr": 10}
         )
 
     def pipe_chunk_dedup(spark, sf):
         return chunk_dedup(_docs(spark, sf), chunk_words=4)
 
     def pipe_global_shuffle(spark, sf):
-        return global_shuffle(_docs(spark, sf), n_shards=16)
+        return global_shuffle(_docs(spark, sf, par=False), n_shards=16)
 
     def pipe_winnowing(spark, sf):
         from kafka_connect_tablestore_spark.operators.dedup import (
@@ -728,7 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_domain_stats,
         )
 
-        return url_domain_stats(_docs_with_urls(spark, sf))
+        return url_domain_stats(_docs_with_urls(spark, sf, par=False))
 
     def pipe_domain_cap(spark, sf):
         """Per-domain document caps over the same synthesized URLs as
@@ -776,7 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         count."""
         from kafka_connect_tablestore_spark.operators.corpus import url_dedup
 
-        d = _docs(spark, sf)
+        d = _docs(spark, sf, par=False)
         did = F.col("doc_id")
         g = F.floor(did / 4).cast("long")
         host = F.concat(
@@ -927,10 +991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_scorecard(_docs(spark, sf))
 
-    def _cross_split(spark, sf):
+    def _cross_split(spark, sf, par=True):
         """Parity split of documents: odd ids = the NEW crawl, even ids =
         the PRIOR corpus (deterministic, mirrored in the SQL twins)."""
-        d = _docs(spark, sf)
+        d = _docs(spark, sf, par=par)
         return (
             d.where(F.col("doc_id") % 2 == 1),
             d.where(F.col("doc_id") % 2 == 0),
@@ -943,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cross_dedup_exact,
         )
 
-        new, prior = _cross_split(spark, sf)
+        new, prior = _cross_split(spark, sf, par=False)
         return cross_dedup_exact(new, prior)
 
     def pipe_cross_neardup(spark, sf):
@@ -973,7 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         definitely new (no false negatives)."""
         from kafka_connect_tablestore_spark.operators.dedup import bloom_dedup
 
-        new, prior = _cross_split(spark, sf)
+        new, prior = _cross_split(spark, sf, par=False)
         return bloom_dedup(new, prior, m_bits=2048, k=2)
 
     def pipe_bloom_verified(spark, sf):
@@ -981,7 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the production composition; equals cross_dedup_exact bit-for-bit."""
         from kafka_connect_tablestore_spark.operators.dedup import bloom_dedup
 
-        new, prior = _cross_split(spark, sf)
+        new, prior = _cross_split(spark, sf, par=False)
         return bloom_dedup(new, prior, m_bits=2048, k=2, verify=True)
 
     def pipe_lsh_plan(spark, sf):
@@ -1026,7 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         occurrences)."""
         from kafka_connect_tablestore_spark.functions.text import bpe_segment
 
-        return bpe_segment(_docs(spark, sf), n_merges=5)
+        return bpe_segment(_docs(spark, sf, par=False), n_merges=5)
 
     def pipe_repetition_full(spark, sf):
         """Complete Gopher repetition table over pages synthesized with
@@ -1191,7 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         return mixture_plan(
-            _docs(spark, sf), {"src0": 6.0, "src1": 3.0, "src2": 1.0},
+            _docs(spark, sf, par=False), {"src0": 6.0, "src1": 3.0, "src2": 1.0},
             1_000_000, group_col="source",
         )
 
@@ -1382,7 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc vs total) — the incremental-crawl freshness score."""
         from kafka_connect_tablestore_spark.operators.dedup import ngram_novelty
 
-        return ngram_novelty(_docs(spark, sf), k=3)
+        return ngram_novelty(_docs(spark, sf, par=False), k=3)
 
     def pipe_split_leakage(spark, sf):
         """Cross-split contamination audit: LSH near-dup pairs (>= 6 of 8

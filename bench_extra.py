@@ -59,6 +59,8 @@ def main() -> None:
 
     q = em.queries()
     names = sys.argv[1:] or DEFAULT
+    if names == ["ALL"]:
+        names = sorted(q)
     tracker = spark.sparkContext.statusTracker()
     out = {}
     for name in names:

@@ -602,23 +602,48 @@ class LakeTable:
         ev = align_to_schema(
             src, new_schema, pk + ["commit_ts", "offset", "op", "_bucket"]
         )
-        merged = merge_into_state(
-            target, ev.drop("_bucket"), self.config, attr_fields, emit_meta=True
-        )
         sha = (
             content_sha256("content")
             if "content" in attr_fields
             else F.lit(None).cast("string")
         )
-        out = merged.withColumn(SHA_COL, F.when(~F.col("_deleted"), sha))
-        out = out.withColumn("_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets))
+        npart = min(self.config.n_buckets, max(len(touched), 1))
+        if self.config.fold_by_bucket:
+            # single-exchange fold (guide §2.4): repartition the unioned
+            # events ONCE by the lake bucket and group by (_bucket, pk) —
+            # HashPartitioning(_bucket) satisfies the aggregation's
+            # ClusteredDistribution(_bucket, pk), and the fold's output is
+            # already laid out for partitionBy(_bucket), so the writer adds
+            # no second exchange.  _bucket = hash(pk) % n never splits a
+            # key, so the groups are identical to a bare groupBy(pk).
+            tgt = (
+                None
+                if target is None
+                else target.withColumn(
+                    "_bucket",
+                    bucket_of(self.config.pk_fields, self.config.n_buckets),
+                )
+            )
+            merged = merge_into_state(
+                tgt, ev, self.config, attr_fields, emit_meta=True,
+                group_extra=("_bucket",), pre_partition=npart,
+            )
+            out = merged.withColumn(SHA_COL, F.when(~F.col("_deleted"), sha))
+        else:
+            merged = merge_into_state(
+                target, ev.drop("_bucket"), self.config, attr_fields,
+                emit_meta=True,
+            )
+            out = merged.withColumn(SHA_COL, F.when(~F.col("_deleted"), sha))
+            out = out.withColumn(
+                "_bucket", bucket_of(self.config.pk_fields, self.config.n_buckets)
+            ).repartition(npart, "_bucket")
 
         # --- copy-on-write: write only touched buckets ----------------------
         version = snap["version"] + 1
         snap_dir = os.path.join(self.dir, "data", f"snap{version:06d}")
         (
-            out.repartition(min(self.config.n_buckets, max(len(touched), 1)), "_bucket")
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )

