@@ -1104,6 +1104,12 @@ def _train_bpe(df, text_col: str, n_merges: int):
     the ``(word, cnt, syms)`` frame with ALL learned merges applied — the
     per-word segmentation table :func:`bpe_segment` joins back on."""
     sep = F.lit(BPE_SEP)
+    spark = df.sparkSession
+    # all checkpoints in the loop are LAZY: each round's winning-pair
+    # collect is the materializing action for the previous round's vocab,
+    # so a round costs ONE Spark job (the eager form paid three — best
+    # checkpoint, isEmpty probe, vocab checkpoint — plus a broadcast build
+    # for the crossJoin the literal pair now replaces).
     vocab = (
         df.select(F.explode(words(text_col)).alias("word"))
         .where((F.col("word") != "") & ~F.col("word").contains(BPE_SEP))
@@ -1117,9 +1123,9 @@ def _train_bpe(df, text_col: str, n_merges: int):
                 lambda i: F.substr(F.col("word"), i, F.lit(1)),
             ).alias("syms"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    merges = None
+    collected: list[tuple] = []
     for r in range(1, n_merges + 1):
         sy = F.col("syms")
         pair_list = F.when(
@@ -1131,29 +1137,26 @@ def _train_bpe(df, text_col: str, n_merges: int):
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        best = (
+        rows = (
             vocab.select("cnt", F.explode(pair_list).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("freq"))
             .orderBy(F.desc("freq"), F.asc("pair"))
             .limit(1)
-            .select(
-                F.lit(r).cast("int").alias("rank"),
-                "pair",
-                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("new_token"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        if best.isEmpty():
+        if not rows:
             # every word is fully merged before n_merges rounds: no pairs
-            # remain.  Stop — the crossJoin against a 0-row `best` would
-            # otherwise WIPE the vocab and every doc would segment to 0
-            # subwords downstream.
+            # remain.  Stop — folding a nonexistent pair would be a no-op
+            # but the round would still pay a full pass.
             break
-        merges = best if merges is None else merges.unionByName(best)
-        a = F.split(F.col("pair"), " ")[0]
-        b = F.split(F.col("pair"), " ")[1]
+        pair_s, freq = rows[0]["pair"], rows[0]["freq"]
+        collected.append((r, pair_s, pair_s.replace(" ", ""), freq))
+        # symbols never contain spaces (words() splits on whitespace), so
+        # the pair splits unambiguously; literal a/b let the fold constant-
+        # fold instead of re-splitting a joined column per row
+        a_s, b_s = pair_s.split(" ", 1)
+        a, b = F.lit(a_s), F.lit(b_s)
         folded = F.aggregate(
             F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
             F.element_at(sy, 1),
@@ -1163,10 +1166,16 @@ def _train_bpe(df, text_col: str, n_merges: int):
             ).otherwise(F.concat(acc, sep, s)),
         )
         vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .select("word", "cnt", F.split(folded, BPE_SEP).alias("syms"))
-            .localCheckpoint(eager=True)
+            vocab.select("word", "cnt", F.split(folded, BPE_SEP).alias("syms"))
+            .localCheckpoint(eager=False)
         )
+    merges = (
+        spark.createDataFrame(
+            collected, "rank int, pair string, new_token string, freq long"
+        )
+        if collected
+        else None
+    )
     return merges, vocab
 
 

@@ -164,7 +164,9 @@ def canonical_docs(
     scored = df.select(
         F.col(id_col), F.round(quality_col, 4).alias("quality")
     )
-    member = comp.join(scored, id_col)
+    # member feeds both the per-cluster argmax and the final join — lazy
+    # checkpoint so the clustering-output joins compute once, not twice
+    member = comp.join(scored, id_col).localCheckpoint(eager=False)
     best = member.groupBy("cluster_id").agg(
         F.max(
             F.struct(F.col("quality"), (-F.col(id_col)).alias("neg_id"))
@@ -215,14 +217,19 @@ def propagate_scores(
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
+    # all three up-front checkpoints are LAZY: localCheckpoint swaps the
+    # plan to a LogicalRDD immediately (so the expensive edge build — often
+    # a full k-NN graph — appears ONCE, not once per reference), while
+    # materialization piggybacks on the caller's first action instead of
+    # paying three blocking driver jobs here.
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ew = (
         e.join(deg, "_src")
         .select("_src", "_dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("_src").alias(id_col))
@@ -235,7 +242,7 @@ def propagate_scores(
             seeds.select(id_col, F.col(score_col).alias("_seed")), id_col, "left"
         )
         .select(id_col, F.coalesce("_seed", F.lit(0.0)).alias("_b"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s = base.select(id_col, F.col("_b").alias("_s"))
     for _ in range(n_iter):

@@ -739,6 +739,15 @@ def dup_span_coverage(
             F.col(id_col), F.col("_w"), F.posexplode(positions).alias("_i", "pos")
         )
         .select(F.col(id_col), "pos", hash64(gram, "dss").alias("_h"))
+        # grams feeds BOTH the document-frequency aggregate and the
+        # position probe below, and the two subtrees above the scan differ
+        # (partial agg vs project), so ReuseExchange cannot dedup them —
+        # without materialization the md5-per-window stage runs twice per
+        # query.  A LAZY localCheckpoint computes it once inside the
+        # query's own job and caches (id, pos, _h) rows only — ~1/30 of
+        # the text bytes; the ContextCleaner drops the blocks when the
+        # frame is released, and nothing persists across invocations.
+        .localCheckpoint(eager=False)
     )
     # countDistinct plans as a two-phase partial aggregate on (_h, id) —
     # one shuffle instead of the distinct-then-count pair, still skew-safe

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1384,12 +1386,63 @@ def ann_ivfpq_topk(
     4-decimal rounding and tie rule), proven by the equality test."""
     from pyspark.sql import Window
 
+    codebooks = None
     if train == "kmeans":
         centroids = train_ivf_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     else:
+        # ONE bounded collect serves both 'first' trainers: the coarse
+        # centroids are the first n_cells vectors and the codebooks are the
+        # (residuals of the) first n_codes vectors, so deriving the
+        # codebooks here replaces train_pq_codebooks' two extra Spark jobs
+        # (id-scan + isin-collect over the residual plan) with driver
+        # arithmetic that replays the EXACT expression-side math — fold
+        # order (`_fold_dot`), first-min argmin, slice-then-normalize —
+        # and is therefore bit-identical (the ivfpq equality tests and the
+        # DuckDB twin hold).
+        head = df.orderBy(id_col).limit(max(n_cells, n_codes)).collect()
         centroids = [
-            [float(x) for x in r[vec_col]]
-            for r in df.orderBy(id_col).limit(n_cells).collect()
+            [float(x) for x in r[vec_col]] for r in head[:n_cells]
+        ]
+        sub = dim // m
+        if dim % m != 0:
+            raise ValueError(f"dim={dim} must be divisible by m={m}")
+        train_rows = head[:n_codes]
+        short = [
+            r[id_col]
+            for r in train_rows
+            if r[vec_col] is None
+            or len(r[vec_col]) < dim
+            or any(x is None for x in r[vec_col][:dim])
+        ]
+        if short:
+            raise ValueError(
+                f"train='first' vectors shorter than dim={dim} "
+                f"(or null-padded): ids {short[:5]}"
+            )
+        if encode == "residual":
+            ucs = [_unit_list([float(x) for x in c][:dim]) for c in centroids]
+            ccs = [_fold_dot(c, c) for c in centroids]
+            vecs = []
+            for r in train_rows:
+                full = [float(x) for x in r[vec_col]]
+                # cell = first-min argmin of (vv - 2<v,c>) + <c,c> over the
+                # FULL vector — ivf_assign's exact expansion and tie rule
+                vv = _fold_dot(full, full)
+                dists = [
+                    (vv - 2.0 * _fold_dot(full, c)) + cc
+                    for c, cc in zip(centroids, ccs)
+                ]
+                cell = dists.index(min(dists))
+                xs = full[:dim]
+                # math.sqrt is correctly rounded (IEEE) like JVM Math.sqrt;
+                # `** 0.5` goes through pow and may differ in the last ulp
+                xn = math.sqrt(_fold_dot(xs, xs))
+                uv = [x / (xn if xn > 0 else 1.0) for x in xs]
+                vecs.append([a - b for a, b in zip(uv, ucs[cell])])
+        else:
+            vecs = [[float(x) for x in r[vec_col]][:dim] for r in train_rows]
+        codebooks = [
+            [v[j * sub : (j + 1) * sub] for v in vecs] for j in range(m)
         ]
     vd = F.col(vec_col).cast("array<double>")
     qp = (
@@ -1408,7 +1461,7 @@ def ann_ivfpq_topk(
     probed = sorted({r["cell"] for r in qp.select("cell").distinct().collect()})
     corpus, codebooks = _ivfpq_corpus_plan(
         df, centroids, m, n_codes, dim, id_col, vec_col, train, encode,
-        cells=probed,
+        codebooks=codebooks, cells=probed,
     )
     joined = corpus.join(F.broadcast(qp), ["cell"]).where(
         F.col("query_id") != F.col("neighbor_id")
