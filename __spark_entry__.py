@@ -1493,89 +1493,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(
-        # round-5 changes / previously gate-skipped --------------------------
-        pipe_split_leakage=pipe_split_leakage,      # r5 close3: new operator
-        pipe_hash_split=pipe_hash_split,            # r5 close2: new operator
-        pipe_blocklist=pipe_blocklist,              # r5 close2: new operator
-        cdc_bootstrap_handoff=cdc_bootstrap_handoff,  # r5 close: new operator
-        cdc_churn_stats=cdc_churn_stats,            # r5 close: new operator
-        pipe_len_quantiles=pipe_len_quantiles,      # r5 close: new operator
-        pipe_vocab_growth=pipe_vocab_growth,        # r5 close: new operator
-        pipe_novelty=pipe_novelty,                  # r5 close: new operator
-        cdc_point_in_time=cdc_point_in_time,        # r5: new operator (history)
-        cdc_replay_idempotent=cdc_replay_idempotent,  # r5: new operator (eo)
-        cdc_scd2_history=cdc_scd2_history,          # r5: new operator (history)
-        cdc_asof_enrich=cdc_asof_enrich,            # r5: new operator (history)
-        cdc_snapshot_diff=cdc_snapshot_diff,        # r5 final: attr_cols=() fix
-        pipe_dup_spans=pipe_dup_spans,              # r5: new operator (close)
-        pipe_bloom_dedup=pipe_bloom_dedup,          # r5: new operator (close)
-        pipe_lsh_plan=pipe_lsh_plan,                # r5: new operator (close)
-        pipe_doc_chunks=pipe_doc_chunks,            # r5: new operator (close)
-        pipe_cross_exact=pipe_cross_exact,          # r5: new operator (cont.)
-        pipe_cross_neardup=pipe_cross_neardup,      # r5: new operator (cont.)
-        pipe_bpe_merges=pipe_bpe_merges,            # r5: new operator (cont.)
-        pipe_bpe_train=pipe_bpe_train,              # r5: new operator (cont.)
-        pipe_bpe_apply=pipe_bpe_apply,              # r5: new operator (cont.)
-        pipe_repetition_full=pipe_repetition_full,  # r5: new operator (final)
-        pipe_c4_clean=pipe_c4_clean,                # r5: new operator (final)
-        pipe_lang_ngram=pipe_lang_ngram,            # r5: new operator (final)
-        pipe_quality_classifier=pipe_quality_classifier,  # r5: new (final)
-        pipe_semantic_decontam=pipe_semantic_decontam,    # r5: rounded verdict (review)
-        pipe_token_histogram=pipe_token_histogram,  # r5 review: empty-safe words()
-        pipe_knn_graph=pipe_knn_graph,              # r5 review: shared rank/try_divide
-        pipe_ppl_buckets=pipe_ppl_buckets,          # r5 review: empty-corpus guard
-        pipe_containment=pipe_containment,          # r5: new operator
-        pipe_boilerplate_strip=pipe_boilerplate_strip,  # r5: new operator
-        cdc_sessionize=cdc_sessionize,              # r5 review: tz-free gap math
-        pipe_bigram_ppl=pipe_bigram_ppl,            # r5 review: hoisted word array
-        pipe_canonical_docs=pipe_canonical_docs,    # r5 review: jaccard 0/0 guard
-        pipe_gopher_quality=pipe_gopher_quality,    # r5: new operator
-        cdc_timeseries_transform=cdc_timeseries_transform,  # r5 review: ns div
-        pipe_ann_ivfpq=pipe_ann_ivfpq,              # r5: spherical IVFADC
-        pipe_domain_cap=pipe_domain_cap,            # r5: salted two-phase cap
-        pipe_url_domains=pipe_url_domains,          # r5: lowercase host fix
-        pipe_semantic_dedup=pipe_semantic_dedup,    # r5 review: shared fixpoint helper
-        # --- review-stretch semantic changes promoted into the gate prefix:
-        # the eleven review passes touched these operators' behavior (edge
-        # inputs) or their DuckDB twins — they take gate priority over the
-        # unchanged mid-round additions demoted below (all of which stay
-        # locally certified at sf0.01 AND sf0.1)
-        pipe_unigram_ppl=pipe_unigram_ppl,          # r5 review: empty docs omitted
-        pipe_ngram_jaccard=pipe_ngram_jaccard,      # r5 review: 0/0 guard + twin
-        pipe_simhash_neardup=pipe_simhash_neardup,  # r5 review: degenerate-doc filter
-        pipe_neardup_clusters=pipe_neardup_clusters,  # r5 review: guard via pairs
-        pipe_decontaminate=pipe_decontaminate,      # r5 review: rounded verdict
-        cdc_map_payload_dynamic=cdc_map_payload_dynamic,  # r5 review: explode_outer
-        cdc_final_state=cdc_final_state,            # r5 review: UNKNOWN_OP gate
-        cdc_dlq_split=cdc_dlq_split,                # r5 review: parser-error coalesce
-        cdc_projection_whitelist=cdc_projection_whitelist,  # r5 review: envelope fix
-        pipe_url_dedup=pipe_url_dedup,              # r5: new operator
-        pipe_winnowing=pipe_winnowing,              # never driver-gated before r5
-        pipe_winnowing_overlap=pipe_winnowing_overlap,
-        # --- unchanged since their both-SF local certification (demoted to
-        # make room in the ~50-query gate budget for the review stretch):
-        pipe_source_scorecard=pipe_source_scorecard,  # r5: new operator (late)
-        pipe_script_detect=pipe_script_detect,      # r5: new operator (late)
-        pipe_graph_rank=pipe_graph_rank,            # r5: new operator (late)
-        cdc_incremental_agg=cdc_incremental_agg,    # r5: new operator (late)
-        cdc_lag_stats=cdc_lag_stats,                # r5: new operator (late)
-        pipe_mixture_plan=pipe_mixture_plan,        # r5: new operator
-        pipe_top_ngrams=pipe_top_ngrams,            # r5: new operator
-        pipe_temperature_rates=pipe_temperature_rates,    # r5: new operator
-        pipe_temperature_sample=pipe_temperature_sample,  # r5: new operator
-        pipe_dsir_weights=pipe_dsir_weights,        # r5: new operator
-        # pure compositions of entries gated above (bloom_dedup+cross_exact,
-        # brute+ivf, bpe_train family) — deprioritized below the driver's
-        # ~50-query budget cut so the never-gated semantic_dedup/winnowing
-        # pair lands inside it; all three stay locally oracle-verified at
-        # sf0.01 and sf0.1
-        pipe_bloom_verified=pipe_bloom_verified,
-        pipe_ann_recall=pipe_ann_recall,
-        pipe_bpe_tokens=pipe_bpe_tokens,
-        pipe_multimodal_features=pipe_multimodal_features,  # r5: size-0 box
-        pipe_ann_pq=pipe_ann_pq,                    # r5: trainer validation
-        pipe_ann_ivf=pipe_ann_ivf,
-        # stable ------------------------------------------------------------
+        # ---- round-6 gate prefix ---------------------------------------
+        # 1) the 14 entries the driver's 50-slot gate has NEVER verified
+        #    (VERDICT r6 directive 3 — all locally green at sf0.01+sf0.1),
+        # 2) every operator this optimization round touched, so each
+        #    change earns a driver verdict the round it lands.  The tail
+        #    absorbs any budget truncation; the whole registry stays
+        #    locally certified (scripts/check_oracle.py 105/105).
+        pipe_url_dedup=pipe_url_dedup,  # never driver-gated (VERDICT r6 #3)
+        pipe_dsir_weights=pipe_dsir_weights,  # never driver-gated
+        pipe_graph_rank=pipe_graph_rank,  # never driver-gated; r6: lazy propagate checkpoints
+        pipe_source_scorecard=pipe_source_scorecard,  # never driver-gated
+        pipe_bloom_verified=pipe_bloom_verified,  # never driver-gated
+        pipe_script_detect=pipe_script_detect,  # never driver-gated
+        pipe_mixture_plan=pipe_mixture_plan,  # never driver-gated
+        pipe_bpe_tokens=pipe_bpe_tokens,  # never driver-gated
+        pipe_top_ngrams=pipe_top_ngrams,  # never driver-gated
+        pipe_temperature_rates=pipe_temperature_rates,  # never driver-gated
+        pipe_temperature_sample=pipe_temperature_sample,  # never driver-gated
+        cdc_incremental_agg=cdc_incremental_agg,  # never driver-gated; r6: state checkpoint
+        cdc_lag_stats=cdc_lag_stats,  # never driver-gated
+        pipe_ann_recall=pipe_ann_recall,  # never driver-gated; r6: inherits ANN rewrites
+        pipe_ann_ivfpq=pipe_ann_ivfpq,  # r6: literal/let rewrite + probed-cell prune + fused trainer
+        pipe_ann_pq=pipe_ann_pq,  # r6: literal/let rewrite + cc lookups
+        pipe_ann_ivf=pipe_ann_ivf,  # r6: literal/let rewrite
+        pipe_ann_lsh=pipe_ann_lsh,  # r6: plane literal + let binding
+        pipe_ann_lsh_probe=pipe_ann_lsh_probe,  # r6: plane literal + let binding
+        pipe_ann_brute=pipe_ann_brute,  # r6: scan parallelizer on _emb
+        pipe_knn_graph=pipe_knn_graph,  # r6: literal/let rewrite + scan parallelizer
+        pipe_embedding_neardup=pipe_embedding_neardup,  # r6: plane literal + let binding
+        pipe_semantic_dedup=pipe_semantic_dedup,  # r6: fused fixpoint rounds
+        pipe_semantic_decontam=pipe_semantic_decontam,  # r6: shares the rewritten assign/score path
+        pipe_bpe_train=pipe_bpe_train,  # r6: literal-pair trainer rounds
+        pipe_bpe_apply=pipe_bpe_apply,  # r6: literal-pair trainer rounds
+        pipe_bpe_merges=pipe_bpe_merges,  # r6: scan parallelizer
+        pipe_dup_spans=pipe_dup_spans,  # r6: gram frame computed once
+        pipe_ppl_buckets=pipe_ppl_buckets,  # r6: perplexity frame computed once
+        pipe_lang_ngram=pipe_lang_ngram,  # r6: scan parallelizer (3.7 s -> 0.4 s)
+        pipe_repetition_full=pipe_repetition_full,  # r6: scan parallelizer
+        pipe_canonical_docs=pipe_canonical_docs,  # r6: fused CC rounds + member checkpoint
+        pipe_neardup_clusters=pipe_neardup_clusters,  # r6: fused CC rounds
+        pipe_ngram_jaccard=pipe_ngram_jaccard,  # r6: scan parallelizer
+        pipe_cross_neardup=pipe_cross_neardup,  # r6: scan parallelizer
+        pipe_cross_exact=pipe_cross_exact,  # r6: par opt-out (measured)
+        pipe_lsh_pairs=pipe_lsh_pairs,  # r6: scan parallelizer
+        pipe_lsh_pairs_capped=pipe_lsh_pairs_capped,  # r6: par opt-out (measured)
+        pipe_minhash_signatures=pipe_minhash_signatures,  # r6: scan parallelizer
+        pipe_simhash=pipe_simhash,  # r6: scan parallelizer
+        pipe_simhash_neardup=pipe_simhash_neardup,  # r6: scan parallelizer
+        pipe_winnowing=pipe_winnowing,  # r6: scan parallelizer
+        pipe_winnowing_overlap=pipe_winnowing_overlap,  # r6: scan parallelizer
+        pipe_containment=pipe_containment,  # r6: scan parallelizer
+        pipe_split_leakage=pipe_split_leakage,  # r6: scan parallelizer
+        pipe_pii_redact=pipe_pii_redact,  # r6: scan parallelizer (plan-audit relaxation)
+        pipe_stratified_sample=pipe_stratified_sample,  # r6: par opt-out (plan-audit)
+        pipe_multimodal_features=pipe_multimodal_features,  # r6: par opt-out (measured)
+        pipe_novelty=pipe_novelty,  # r6: par opt-out (measured)
+        pipe_bloom_dedup=pipe_bloom_dedup,  # r6: par opt-out (measured)
+        # ---- unchanged this round (locally certified; gate tail) ------
+        pipe_hash_split=pipe_hash_split,
+        pipe_blocklist=pipe_blocklist,
+        cdc_bootstrap_handoff=cdc_bootstrap_handoff,
+        cdc_churn_stats=cdc_churn_stats,
+        pipe_len_quantiles=pipe_len_quantiles,
+        pipe_vocab_growth=pipe_vocab_growth,
+        cdc_point_in_time=cdc_point_in_time,
+        cdc_replay_idempotent=cdc_replay_idempotent,
+        cdc_scd2_history=cdc_scd2_history,
+        cdc_asof_enrich=cdc_asof_enrich,
+        cdc_snapshot_diff=cdc_snapshot_diff,
+        pipe_lsh_plan=pipe_lsh_plan,
+        pipe_doc_chunks=pipe_doc_chunks,
+        pipe_c4_clean=pipe_c4_clean,
+        pipe_quality_classifier=pipe_quality_classifier,
+        pipe_token_histogram=pipe_token_histogram,
+        pipe_boilerplate_strip=pipe_boilerplate_strip,
+        cdc_sessionize=cdc_sessionize,
+        pipe_bigram_ppl=pipe_bigram_ppl,
+        pipe_gopher_quality=pipe_gopher_quality,
+        cdc_timeseries_transform=cdc_timeseries_transform,
+        pipe_domain_cap=pipe_domain_cap,
+        pipe_url_domains=pipe_url_domains,
+        pipe_unigram_ppl=pipe_unigram_ppl,
+        pipe_decontaminate=pipe_decontaminate,
+        cdc_map_payload_dynamic=cdc_map_payload_dynamic,
+        cdc_final_state=cdc_final_state,
+        cdc_dlq_split=cdc_dlq_split,
+        cdc_projection_whitelist=cdc_projection_whitelist,
         cdc_lww_window=cdc_lww_window,
         cdc_lww_maxby=cdc_lww_maxby,
         cdc_lww_salted=cdc_lww_salted,
@@ -1590,23 +1594,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_string_payload=cdc_string_payload,
         cdc_key_value_merge=cdc_key_value_merge,
         pipe_dedup_exact=pipe_dedup_exact,
-        pipe_minhash_signatures=pipe_minhash_signatures,
-        pipe_lsh_pairs=pipe_lsh_pairs,
-        pipe_lsh_pairs_capped=pipe_lsh_pairs_capped,
-        pipe_simhash=pipe_simhash,
-        pipe_stratified_sample=pipe_stratified_sample,
         pipe_word_entropy=pipe_word_entropy,
         pipe_text_quality=pipe_text_quality,
         pipe_lang_id=pipe_lang_id,
         pipe_fingerprint=pipe_fingerprint,
-        pipe_ann_brute=pipe_ann_brute,
-        pipe_ann_lsh=pipe_ann_lsh,
-        pipe_ann_lsh_probe=pipe_ann_lsh_probe,
-        pipe_embedding_neardup=pipe_embedding_neardup,
         pipe_clean_corpus=pipe_clean_corpus,
         pipe_repetition=pipe_repetition,
         pipe_tfidf_topk=pipe_tfidf_topk,
-        pipe_pii_redact=pipe_pii_redact,
         pipe_seq_pack=pipe_seq_pack,
         pipe_mixture_sample=pipe_mixture_sample,
         pipe_chunk_dedup=pipe_chunk_dedup,

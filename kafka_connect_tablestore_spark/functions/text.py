@@ -484,7 +484,11 @@ def perplexity_buckets(
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    ppl = unigram_perplexity(df, text_col, id_col)
+    # lazy checkpoint: the threshold sample's TakeOrdered collect below is
+    # the materializing action, so the 3-shuffle perplexity plan runs ONCE
+    # and the bucket-assignment query reads the cached rows instead of
+    # re-executing it end to end
+    ppl = unigram_perplexity(df, text_col, id_col).localCheckpoint(eager=False)
     sample = [
         r["unigram_ppl"]
         for r in ppl.select(
