@@ -1346,13 +1346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         log = _log(spark, sf)
         clean, _ = split_errant(validate_and_classify(log, CFG, ATTRS))
-        old_state = merge_into_state(
-            None, clean.where(F.col("offset") <= 5000), CFG, ATTRS
         # the prior state feeds THREE consumers (the tail fold, the base
         # aggregate, and the diff's pre-image side); without materialization
         # each re-runs the full validate+fold.  Lazy localCheckpoint:
         # computed once inside this query's own job, nothing persists
         # across invocations.
+        old_state = merge_into_state(
+            None, clean.where(F.col("offset") <= 5000), CFG, ATTRS
         ).localCheckpoint(eager=False)
         # the engine's real incremental path: fold the tail INTO the prior
         # state (plans/merge.py), not a from-scratch replay
