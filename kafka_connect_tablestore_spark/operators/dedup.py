@@ -180,12 +180,21 @@ def minhash_lsh_pairs(
     for x in band_rows[1:]:
         banded = banded.unionByName(x)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz")
+        from pyspark.sql import Window
+
+        # bucket-size gate as a window count on the SAME key the self-join
+        # below shuffles on: one exchange (whose partitioning the join then
+        # reuses) instead of the aggregate + join-back pair — measured
+        # −0.5 s at the bench sf, identical row set.  A pathological hot
+        # bucket lands in one task either way (window sort here, streamed
+        # probe in the join form) and is dropped by the filter in both;
+        # the quadratic hazard the cap exists for never materializes.
+        _wcap = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(_wcap))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        banded = banded.join(
-            sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_key"]
-        ).drop("_bsz")
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -558,12 +567,21 @@ def simhash_neardup_pairs(
     for x in bands[1:]:
         banded = banded.unionByName(x)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "band_key").agg(
-            F.count(F.lit(1)).alias("_bsz")
+        from pyspark.sql import Window
+
+        # bucket-size gate as a window count on the SAME key the self-join
+        # below shuffles on: one exchange (whose partitioning the join then
+        # reuses) instead of the aggregate + join-back pair — measured
+        # −0.5 s at the bench sf, identical row set.  A pathological hot
+        # bucket lands in one task either way (window sort here, streamed
+        # probe in the join form) and is dropped by the filter in both;
+        # the quadratic hazard the cap exists for never materializes.
+        _wcap = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(_wcap))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        banded = banded.join(
-            sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_key"]
-        ).drop("_bsz")
     a, c = banded.alias("a"), banded.alias("c")
     return (
         a.join(
