@@ -279,7 +279,19 @@ def ngram_jaccard_pairs(
     if candidates is None:
         candidates = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands)
     cand = candidates.select("doc_a", "doc_b")
-    sh = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+    # verify-side cost must be proportional to the CANDIDATE set, not the
+    # corpus: the shingle projection feeds two joins (doc_a / doc_b side),
+    # so without a gate the words->shingles->array_distinct work runs for
+    # every corpus row TWICE.  A semi-join on the candidate ids keeps the
+    # projection above it, so shingle sets are built only for documents
+    # that appear in some pair — inner joins on the pair ids drop all
+    # other rows anyway, so the output is identical.
+    _cids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
+        cand.select(F.col("doc_b").alias(id_col))
+    )
+    sh = df.join(_cids, id_col, "left_semi").select(
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
         F.col(id_col),
         F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("sh"),
     )
@@ -343,7 +355,19 @@ def containment_pairs(
     if candidates is None:
         candidates = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands)
     cand = candidates.select("doc_a", "doc_b")
-    sh = df.select(F.col(id_col), words(text_col).alias("_w")).select(
+    # verify-side cost must be proportional to the CANDIDATE set, not the
+    # corpus: the shingle projection feeds two joins (doc_a / doc_b side),
+    # so without a gate the words->shingles->array_distinct work runs for
+    # every corpus row TWICE.  A semi-join on the candidate ids keeps the
+    # projection above it, so shingle sets are built only for documents
+    # that appear in some pair — inner joins on the pair ids drop all
+    # other rows anyway, so the output is identical.
+    _cids = cand.select(F.col("doc_a").alias(id_col)).unionByName(
+        cand.select(F.col("doc_b").alias(id_col))
+    )
+    sh = df.join(_cids, id_col, "left_semi").select(
+        F.col(id_col), words(text_col).alias("_w")
+    ).select(
         F.col(id_col),
         F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("sh"),
     )
